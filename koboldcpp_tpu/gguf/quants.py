@@ -1,0 +1,861 @@
+"""Vectorized numpy (de)quantization for the GGUF quant-format zoo.
+
+Independent TPU-first implementation of the ggml block formats
+(layouts: /root/reference/ggml/src/ggml-common.h:144-419; semantics:
+/root/reference/ggml/src/ggml-quants.c quantize_row_*_ref / dequantize_row_*).
+Instead of scalar C loops, every format is described by static index tables
+(element -> packed byte / shift / sub-block scale) built once at import time, so
+(de)quantization is pure fancy-indexing over whole tensors.  Dequantization is
+bit-exact vs. the reference (golden-tested in tests/test_quants_golden.py).
+
+These numpy paths are the *reference* implementations; the serving hot path
+keeps blocks packed in HBM and dequantizes inside Pallas kernels (ops/).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import GGMLType, GGML_BLOCK_SIZES, QK_K
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+GROUP_MAX_EPS = 1e-15
+
+
+def _f16(x: np.ndarray) -> np.ndarray:
+    """fp32 -> fp16 bits with IEEE round-to-nearest-even (ggml fp16 semantics)."""
+    return x.astype(np.float16)
+
+
+def _f16_to_f32(b: np.ndarray) -> np.ndarray:
+    return b.view(np.float16).astype(np.float32) if b.dtype == np.uint8 else b.astype(np.float32)
+
+
+def _nearest_int(x: np.ndarray) -> np.ndarray:
+    # ggml's nearest_int() magic-constant trick implements round-half-to-even,
+    # which is exactly np.rint.
+    return np.rint(x).astype(np.int32)
+
+
+def _rows(x: np.ndarray, blk: int) -> np.ndarray:
+    """View (..., n) as (N, blk) float32 blocks."""
+    n = x.shape[-1]
+    if n % blk:
+        raise ValueError(f"last dim {n} not divisible by block size {blk}")
+    return np.ascontiguousarray(x, dtype=np.float32).reshape(-1, blk)
+
+
+def _out_shape(shape: tuple[int, ...], t: GGMLType) -> tuple[int, ...]:
+    blk, sz = GGML_BLOCK_SIZES[t]
+    return shape[:-1] + (shape[-1] // blk * sz,)
+
+
+# ---------------------------------------------------------------------------
+# simple 32-element formats
+# ---------------------------------------------------------------------------
+
+def _q4_0_quantize(x: np.ndarray) -> np.ndarray:
+    b = _rows(x, 32)
+    idx = np.argmax(np.abs(b), axis=-1)
+    mx = b[np.arange(len(b)), idx]  # signed value of largest magnitude
+    d = (mx / -8.0).astype(np.float32)
+    inv = np.where(d != 0, np.float32(1.0) / d, np.float32(0.0))
+    q = np.minimum(np.trunc(b * inv[:, None] + np.float32(8.5)), 15).astype(np.uint8)
+    lo, hi = q[:, :16], q[:, 16:]
+    out = np.empty((len(b), 18), dtype=np.uint8)
+    out[:, :2] = _f16(d)[:, None].view(np.uint8)
+    out[:, 2:] = lo | (hi << 4)
+    return out
+
+
+def _q4_0_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 18)
+    d = _f16_to_f32(blocks[:, :2].copy())[:, 0]
+    qs = blocks[:, 2:]
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1).astype(np.int8) - 8
+    return d[:, None] * q.astype(np.float32)
+
+
+def _q4_1_quantize(x: np.ndarray) -> np.ndarray:
+    b = _rows(x, 32)
+    mn, mx = b.min(axis=-1), b.max(axis=-1)
+    d = ((mx - mn) / 15.0).astype(np.float32)
+    inv = np.where(d != 0, np.float32(1.0) / d, np.float32(0.0))
+    q = np.minimum(np.trunc((b - mn[:, None]) * inv[:, None] + np.float32(0.5)), 15).astype(np.uint8)
+    out = np.empty((len(b), 20), dtype=np.uint8)
+    out[:, 0:2] = _f16(d)[:, None].view(np.uint8)
+    out[:, 2:4] = _f16(mn.astype(np.float32))[:, None].view(np.uint8)
+    out[:, 4:] = q[:, :16] | (q[:, 16:] << 4)
+    return out
+
+
+def _q4_1_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 20)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    m = _f16_to_f32(blocks[:, 2:4].copy())[:, 0]
+    qs = blocks[:, 4:]
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1).astype(np.float32)
+    return d[:, None] * q + m[:, None]
+
+
+def _q5_0_quantize(x: np.ndarray) -> np.ndarray:
+    b = _rows(x, 32)
+    idx = np.argmax(np.abs(b), axis=-1)
+    mx = b[np.arange(len(b)), idx]
+    d = (mx / -16.0).astype(np.float32)
+    inv = np.where(d != 0, np.float32(1.0) / d, np.float32(0.0))
+    q = np.minimum(np.trunc(b * inv[:, None] + np.float32(16.5)), 31).astype(np.uint32)
+    lo, hi = q[:, :16], q[:, 16:]
+    qh = np.zeros(len(b), dtype=np.uint32)
+    for j in range(16):
+        qh |= (lo[:, j] >> 4) << j
+        qh |= (hi[:, j] >> 4) << (j + 16)
+    out = np.empty((len(b), 22), dtype=np.uint8)
+    out[:, 0:2] = _f16(d)[:, None].view(np.uint8)
+    out[:, 2:6] = qh[:, None].view(np.uint8)
+    out[:, 6:] = (lo & 0xF).astype(np.uint8) | ((hi & 0xF) << 4).astype(np.uint8)
+    return out
+
+
+def _q5_0_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 22)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    qh = blocks[:, 2:6].copy().view(np.uint32)[:, 0]
+    qs = blocks[:, 6:]
+    bits = (qh[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1).astype(np.int32) | (bits.astype(np.int32) << 4)
+    return d[:, None] * (q - 16).astype(np.float32)
+
+
+def _q5_1_quantize(x: np.ndarray) -> np.ndarray:
+    b = _rows(x, 32)
+    mn, mx = b.min(axis=-1), b.max(axis=-1)
+    d = ((mx - mn) / 31.0).astype(np.float32)
+    inv = np.where(d != 0, np.float32(1.0) / d, np.float32(0.0))
+    q = np.minimum(np.trunc((b - mn[:, None]) * inv[:, None] + np.float32(0.5)), 31).astype(np.uint32)
+    lo, hi = q[:, :16], q[:, 16:]
+    qh = np.zeros(len(b), dtype=np.uint32)
+    for j in range(16):
+        qh |= (lo[:, j] >> 4) << j
+        qh |= (hi[:, j] >> 4) << (j + 16)
+    out = np.empty((len(b), 24), dtype=np.uint8)
+    out[:, 0:2] = _f16(d)[:, None].view(np.uint8)
+    out[:, 2:4] = _f16(mn.astype(np.float32))[:, None].view(np.uint8)
+    out[:, 4:8] = qh[:, None].view(np.uint8)
+    out[:, 8:] = (lo & 0xF).astype(np.uint8) | ((hi & 0xF) << 4).astype(np.uint8)
+    return out
+
+
+def _q5_1_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 24)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    m = _f16_to_f32(blocks[:, 2:4].copy())[:, 0]
+    qh = blocks[:, 4:8].copy().view(np.uint32)[:, 0]
+    qs = blocks[:, 8:]
+    bits = (qh[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1).astype(np.uint32) | (bits << 4)
+    return d[:, None] * q.astype(np.float32) + m[:, None]
+
+
+def _q8_0_quantize(x: np.ndarray) -> np.ndarray:
+    b = _rows(x, 32)
+    amax = np.abs(b).max(axis=-1)
+    d = (amax / 127.0).astype(np.float32)
+    inv = np.where(d != 0, np.float32(1.0) / d, np.float32(0.0))
+    v = b * inv[:, None]
+    # C roundf(): round half away from zero
+    q = np.trunc(v + np.where(v >= 0, np.float32(0.5), np.float32(-0.5))).astype(np.int8)
+    out = np.empty((len(b), 34), dtype=np.uint8)
+    out[:, 0:2] = _f16(d)[:, None].view(np.uint8)
+    out[:, 2:] = q.view(np.uint8)
+    return out
+
+
+def _q8_0_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 34)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    q = blocks[:, 2:].view(np.int8).astype(np.float32)
+    return d[:, None] * q
+
+
+# ---------------------------------------------------------------------------
+# K-quant scale/min search (vectorized make_qkx2_quants / make_qx_quants)
+# ---------------------------------------------------------------------------
+
+def _make_qkx2(b: np.ndarray, w: np.ndarray, nmax: int, rmin: float, rdelta: float,
+               nstep: int, use_mad: bool) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Weighted affine scale/min search over sub-blocks.
+
+    b, w: (N, n) float32.  Returns (L uint8 (N, n), scale (N,), the_min (N,)).
+    Mirrors ggml's make_qkx2_quants grid search semantics, vectorized over N.
+    """
+    b = b.astype(np.float32)
+    w = w.astype(np.float32)
+    raw_min = b.min(axis=-1)
+    mx = b.max(axis=-1)
+    mn = np.minimum(raw_min, 0.0).astype(np.float32)
+    degenerate = mx == mn
+    rng = np.where(degenerate, np.float32(1.0), mx - mn)  # avoid div0 on degenerate rows
+
+    sum_w = w.sum(axis=-1)
+    sum_x = (w * b).sum(axis=-1)
+
+    iscale = np.float32(nmax) / rng
+    scale = np.float32(1.0) / iscale
+    L = np.clip(_nearest_int(iscale[:, None] * (b - mn[:, None])), 0, nmax)
+    diff = scale[:, None] * L + mn[:, None] - b
+    diff = np.abs(diff) if use_mad else diff * diff
+    best_mad = (w * diff).sum(axis=-1)
+
+    cur_min = mn.copy()
+    for step in range(nstep + 1):
+        isc = (np.float32(rmin + rdelta * step + nmax)) / rng
+        Laux = np.clip(_nearest_int(isc[:, None] * (b - mn[:, None])), 0, nmax)
+        Lf = Laux.astype(np.float32)
+        sum_l = (w * Lf).sum(axis=-1)
+        sum_l2 = (w * Lf * Lf).sum(axis=-1)
+        sum_xl = (w * Lf * b).sum(axis=-1)
+        D = sum_w * sum_l2 - sum_l * sum_l
+        with np.errstate(divide="ignore", invalid="ignore"):
+            this_scale = (sum_w * sum_xl - sum_x * sum_l) / D
+            this_min = (sum_l2 * sum_x - sum_l * sum_xl) / D
+            alt_scale = sum_xl / sum_l2
+        pos_min = this_min > 0
+        this_min = np.where(pos_min, np.float32(0.0), this_min)
+        this_scale = np.where(pos_min, alt_scale, this_scale)
+        diff = this_scale[:, None] * Lf + this_min[:, None] - b
+        diff = np.abs(diff) if use_mad else diff * diff
+        mad = (w * diff).sum(axis=-1)
+        upd = (D > 0) & (mad < best_mad)
+        best_mad = np.where(upd, mad, best_mad)
+        scale = np.where(upd, this_scale, scale)
+        cur_min = np.where(upd, this_min, cur_min)
+        L = np.where(upd[:, None], Laux, L)
+
+    scale = np.where(degenerate, np.float32(0.0), scale)
+    L = np.where(degenerate[:, None], 0, L)
+    # degenerate row (all elements equal, value <= 0): the_min = -min; an
+    # all-positive-equal row isn't degenerate since min clamps to 0 first.
+    the_min = np.where(degenerate, -mn, -cur_min)
+    return L.astype(np.uint8), scale.astype(np.float32), the_min.astype(np.float32)
+
+
+def _make_qx(b: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric scale search (ggml make_qx_quants, rmse_type=1), vectorized.
+
+    Returns (L int32 in [0, 2*nmax) with +nmax offset applied, scale (N,)).
+    """
+    b = b.astype(np.float32)
+    idx = np.argmax(np.abs(b), axis=-1)
+    mx = b[np.arange(len(b)), idx]
+    amax = np.abs(mx)
+    zero = amax < GROUP_MAX_EPS
+    safe_mx = np.where(zero, np.float32(1.0), mx)
+
+    w = b * b  # rmse_type == 1 weights
+
+    def trial(iscale):
+        l = np.clip(_nearest_int(iscale[:, None] * b), -nmax, nmax - 1).astype(np.float32)
+        sumlx = (w * b * l).sum(axis=-1)
+        suml2 = (w * l * l).sum(axis=-1)
+        return l, sumlx, suml2
+
+    iscale0 = np.float32(-nmax) / safe_mx
+    L, sumlx, suml2 = trial(iscale0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(suml2 != 0, sumlx / suml2, np.float32(0.0))
+    best = scale * sumlx
+    for is_ in range(-9, 10):
+        if is_ == 0:
+            continue
+        isc = -(np.float32(nmax) + np.float32(0.1) * is_) / safe_mx
+        Lt, slx, sl2 = trial(isc)
+        upd = (sl2 > 0) & (slx * slx > best * sl2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            new_scale = slx / sl2
+        scale = np.where(upd, new_scale, scale)
+        best = np.where(upd, new_scale * slx, best)
+        L = np.where(upd[:, None], Lt, L)
+
+    L = np.where(zero[:, None], np.float32(-nmax), L) + nmax
+    scale = np.where(zero, np.float32(0.0), scale)
+    return L.astype(np.int32), scale.astype(np.float32)
+
+
+def _make_q3(b: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
+    """ggml make_q3_quants(do_rmse=True): symmetric + coordinate-descent refine.
+
+    Returns (L int32 with +nmax offset i.e. in [0, 2*nmax), scale (N,)).
+    """
+    b = b.astype(np.float32)
+    n = b.shape[-1]
+    idx = np.argmax(np.abs(b), axis=-1)
+    mx = b[np.arange(len(b)), idx]
+    amax = np.abs(mx)
+    zero = amax < GROUP_MAX_EPS
+    safe_mx = np.where(zero, np.float32(1.0), mx)
+
+    iscale = np.float32(-nmax) / safe_mx
+    L = np.clip(_nearest_int(iscale[:, None] * b), -nmax, nmax - 1).astype(np.float32)
+    w = b * b
+    sumlx = (w * b * L).sum(axis=-1)
+    suml2 = (w * L * L).sum(axis=-1)
+    # 5 rounds of single-coordinate improvement, sequential over the n elements
+    # (order matters: later elements see earlier updates, like the C loop).
+    for _ in range(5):
+        changed = np.zeros(len(b), dtype=bool)
+        for i in range(n):
+            wi, xi, li = w[:, i], b[:, i], L[:, i]
+            slx = sumlx - wi * xi * li
+            ok = slx > 0
+            sl2 = suml2 - wi * li * li
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cand = _nearest_int(np.where(ok, xi * sl2 / np.where(slx != 0, slx, 1), 0))
+            cand = np.clip(cand, -nmax, nmax - 1).astype(np.float32)
+            diff = cand != li
+            slx2 = slx + wi * xi * cand
+            sl22 = sl2 + wi * cand * cand
+            upd = ok & diff & (sl22 > 0) & (slx2 * slx2 * suml2 > sumlx * sumlx * sl22)
+            L[:, i] = np.where(upd, cand, li)
+            sumlx = np.where(upd, slx2, sumlx)
+            suml2 = np.where(upd, sl22, suml2)
+            changed |= upd
+        if not changed.any():
+            break
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(suml2 != 0, sumlx / suml2, np.float32(0.0))
+    scale = np.where(zero, np.float32(0.0), scale)
+    L = np.where(zero[:, None], np.float32(-nmax), L) + nmax  # +nmax offset, like C
+    return L.astype(np.int32), scale.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# K-quant static index tables: element position -> packed location
+# ---------------------------------------------------------------------------
+
+_E = np.arange(QK_K)
+
+# Q2_K / Q3_K 2-bit stream: two 128-halves, 4 shift planes of 32 bytes
+_Q2_BYTE = (32 * (_E // 128) + _E % 32).astype(np.int64)
+_Q2_SHIFT = (2 * ((_E % 128) // 32)).astype(np.uint8)
+_Q2_SUB = (_E // 16).astype(np.int64)  # 16 sub-blocks of 16
+
+# Q3_K high bit: byte = e % 32, bit = e // 32
+_Q3_HBYTE = (_E % 32).astype(np.int64)
+_Q3_HBIT = (_E // 32).astype(np.uint8)
+
+# Q4_K / Q5_K nibble stream: 4 groups of 64 (32 lo nibbles then 32 hi nibbles)
+_Q4_BYTE = (32 * (_E // 64) + _E % 32).astype(np.int64)
+_Q4_SHIFT = (4 * ((_E % 64) // 32)).astype(np.uint8)
+_Q4_SUB = (_E // 32).astype(np.int64)  # 8 sub-blocks of 32
+
+# Q5_K extra bit: byte = e % 32, bit = sub-block index
+_Q5_HBYTE = (_E % 32).astype(np.int64)
+_Q5_HBIT = (_E // 32).astype(np.uint8)
+
+# Q6_K: per 128-half, 4 planes; ql nibbles interleave planes (0,2)->bytes l,
+# (1,3)->bytes l+32; qh packs 2-bit planes of the same 32 bytes
+_q6_h = _E // 128
+_q6_j = (_E % 128) // 32
+_q6_l = _E % 32
+_Q6_LBYTE = (64 * _q6_h + 32 * (_q6_j % 2) + _q6_l).astype(np.int64)
+_Q6_LSHIFT = (4 * (_q6_j // 2)).astype(np.uint8)
+_Q6_HBYTE = (32 * _q6_h + _q6_l).astype(np.int64)
+_Q6_HSHIFT = (2 * _q6_j).astype(np.uint8)
+_Q6_SUB = (8 * _q6_h + 2 * _q6_j + (_E % 32) // 16).astype(np.int64)
+
+# IQ4 nonlinear codebook
+IQ4_NL_VALUES = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113],
+    dtype=np.float32,
+)
+
+_E32 = np.arange(32)
+_IQ4_BYTE = (_E32 % 16).astype(np.int64)
+_IQ4_SHIFT = (4 * (_E32 // 16)).astype(np.uint8)
+
+# IQ4_XS nibble stream: 8 sub-blocks of 32, each 16 bytes lo-then-hi nibbles
+_IQ4XS_BYTE = (16 * (_E // 32) + _E % 16).astype(np.int64)
+_IQ4XS_SHIFT = (4 * ((_E % 32) // 16)).astype(np.uint8)
+_IQ4XS_SUB = (_E // 32).astype(np.int64)
+
+
+def _unpack_scale_min_k4(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack 8 (6-bit scale, 6-bit min) pairs from 12 bytes. scales: (N, 12)."""
+    sc = np.empty((len(scales), 8), dtype=np.uint8)
+    mn = np.empty((len(scales), 8), dtype=np.uint8)
+    j = np.arange(4)
+    sc[:, :4] = scales[:, :4] & 63
+    mn[:, :4] = scales[:, 4:8] & 63
+    sc[:, 4:] = (scales[:, 8:12] & 0xF) | ((scales[:, j] >> 6) << 4)
+    mn[:, 4:] = (scales[:, 8:12] >> 4) | ((scales[:, 4 + j] >> 6) << 4)
+    return sc, mn
+
+
+def _pack_scale_min_k4(ls: np.ndarray, lm: np.ndarray) -> np.ndarray:
+    """Inverse of _unpack_scale_min_k4. ls, lm: (N, 8) uint8 6-bit values."""
+    out = np.zeros((len(ls), 12), dtype=np.uint8)
+    out[:, :4] = ls[:, :4] & 63
+    out[:, 4:8] = lm[:, :4] & 63
+    out[:, :4] |= (ls[:, 4:] >> 4) << 6
+    out[:, 4:8] |= (lm[:, 4:] >> 4) << 6
+    out[:, 8:12] = (ls[:, 4:] & 0xF) | ((lm[:, 4:] & 0xF) << 4)
+    return out
+
+
+def _unpack_q3_scales(scales: np.ndarray) -> np.ndarray:
+    """Unpack 16 6-bit scales from 12 bytes (Q3_K layout). Returns int32 (N, 16)."""
+    lo = np.empty((len(scales), 16), dtype=np.uint8)
+    lo[:, :8] = scales[:, :8] & 0xF
+    lo[:, 8:] = scales[:, :8] >> 4
+    j = np.arange(16)
+    hi = (scales[:, 8 + (j % 4)] >> (2 * (j // 4))[None, :]) & 3
+    return (lo | (hi << 4)).astype(np.int32)
+
+
+def _pack_q3_scales(l6: np.ndarray) -> np.ndarray:
+    """Pack 16 6-bit values into 12 bytes (Q3_K layout). l6: (N, 16) uint8."""
+    out = np.zeros((len(l6), 12), dtype=np.uint8)
+    out[:, :8] = (l6[:, :8] & 0xF) | ((l6[:, 8:] & 0xF) << 4)
+    for jj in range(16):
+        out[:, 8 + jj % 4] |= (l6[:, jj] >> 4) << (2 * (jj // 4))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# K-quant formats
+# ---------------------------------------------------------------------------
+
+def _q2_k_quantize(x: np.ndarray) -> np.ndarray:
+    b = _rows(x, QK_K).reshape(-1, 16, 16)
+    N = len(b)
+    flat = b.reshape(-1, 16)
+    L0, scales, mins = _make_qkx2(flat, np.abs(flat), 3, -0.5, 0.1, 15, True)
+    L0 = L0.reshape(N, 16, 16)
+    scales = scales.reshape(N, 16)
+    mins = mins.reshape(N, 16)
+
+    max_scale = scales.max(axis=-1)
+    max_min = mins.max(axis=-1)
+    q4scale = np.float32(15.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ls = np.where(max_scale[:, None] > 0,
+                      _nearest_int(q4scale / np.where(max_scale > 0, max_scale, 1)[:, None] * scales), 0)
+        lm = np.where(max_min[:, None] > 0,
+                      _nearest_int(q4scale / np.where(max_min > 0, max_min, 1)[:, None] * mins), 0)
+    d = _f16(np.where(max_scale > 0, max_scale / q4scale, 0.0).astype(np.float32))
+    dmin = _f16(np.where(max_min > 0, max_min / q4scale, 0.0).astype(np.float32))
+    packed_sc = (ls.astype(np.uint8) & 0xF) | (lm.astype(np.uint8) << 4)
+
+    # requantize against the fp16-rounded effective scales
+    dd = d.astype(np.float32)[:, None] * (packed_sc & 0xF).astype(np.float32)
+    dm = dmin.astype(np.float32)[:, None] * (packed_sc >> 4).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Lq = np.clip(_nearest_int((b + dm[:, :, None]) / np.where(dd != 0, dd, 1)[:, :, None]), 0, 3)
+    # sub-blocks whose effective scale is 0 keep the search L (reference skips
+    # the requantize pass for them; decoded value is 0 either way)
+    Lq = np.where((dd != 0)[:, :, None], Lq, L0).astype(np.uint8).reshape(N, QK_K)
+
+    qs = np.zeros((N, 64), dtype=np.uint8)
+    np.bitwise_or.at(qs.T, _Q2_BYTE, (Lq << _Q2_SHIFT[None, :]).T)  # scatter by plane
+    out = np.empty((N, 84), dtype=np.uint8)
+    out[:, :16] = packed_sc
+    out[:, 16:80] = qs
+    out[:, 80:82] = d[:, None].view(np.uint8)
+    out[:, 82:84] = dmin[:, None].view(np.uint8)
+    return out
+
+
+def _q2_k_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 84)
+    sc = blocks[:, :16]
+    qs = blocks[:, 16:80]
+    d = _f16_to_f32(blocks[:, 80:82].copy())[:, 0]
+    dmin = _f16_to_f32(blocks[:, 82:84].copy())[:, 0]
+    q = (qs[:, _Q2_BYTE] >> _Q2_SHIFT[None, :]) & 3
+    sub = sc[:, _Q2_SUB]
+    return (d[:, None] * (sub & 0xF).astype(np.float32) * q.astype(np.float32)
+            - dmin[:, None] * (sub >> 4).astype(np.float32))
+
+
+def _q3_k_quantize(x: np.ndarray) -> np.ndarray:
+    b = _rows(x, QK_K).reshape(-1, 16, 16)
+    N = len(b)
+    L0, scales = _make_q3(b.reshape(-1, 16), 4)
+    L0 = L0.reshape(N, 16, 16)
+    scales = scales.reshape(N, 16)
+
+    amax_idx = np.argmax(np.abs(scales), axis=-1)
+    max_scale = scales[np.arange(N), amax_idx]
+    nonzero = max_scale != 0
+    safe = np.where(nonzero, max_scale, 1)
+    iscale = np.float32(-32.0) / safe
+    l6 = (np.clip(_nearest_int(iscale[:, None] * scales), -32, 31) + 32).astype(np.uint8)
+    l6 = np.where(nonzero[:, None], l6, 0)
+    packed = _pack_q3_scales(l6)
+    d = _f16(np.where(nonzero, np.float32(1.0) / iscale, 0.0).astype(np.float32))
+
+    sc_eff = (_unpack_q3_scales(packed) - 32).astype(np.float32)
+    dd = d.astype(np.float32)[:, None] * sc_eff
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Lq = np.clip(_nearest_int(b / np.where(dd != 0, dd, 1)[:, :, None]), -4, 3) + 4
+    # sub-blocks with zero effective scale keep the search L (reference behavior)
+    Lq = np.where((dd != 0)[:, :, None], Lq, L0).astype(np.uint8).reshape(N, QK_K)
+    hmask = np.zeros((N, 32), dtype=np.uint8)
+    high = (Lq > 3).astype(np.uint8)
+    np.bitwise_or.at(hmask.T, _Q3_HBYTE, (high << _Q3_HBIT[None, :]).T)
+    Lq2 = np.where(Lq > 3, Lq - 4, Lq)
+    qs = np.zeros((N, 64), dtype=np.uint8)
+    np.bitwise_or.at(qs.T, _Q2_BYTE, (Lq2 << _Q2_SHIFT[None, :]).T)
+
+    out = np.empty((N, 110), dtype=np.uint8)
+    out[:, :32] = hmask
+    out[:, 32:96] = qs
+    out[:, 96:108] = packed
+    out[:, 108:110] = d[:, None].view(np.uint8)
+    return out
+
+
+def _q3_k_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 110)
+    hmask = blocks[:, :32]
+    qs = blocks[:, 32:96]
+    scales = _unpack_q3_scales(blocks[:, 96:108]) - 32
+    d = _f16_to_f32(blocks[:, 108:110].copy())[:, 0]
+    q = ((qs[:, _Q2_BYTE] >> _Q2_SHIFT[None, :]) & 3).astype(np.int32)
+    hbit = (hmask[:, _Q3_HBYTE] >> _Q3_HBIT[None, :]) & 1
+    q = q - np.where(hbit == 0, 4, 0)
+    return d[:, None] * scales[:, _Q2_SUB].astype(np.float32) * q.astype(np.float32)
+
+
+def _qk45_quantize(x: np.ndarray, nmax: int, rmin: float, rdelta: float, nstep: int):
+    """Shared Q4_K / Q5_K top half: per-32 sub-block affine search + 6-bit pack."""
+    b = _rows(x, QK_K).reshape(-1, 8, 32)
+    N = len(b)
+    flat = b.reshape(-1, 32)
+    av = np.sqrt((flat * flat).sum(axis=-1, dtype=np.float32) / 32)
+    w = av[:, None] + np.abs(flat)
+    L0, scales, mins = _make_qkx2(flat, w, nmax, rmin, rdelta, nstep, False)
+    L0 = L0.reshape(N, 8, 32)
+    scales = scales.reshape(N, 8)
+    mins = mins.reshape(N, 8)
+
+    max_scale = scales.max(axis=-1)
+    max_min = mins.max(axis=-1)
+    inv_scale = np.where(max_scale > 0, np.float32(63.0) / np.where(max_scale > 0, max_scale, 1), 0)
+    inv_min = np.where(max_min > 0, np.float32(63.0) / np.where(max_min > 0, max_min, 1), 0)
+    ls = np.minimum(_nearest_int(inv_scale[:, None] * scales), 63).astype(np.uint8)
+    lm = np.minimum(_nearest_int(inv_min[:, None] * mins), 63).astype(np.uint8)
+    packed = _pack_scale_min_k4(ls, lm)
+    d = _f16((max_scale / 63.0).astype(np.float32))
+    dmin = _f16((max_min / 63.0).astype(np.float32))
+
+    sc_eff, mn_eff = _unpack_scale_min_k4(packed)
+    dd = d.astype(np.float32)[:, None] * sc_eff.astype(np.float32)
+    dm = dmin.astype(np.float32)[:, None] * mn_eff.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Lq = np.clip(_nearest_int((b + dm[:, :, None]) / np.where(dd != 0, dd, 1)[:, :, None]), 0, nmax)
+    Lq = np.where((dd != 0)[:, :, None], Lq, L0).astype(np.uint8).reshape(N, QK_K)
+    return N, d, dmin, packed, Lq
+
+
+def _q4_k_quantize(x: np.ndarray) -> np.ndarray:
+    N, d, dmin, packed, Lq = _qk45_quantize(x, 15, -1.0, 0.1, 20)
+    g = Lq.reshape(N, 4, 2, 32)
+    qs = (g[:, :, 0, :] | (g[:, :, 1, :] << 4)).reshape(N, 128)
+    out = np.empty((N, 144), dtype=np.uint8)
+    out[:, 0:2] = d[:, None].view(np.uint8)
+    out[:, 2:4] = dmin[:, None].view(np.uint8)
+    out[:, 4:16] = packed
+    out[:, 16:] = qs
+    return out
+
+
+def _q4_k_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 144)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    dmin = _f16_to_f32(blocks[:, 2:4].copy())[:, 0]
+    sc, mn = _unpack_scale_min_k4(blocks[:, 4:16])
+    qs = blocks[:, 16:]
+    q = (qs[:, _Q4_BYTE] >> _Q4_SHIFT[None, :]) & 0xF
+    return (d[:, None] * sc[:, _Q4_SUB].astype(np.float32) * q.astype(np.float32)
+            - dmin[:, None] * mn[:, _Q4_SUB].astype(np.float32))
+
+
+def _q5_k_quantize(x: np.ndarray) -> np.ndarray:
+    N, d, dmin, packed, Lq = _qk45_quantize(x, 31, -0.5, 0.1, 15)
+    qh = np.zeros((N, 32), dtype=np.uint8)
+    high = (Lq > 15).astype(np.uint8)
+    np.bitwise_or.at(qh.T, _Q5_HBYTE, (high << _Q5_HBIT[None, :]).T)
+    Lq2 = np.where(Lq > 15, Lq - 16, Lq)
+    g = Lq2.reshape(N, 4, 2, 32)
+    qs = (g[:, :, 0, :] | (g[:, :, 1, :] << 4)).reshape(N, 128)
+    out = np.empty((N, 176), dtype=np.uint8)
+    out[:, 0:2] = d[:, None].view(np.uint8)
+    out[:, 2:4] = dmin[:, None].view(np.uint8)
+    out[:, 4:16] = packed
+    out[:, 16:48] = qh
+    out[:, 48:] = qs
+    return out
+
+
+def _q5_k_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 176)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    dmin = _f16_to_f32(blocks[:, 2:4].copy())[:, 0]
+    sc, mn = _unpack_scale_min_k4(blocks[:, 4:16])
+    qh = blocks[:, 16:48]
+    qs = blocks[:, 48:]
+    q = ((qs[:, _Q4_BYTE] >> _Q4_SHIFT[None, :]) & 0xF).astype(np.int32)
+    hbit = ((qh[:, _Q5_HBYTE] >> _Q5_HBIT[None, :]) & 1).astype(np.int32)
+    q = q + (hbit << 4)
+    return (d[:, None] * sc[:, _Q4_SUB].astype(np.float32) * q.astype(np.float32)
+            - dmin[:, None] * mn[:, _Q4_SUB].astype(np.float32))
+
+
+def _q6_k_quantize(x: np.ndarray) -> np.ndarray:
+    b = _rows(x, QK_K).reshape(-1, 16, 16)
+    N = len(b)
+    L0, scales = _make_qx(b.reshape(-1, 16), 32)
+    L0 = L0.reshape(N, 16, 16)
+    scales = scales.reshape(N, 16)
+
+    amax_idx = np.argmax(np.abs(scales), axis=-1)
+    max_scale = scales[np.arange(N), amax_idx]
+    zero = np.abs(max_scale) < GROUP_MAX_EPS
+    safe = np.where(zero, 1, max_scale)
+    iscale = np.float32(-128.0) / safe
+    d = _f16(np.where(zero, 0.0, np.float32(1.0) / iscale).astype(np.float32))
+    sc8 = np.minimum(_nearest_int(iscale[:, None] * scales), 127).astype(np.int8)
+    sc8 = np.where(zero[:, None], np.int8(0), sc8)
+
+    dd = d.astype(np.float32)[:, None] * sc8.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Lq = np.clip(_nearest_int(b / np.where(dd != 0, dd, 1)[:, :, None]), -32, 31) + 32
+    # sub-blocks with zero effective scale keep the search L; a fully-zero
+    # super-block is zeroed wholesale (reference memsets the block)
+    Lq = np.where((dd != 0)[:, :, None], Lq, L0).astype(np.uint8).reshape(N, QK_K)
+    Lq = np.where(zero[:, None], 0, Lq)
+
+    ql = np.zeros((N, 128), dtype=np.uint8)
+    qh = np.zeros((N, 64), dtype=np.uint8)
+    np.bitwise_or.at(ql.T, _Q6_LBYTE, ((Lq & 0xF) << _Q6_LSHIFT[None, :]).T)
+    np.bitwise_or.at(qh.T, _Q6_HBYTE, ((Lq >> 4) << _Q6_HSHIFT[None, :]).T)
+    out = np.empty((N, 210), dtype=np.uint8)
+    out[:, :128] = ql
+    out[:, 128:192] = qh
+    out[:, 192:208] = sc8.view(np.uint8)
+    out[:, 208:210] = d[:, None].view(np.uint8)
+    return out
+
+
+def _q6_k_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 210)
+    ql = blocks[:, :128]
+    qh = blocks[:, 128:192]
+    sc = blocks[:, 192:208].view(np.int8)
+    d = _f16_to_f32(blocks[:, 208:210].copy())[:, 0]
+    q = (((ql[:, _Q6_LBYTE] >> _Q6_LSHIFT[None, :]) & 0xF)
+         | (((qh[:, _Q6_HBYTE] >> _Q6_HSHIFT[None, :]) & 3) << 4)).astype(np.int32) - 32
+    return d[:, None] * sc[:, _Q6_SUB].astype(np.float32) * q.astype(np.float32)
+
+
+def _q8_k_quantize(x: np.ndarray) -> np.ndarray:
+    b = _rows(x, QK_K)
+    N = len(b)
+    idx = np.argmax(np.abs(b), axis=-1)
+    mx = b[np.arange(N), idx]
+    zero = np.abs(mx) == 0
+    iscale = np.float32(-127.0) / np.where(zero, 1, mx)
+    q = np.minimum(_nearest_int(iscale[:, None] * b), 127).astype(np.int8)
+    q = np.where(zero[:, None], np.int8(0), q)
+    d = np.where(zero, 0, np.float32(1.0) / iscale).astype(np.float32)
+    bsums = q.reshape(N, 16, 16).sum(axis=-1, dtype=np.int16)
+    out = np.empty((N, 292), dtype=np.uint8)
+    out[:, 0:4] = d[:, None].view(np.uint8)
+    out[:, 4:260] = q.view(np.uint8)
+    out[:, 260:292] = bsums.view(np.uint8).reshape(N, 32)
+    return out
+
+
+def _q8_k_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 292)
+    d = blocks[:, 0:4].copy().view(np.float32)[:, 0]
+    q = blocks[:, 4:260].view(np.int8).astype(np.float32)
+    return d[:, None] * q
+
+
+def _iq4_nl_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 18)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    qs = blocks[:, 2:]
+    q = (qs[:, _IQ4_BYTE] >> _IQ4_SHIFT[None, :]) & 0xF
+    return d[:, None] * IQ4_NL_VALUES[q]
+
+
+def _iq4_nl_quantize(x: np.ndarray) -> np.ndarray:
+    """IQ4_NL without imatrix: per-block scale search over the NL codebook."""
+    b = _rows(x, 32)
+    N = len(b)
+    idx = np.argmax(np.abs(b), axis=-1)
+    mx = b[np.arange(N), idx]
+    zero = np.abs(mx) < GROUP_MAX_EPS
+    safe = np.where(zero, 1, mx)
+    w = b * b
+
+    def best_index(v):  # nearest codebook entry, vectorized
+        return np.abs(v[..., None] - IQ4_NL_VALUES[None, None, :]).argmin(axis=-1)
+
+    d0 = safe / IQ4_NL_VALUES[0]  # map the extreme value onto the codebook edge
+    best_scale = d0.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        L = best_index(b / best_scale[:, None])
+    rec = IQ4_NL_VALUES[L] * best_scale[:, None]
+    best_err = (w * (b - rec) ** 2).sum(axis=-1)
+    for is_ in range(-9, 10):
+        if is_ == 0:
+            continue
+        dt = (np.float32(1.0) + np.float32(0.02) * is_) * d0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Lt = best_index(b / dt[:, None])
+        # refit scale to the chosen levels
+        lv = IQ4_NL_VALUES[Lt]
+        sumlx = (w * b * lv).sum(axis=-1)
+        suml2 = (w * lv * lv).sum(axis=-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dfit = np.where(suml2 > 0, sumlx / suml2, dt)
+        rec = lv * dfit[:, None]
+        err = (w * (b - rec) ** 2).sum(axis=-1)
+        upd = err < best_err
+        best_err = np.where(upd, err, best_err)
+        best_scale = np.where(upd, dfit, best_scale)
+        L = np.where(upd[:, None], Lt, L)
+    best_scale = np.where(zero, 0, best_scale)
+    L = np.where(zero[:, None], 8, L).astype(np.uint8)  # index of value 1 -> ~0
+    out = np.empty((N, 18), dtype=np.uint8)
+    out[:, 0:2] = _f16(best_scale.astype(np.float32))[:, None].view(np.uint8)
+    lo = np.zeros((N, 16), dtype=np.uint8)
+    np.bitwise_or.at(lo.T, _IQ4_BYTE, (L.astype(np.uint8) << _IQ4_SHIFT[None, :]).T)
+    out[:, 2:] = lo
+    return out
+
+
+def _iq4_xs_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 136)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    scales_h = blocks[:, 2:4].copy().view(np.uint16)[:, 0].astype(np.uint32)
+    scales_l = blocks[:, 4:8]
+    qs = blocks[:, 8:]
+    sb = np.arange(8)
+    ls = (((scales_l[:, sb // 2] >> (4 * (sb % 2))[None, :]) & 0xF)
+          | (((scales_h[:, None] >> (2 * sb)[None, :]) & 3) << 4)).astype(np.int32) - 32
+    q = (qs[:, _IQ4XS_BYTE] >> _IQ4XS_SHIFT[None, :]) & 0xF
+    return d[:, None] * ls[:, _IQ4XS_SUB].astype(np.float32) * IQ4_NL_VALUES[q]
+
+
+# ---------------------------------------------------------------------------
+# plain float formats
+# ---------------------------------------------------------------------------
+
+def _f32_quantize(x):
+    return np.ascontiguousarray(x, dtype=np.float32).view(np.uint8)
+
+
+def _f32_dequantize(raw):
+    return np.ascontiguousarray(raw).view(np.float32)
+
+
+def _f16_quantize(x):
+    return np.ascontiguousarray(x, dtype=np.float32).astype(np.float16).view(np.uint8)
+
+
+def _f16_dequantize(raw):
+    return np.ascontiguousarray(raw).view(np.float16).astype(np.float32)
+
+
+def _bf16_quantize(x):
+    f = np.ascontiguousarray(x, dtype=np.float32)
+    bits = f.view(np.uint32)
+    # round-to-nearest-even on the mantissa cut
+    rounded = (bits + 0x7FFF + ((bits >> 16) & 1)) >> 16
+    nan = (bits & 0x7FFFFFFF) > 0x7F800000
+    rounded = np.where(nan, (bits >> 16) | 0x40, rounded)
+    return rounded.astype(np.uint16).view(np.uint8)
+
+
+def _bf16_dequantize(raw):
+    bits = np.ascontiguousarray(raw).view(np.uint16).astype(np.uint32) << 16
+    return bits.view(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+_QUANTIZERS = {
+    GGMLType.F32: _f32_quantize,
+    GGMLType.F16: _f16_quantize,
+    GGMLType.BF16: _bf16_quantize,
+    GGMLType.Q4_0: _q4_0_quantize,
+    GGMLType.Q4_1: _q4_1_quantize,
+    GGMLType.Q5_0: _q5_0_quantize,
+    GGMLType.Q5_1: _q5_1_quantize,
+    GGMLType.Q8_0: _q8_0_quantize,
+    GGMLType.Q2_K: _q2_k_quantize,
+    GGMLType.Q3_K: _q3_k_quantize,
+    GGMLType.Q4_K: _q4_k_quantize,
+    GGMLType.Q5_K: _q5_k_quantize,
+    GGMLType.Q6_K: _q6_k_quantize,
+    GGMLType.Q8_K: _q8_k_quantize,
+    GGMLType.IQ4_NL: _iq4_nl_quantize,
+}
+
+_DEQUANTIZERS = {
+    GGMLType.F32: _f32_dequantize,
+    GGMLType.F16: _f16_dequantize,
+    GGMLType.BF16: _bf16_dequantize,
+    GGMLType.Q4_0: _q4_0_dequantize,
+    GGMLType.Q4_1: _q4_1_dequantize,
+    GGMLType.Q5_0: _q5_0_dequantize,
+    GGMLType.Q5_1: _q5_1_dequantize,
+    GGMLType.Q8_0: _q8_0_dequantize,
+    GGMLType.Q2_K: _q2_k_dequantize,
+    GGMLType.Q3_K: _q3_k_dequantize,
+    GGMLType.Q4_K: _q4_k_dequantize,
+    GGMLType.Q5_K: _q5_k_dequantize,
+    GGMLType.Q6_K: _q6_k_dequantize,
+    GGMLType.Q8_K: _q8_k_dequantize,
+    GGMLType.IQ4_NL: _iq4_nl_dequantize,
+    GGMLType.IQ4_XS: _iq4_xs_dequantize,
+}
+
+
+def supported_quant_types() -> list[GGMLType]:
+    return sorted(_DEQUANTIZERS, key=int)
+
+
+def quantize(x: np.ndarray, t: GGMLType) -> np.ndarray:
+    """Quantize float array (..., n) -> raw uint8 (..., row_bytes)."""
+    t = GGMLType(t)
+    if t not in _QUANTIZERS:
+        raise NotImplementedError(f"quantize {t.name}")
+    shape = x.shape
+    out = _QUANTIZERS[t](np.asarray(x))
+    return np.ascontiguousarray(out).reshape(_out_shape(shape, t))
+
+
+def dequantize(raw: np.ndarray, t: GGMLType, dtype=np.float32) -> np.ndarray:
+    """Dequantize raw uint8 (..., row_bytes) -> float (..., n)."""
+    t = GGMLType(t)
+    if t not in _DEQUANTIZERS:
+        raise NotImplementedError(f"dequantize {t.name}")
+    blk, sz = GGML_BLOCK_SIZES[t]
+    raw = np.ascontiguousarray(raw)
+    shape = raw.shape
+    if shape[-1] % sz:
+        raise ValueError(f"row bytes {shape[-1]} not divisible by {t.name} block bytes {sz}")
+    flat = raw.reshape(-1, shape[-1])
+    out = _DEQUANTIZERS[t](flat.reshape(-1, sz)).reshape(flat.shape[0], -1)
+    return out.reshape(shape[:-1] + (shape[-1] // sz * blk,)).astype(dtype, copy=False)
