@@ -1,0 +1,100 @@
+"""Model hyperparameters from GGUF metadata.
+
+Counterpart of llama.cpp's llama_hparams load (reference:
+/root/reference/src/llama.cpp llm_load_hparams); keys per gguf-py constants.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+from ..gguf.constants import Keys
+
+
+def _get(md: Mapping[str, Any], key: str, arch: str, default=None):
+    v = md.get(key.format(arch=arch), default)
+    try:
+        return v.item()  # numpy scalar
+    except AttributeError:
+        return v
+
+
+@dataclass
+class ModelConfig:
+    arch: str = "llama"
+    name: str = ""
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    head_dim: int = 128
+    intermediate_size: int = 11008
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_dim: int = 128
+    rope_type: str = "norm"  # "norm" (adjacent pairs) | "neox" (split halves)
+    rope_scaling_type: str = "none"  # none|linear|yarn
+    rope_scaling_factor: float = 1.0
+    rope_orig_ctx: int = 0
+    rope_attn_factor: float = 1.0
+    # MoE
+    n_experts: int = 0
+    n_experts_used: int = 0
+    expert_ffn_size: int = 0
+    # logit softcapping (gemma2)
+    attn_logit_softcap: float = 0.0
+    final_logit_softcap: float = 0.0
+    sliding_window: int = 0
+    tie_word_embeddings: bool = False
+    extras: dict = field(default_factory=dict)
+
+    @property
+    def kv_groups(self) -> int:
+        return self.n_heads // self.n_kv_heads
+
+
+# archs whose GGUF weights expect NEOX-style (split-half) rope
+_NEOX_ROPE_ARCHS = {
+    "falcon", "gptneox", "qwen", "qwen2", "qwen2moe", "phi2", "phi3", "stablelm",
+    "gemma", "gemma2", "starcoder2", "olmo", "olmoe", "minicpm3", "deepseek2",
+}
+
+
+def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
+    arch = str(md.get(Keys.General.ARCHITECTURE, "llama"))
+    hidden = int(_get(md, Keys.EMBEDDING_LENGTH, arch, 4096))
+    n_heads = int(_get(md, Keys.HEAD_COUNT, arch, 32))
+    head_dim = int(_get(md, Keys.KEY_LENGTH, arch, hidden // max(n_heads, 1)) or hidden // n_heads)
+    n_layers = int(_get(md, Keys.BLOCK_COUNT, arch, 32))
+    tokens = md.get(Keys.Tokenizer.TOKENS)
+    vocab = int(_get(md, Keys.VOCAB_SIZE, arch, len(tokens) if tokens is not None else 32000))
+    rope_dim = int(_get(md, Keys.ROPE_DIMENSION_COUNT, arch, head_dim) or head_dim)
+    scaling = _get(md, Keys.ROPE_SCALING_TYPE, arch, "none") or "none"
+    return ModelConfig(
+        arch=arch,
+        name=str(md.get(Keys.General.NAME, "")),
+        vocab_size=vocab,
+        hidden_size=hidden,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=int(_get(md, Keys.HEAD_COUNT_KV, arch, n_heads)),
+        head_dim=head_dim,
+        intermediate_size=int(_get(md, Keys.FEED_FORWARD_LENGTH, arch, 11008)),
+        max_position_embeddings=int(_get(md, Keys.CONTEXT_LENGTH, arch, 4096)),
+        rms_norm_eps=float(_get(md, Keys.LAYERNORM_RMS_EPS, arch, 1e-5)),
+        rope_theta=float(_get(md, Keys.ROPE_FREQ_BASE, arch, 10000.0)),
+        rope_dim=rope_dim,
+        rope_type="neox" if arch in _NEOX_ROPE_ARCHS else "norm",
+        rope_scaling_type=str(scaling),
+        rope_scaling_factor=float(_get(md, Keys.ROPE_SCALING_FACTOR, arch, 1.0) or 1.0),
+        rope_orig_ctx=int(_get(md, Keys.ROPE_SCALING_ORIG_CTX, arch, 0) or 0),
+        rope_attn_factor=float(_get(md, Keys.ROPE_SCALING_ATTN_FACTOR, arch, 1.0) or 1.0),
+        n_experts=int(_get(md, Keys.EXPERT_COUNT, arch, 0) or 0),
+        n_experts_used=int(_get(md, Keys.EXPERT_USED_COUNT, arch, 0) or 0),
+        expert_ffn_size=int(_get(md, Keys.EXPERT_FFN_LENGTH, arch, 0) or 0),
+        attn_logit_softcap=float(_get(md, Keys.ATTN_LOGIT_SOFTCAP, arch, 0.0) or 0.0),
+        final_logit_softcap=float(_get(md, Keys.FINAL_LOGIT_SOFTCAP, arch, 0.0) or 0.0),
+        sliding_window=int(_get(md, Keys.SLIDING_WINDOW, arch, 0) or 0),
+    )

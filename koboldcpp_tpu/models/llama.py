@@ -1,0 +1,145 @@
+"""Llama-family forward pass in JAX (covers llama/mistral/qwen2/gemma-style
+decoder-only transformers, incl. GQA, optional QKV bias, logit softcap, MoE).
+
+Op sequence mirrors the reference graph builder `build_llama`
+(/root/reference/src/llama.cpp:10453-10617, SURVEY.md Appendix B), re-expressed
+as functional JAX on bf16 with f32 accumulation. Attention is XLA-native here;
+the Pallas flash-decode kernel plugs in via ops.attention.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..kv.cache import KVCache, write as kv_write
+from ..ops import linear
+from ..ops.linear import QTensor
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_frequencies, yarn_attn_scale
+from .config import ModelConfig
+
+Params = dict[str, Any]
+
+
+def _softcap(x: jnp.ndarray, cap: float) -> jnp.ndarray:
+    if cap and cap > 0:
+        return cap * jnp.tanh(x / cap)
+    return x
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              mask: jnp.ndarray, scale: float, softcap: float = 0.0) -> jnp.ndarray:
+    """q: (B, T, H, D); k/v: (B, S, Hkv, D); mask: (B, T, S) bool.
+    GQA via head-group reshape. Returns (B, T, H, D)."""
+    B, T, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = H // Hkv
+    qg = q.reshape(B, T, Hkv, G, D)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = _softcap(scores, softcap)
+    neg = jnp.finfo(jnp.float32).min
+    scores = jnp.where(mask[:, None, None, :, :], scores, neg)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgts,bshd->bthgd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, T, H, D).astype(q.dtype)
+
+
+def _ffn(x: jnp.ndarray, layer: Params) -> jnp.ndarray:
+    gate = linear.matmul(x, layer["w_gate"])
+    up = linear.matmul(x, layer["w_up"])
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return linear.matmul(act, layer["w_down"])
+
+
+def _moe_ffn(x: jnp.ndarray, layer: Params, cfg: ModelConfig) -> jnp.ndarray:
+    """Mixtral-style sparse MoE, dense-gather formulation (EP sharding later).
+
+    Counterpart of llm_build_moe_ffn + the CUDA mul_mat_id path
+    (/root/reference/ggml/src/ggml-cuda.cu:2063)."""
+    B, T, C = x.shape
+    xt = x.reshape(-1, C)
+    router = linear.matmul(xt, layer["ffn_gate_inp"]).astype(jnp.float32)  # (N, E)
+    weights = jax.nn.softmax(router, axis=-1)
+    topw, topi = jax.lax.top_k(weights, cfg.n_experts_used)  # (N, k)
+    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+
+    # dense einsum over gathered expert weights (fine at small scale; EP later)
+    wg = layer["ffn_gate_exps"]  # QTensor stack (E, F, C) dense
+    wu = layer["ffn_up_exps"]
+    wd = layer["ffn_down_exps"]
+
+    def expert_apply(tok, idx, w):
+        # tok: (N, C); idx: (N, k)
+        g = jnp.einsum("nc,nkfc->nkf", tok, wg.data["w"][idx],
+                       preferred_element_type=jnp.float32)
+        u = jnp.einsum("nc,nkfc->nkf", tok, wu.data["w"][idx],
+                       preferred_element_type=jnp.float32)
+        a = jax.nn.silu(g) * u
+        d = jnp.einsum("nkf,nkcf->nkc", a.astype(tok.dtype), wd.data["w"][idx],
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("nkc,nk->nc", d, w)
+
+    out = expert_apply(xt, topi, topw)
+    return out.reshape(B, T, C).astype(x.dtype)
+
+
+def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+            positions: jnp.ndarray, cache: KVCache,
+            last_only: bool = False) -> tuple[jnp.ndarray, KVCache]:
+    """tokens, positions: (B, T) int32. Returns (logits f32, updated cache).
+
+    Causal mask derives from the slot==position cache invariant:
+    slot s visible to query at position p iff s <= p.
+    """
+    B, T = tokens.shape
+    S = cache.max_seq
+    freqs = rope_frequencies(cfg)
+    mscale = yarn_attn_scale(cfg)
+
+    emb_w = params["tok_embd"]
+    x = emb_w.data["w"][tokens] if isinstance(emb_w, QTensor) else emb_w[tokens]
+    if cfg.arch in ("gemma", "gemma2"):
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, dtype=x.dtype)
+
+    slot_ids = jnp.arange(S)
+    mask = slot_ids[None, None, :] <= positions[:, :, None]  # (B, T, S)
+
+    scale = cfg.head_dim ** -0.5 * mscale
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        q = linear.matmul(h, layer["wq"])
+        k = linear.matmul(h, layer["wk"])
+        v = linear.matmul(h, layer["wv"])
+        if "bq" in layer:
+            q = q + layer["bq"].astype(q.dtype)
+            k = k + layer["bk"].astype(k.dtype)
+            v = v + layer["bv"].astype(v.dtype)
+        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        q = apply_rope(q, positions, freqs, cfg.rope_type, cfg.rope_dim)
+        k = apply_rope(k, positions, freqs, cfg.rope_type, cfg.rope_dim)
+
+        cache = kv_write(cache, li, positions, k, v)
+        attn_out = attention(q, cache.k[li], cache.v[li], mask, scale,
+                             cfg.attn_logit_softcap)
+        attn_out = attn_out.reshape(B, T, cfg.n_heads * cfg.head_dim)
+        x = x + linear.matmul(attn_out, layer["wo"])
+
+        h = rms_norm(x, layer["ffn_norm"], cfg.rms_norm_eps)
+        if "ffn_gate_inp" in layer:
+            x = x + _moe_ffn(h, layer, cfg)
+        else:
+            x = x + _ffn(h, layer)
+
+    if last_only:
+        x = x[:, -1:, :]
+    x = rms_norm(x, params["output_norm"], cfg.rms_norm_eps)
+    logits = linear.matmul(x, params["output"], out_dtype=jnp.float32)
+    logits = _softcap(logits, cfg.final_logit_softcap)
+    return logits, cache

@@ -1,0 +1,214 @@
+"""Weight containers + matmul dispatch.
+
+A `QTensor` is a jit-friendly pytree holding either a dense (bf16) weight or a
+packed quantized layout that stays packed in HBM and is dequantized inside the
+matmul kernel (Pallas; XLA fallback).  Logical weight shape is (out, in) and
+matmul computes x @ W^T, matching ggml's mul_mat contract
+(/root/reference/ggml/src/ggml.c ggml_mul_mat).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType, QK_K
+from ..gguf import quants as nq
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["data"], meta_fields=["kind", "shape"])
+@dataclass
+class QTensor:
+    kind: str  # "dense" | "q8_0" | "q4_k" | "q5_k" | "q6_k"
+    shape: tuple[int, ...]  # logical (out, in)
+    data: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def out_features(self) -> int:
+        return self.shape[0]
+
+    @property
+    def in_features(self) -> int:
+        return self.shape[1]
+
+
+def dense(w: jnp.ndarray | np.ndarray, dtype=jnp.bfloat16) -> QTensor:
+    w = jnp.asarray(w, dtype=dtype)
+    return QTensor(kind="dense", shape=tuple(w.shape), data={"w": w})
+
+
+# ---------------------------------------------------------------------------
+# packed HBM layouts (built on host from GGUF raw bytes, no dequant round-trip)
+# ---------------------------------------------------------------------------
+
+def pack_q8_0(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
+    """Q8_0: int8 values + bf16 scale per 32-block."""
+    rows, cols = shape
+    blocks = np.ascontiguousarray(raw).reshape(rows, cols // 32, 34)
+    d = blocks[:, :, 0:2].copy().view(np.float16).astype(np.float32)[..., 0]
+    q = blocks[:, :, 2:].copy().view(np.int8).reshape(rows, cols)
+    return QTensor(kind="q8_0", shape=shape, data={
+        "q": jnp.asarray(q),
+        "scale": jnp.asarray(d, dtype=jnp.bfloat16).reshape(rows, cols // 32),
+    })
+
+
+def _unpack_k_scales_np(raw_scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    sc, mn = nq._unpack_scale_min_k4(raw_scales)
+    return sc, mn
+
+
+def pack_q4_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
+    """Q4_K: packed nibbles (ggml sub-block order) + pre-decoded bf16 scales/mins.
+
+    qs layout per superblock: byte j of group g packs cols (64g+j | 64g+32+j<<4);
+    the kernel unpacks with a static reshape, no shuffles.
+    """
+    rows, cols = shape
+    nsb = cols // QK_K
+    blocks = np.ascontiguousarray(raw).reshape(rows, nsb, 144)
+    d = blocks[:, :, 0:2].copy().view(np.float16).astype(np.float32)[..., 0]
+    dmin = blocks[:, :, 2:4].copy().view(np.float16).astype(np.float32)[..., 0]
+    sc, mn = _unpack_k_scales_np(blocks[:, :, 4:16].reshape(-1, 12))
+    scales = (d.reshape(-1, 1) * sc).reshape(rows, nsb * 8)
+    mins = (dmin.reshape(-1, 1) * mn).reshape(rows, nsb * 8)
+    qs = blocks[:, :, 16:].reshape(rows, cols // 2)
+    return QTensor(kind="q4_k", shape=shape, data={
+        "qs": jnp.asarray(qs),
+        "scale": jnp.asarray(scales, dtype=jnp.bfloat16),  # per 32-col sub-block
+        "min": jnp.asarray(mins, dtype=jnp.bfloat16),
+    })
+
+
+def pack_q5_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
+    rows, cols = shape
+    nsb = cols // QK_K
+    blocks = np.ascontiguousarray(raw).reshape(rows, nsb, 176)
+    d = blocks[:, :, 0:2].copy().view(np.float16).astype(np.float32)[..., 0]
+    dmin = blocks[:, :, 2:4].copy().view(np.float16).astype(np.float32)[..., 0]
+    sc, mn = _unpack_k_scales_np(blocks[:, :, 4:16].reshape(-1, 12))
+    scales = (d.reshape(-1, 1) * sc).reshape(rows, nsb * 8)
+    mins = (dmin.reshape(-1, 1) * mn).reshape(rows, nsb * 8)
+    qh = blocks[:, :, 16:48].reshape(rows, nsb * 32)
+    qs = blocks[:, :, 48:].reshape(rows, cols // 2)
+    return QTensor(kind="q5_k", shape=shape, data={
+        "qs": jnp.asarray(qs),
+        "qh": jnp.asarray(qh),
+        "scale": jnp.asarray(scales, dtype=jnp.bfloat16),
+        "min": jnp.asarray(mins, dtype=jnp.bfloat16),
+    })
+
+
+def pack_q6_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
+    rows, cols = shape
+    nsb = cols // QK_K
+    blocks = np.ascontiguousarray(raw).reshape(rows, nsb, 210)
+    ql = blocks[:, :, :128].reshape(rows, nsb * 128)
+    qh = blocks[:, :, 128:192].reshape(rows, nsb * 64)
+    sc8 = blocks[:, :, 192:208].view(np.int8).astype(np.float32)
+    d = blocks[:, :, 208:210].copy().view(np.float16).astype(np.float32)[..., 0]
+    scales = (d[..., None] * sc8).reshape(rows, nsb * 16)  # per 16-col sub-block
+    return QTensor(kind="q6_k", shape=shape, data={
+        "ql": jnp.asarray(ql),
+        "qh": jnp.asarray(qh),
+        "scale": jnp.asarray(scales, dtype=jnp.bfloat16),
+    })
+
+
+_PACKERS = {
+    GGMLType.Q8_0: pack_q8_0,
+    GGMLType.Q4_K: pack_q4_k,
+    GGMLType.Q5_K: pack_q5_k,
+    GGMLType.Q6_K: pack_q6_k,
+}
+
+
+def from_gguf(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...],
+              packed: bool = True, dtype=jnp.bfloat16) -> QTensor:
+    """Build a QTensor from GGUF raw bytes. 2-D weights of supported types keep
+    their packed layout; everything else dequantizes to a dense array."""
+    if packed and len(shape) == 2 and ggml_type in _PACKERS and shape[1] % QK_K == 0:
+        return _PACKERS[ggml_type](raw, shape)  # type: ignore[arg-type]
+    x = nq.dequantize(raw.reshape(-1, raw.shape[-1]), ggml_type).reshape(shape)
+    return dense(x, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# dequant (XLA path — fused where possible; Pallas kernels override in ops/)
+# ---------------------------------------------------------------------------
+
+def dequant_xla(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Unpack a packed QTensor to a dense (out, in) array with XLA vector ops."""
+    rows, cols = qt.shape
+    if qt.kind == "dense":
+        return qt.data["w"].astype(dtype)
+    if qt.kind == "q8_0":
+        q = qt.data["q"].astype(jnp.float32).reshape(rows, cols // 32, 32)
+        s = qt.data["scale"].astype(jnp.float32)[..., None]
+        return (q * s).reshape(rows, cols).astype(dtype)
+    if qt.kind == "q4_k":
+        qs = qt.data["qs"].reshape(rows, -1, 32)  # (rows, n32pairs, 32)
+        lo = (qs & 0xF).astype(jnp.int8)
+        hi = (qs >> 4).astype(jnp.int8)
+        # bytes group g holds cols [64g, 64g+32) lo and [64g+32, 64g+64) hi
+        q = jnp.stack([lo, hi], axis=2).reshape(rows, cols)  # sub-block order
+        s = qt.data["scale"].astype(jnp.float32).reshape(rows, -1, 1)
+        m = qt.data["min"].astype(jnp.float32).reshape(rows, -1, 1)
+        qf = q.astype(jnp.float32).reshape(rows, -1, 32)
+        return (qf * s - m).reshape(rows, cols).astype(dtype)
+    if qt.kind == "q5_k":
+        qs = qt.data["qs"].reshape(rows, -1, 32)
+        lo = (qs & 0xF).astype(jnp.int32)
+        hi = (qs >> 4).astype(jnp.int32)
+        q4 = jnp.stack([lo, hi], axis=2).reshape(rows, -1, QK_K)  # (rows, nsb, 256)
+        qh = qt.data["qh"].reshape(rows, -1, 1, 32)
+        sb = jnp.arange(8, dtype=jnp.uint8)[None, None, :, None]
+        bits = ((qh >> sb) & 1).astype(jnp.int32).reshape(rows, -1, QK_K)
+        q = q4 + (bits << 4)
+        s = qt.data["scale"].astype(jnp.float32).reshape(rows, -1, 1)
+        m = qt.data["min"].astype(jnp.float32).reshape(rows, -1, 1)
+        qf = q.astype(jnp.float32).reshape(rows, -1, 32)
+        return (qf * s - m).reshape(rows, cols).astype(dtype)
+    if qt.kind == "q6_k":
+        ql = qt.data["ql"].reshape(rows, -1, 2, 32)  # (rows, nsb*2, plane-pair, 32)
+        qh = qt.data["qh"].reshape(rows, -1, 32)     # (rows, nsb*2, 32)
+        lo0 = (ql[:, :, 0, :] & 0xF).astype(jnp.int32)   # plane j=0
+        lo1 = (ql[:, :, 1, :] & 0xF).astype(jnp.int32)   # plane j=1
+        hi0 = (ql[:, :, 0, :] >> 4).astype(jnp.int32)    # plane j=2
+        hi1 = (ql[:, :, 1, :] >> 4).astype(jnp.int32)    # plane j=3
+        qhi = qh.astype(jnp.int32)
+        planes = jnp.stack([
+            lo0 | ((qhi & 3) << 4),
+            lo1 | (((qhi >> 2) & 3) << 4),
+            hi0 | (((qhi >> 4) & 3) << 4),
+            hi1 | (((qhi >> 6) & 3) << 4),
+        ], axis=2)  # (rows, nhalf, 4, 32)
+        q = planes.reshape(rows, cols) - 32
+        s = qt.data["scale"].astype(jnp.float32).reshape(rows, -1, 1)
+        qf = q.astype(jnp.float32).reshape(rows, -1, 16)
+        return (qf * s).reshape(rows, cols).astype(dtype)
+    raise ValueError(f"unknown QTensor kind {qt.kind}")
+
+
+def matmul(x: jnp.ndarray, qt: QTensor, out_dtype=None) -> jnp.ndarray:
+    """y = x @ W^T for any QTensor. x: (..., in) -> (..., out)."""
+    out_dtype = out_dtype or x.dtype
+    if qt.kind == "dense":
+        w = qt.data["w"]
+    else:
+        from . import quant_matmul
+        y = quant_matmul.matmul_packed(x, qt)
+        if y is not None:
+            return y.astype(out_dtype)
+        w = dequant_xla(qt, dtype=x.dtype)
+    y = jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(out_dtype)

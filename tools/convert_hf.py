@@ -1,0 +1,119 @@
+"""Minimal HF -> GGUF converter for llama-family checkpoints.
+
+Counterpart of the reference's convert_hf_to_gguf.py (LlamaModel path,
+including its q/k head permutation) — reimplemented against the GGUF writer in
+koboldcpp_tpu. Works on an in-memory transformers model (tests) or a local
+checkpoint directory (CLI).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from koboldcpp_tpu.gguf import GGMLType, GGUFWriter  # noqa: E402
+
+
+def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF rotate-half rope -> ggml 'norm' (adjacent-pair) rope weight permute.
+    Same transform as the reference converter's LlamaModel.permute."""
+    out_dim = w.shape[0]
+    return (w.reshape(n_head, 2, out_dim // n_head // 2, *w.shape[1:])
+             .swapaxes(1, 2)
+             .reshape(w.shape))
+
+
+def convert_llama_state_dict(
+    state: dict, config, out_path: str,
+    tokenizer_md: dict | None = None,
+    quant_type: GGMLType = GGMLType.F32,
+    quant_overrides: dict[str, GGMLType] | None = None,
+):
+    """state: HF-style state_dict of numpy arrays. config: HF LlamaConfig-like."""
+    n_head = config.num_attention_heads
+    n_kv = getattr(config, "num_key_value_heads", n_head) or n_head
+    n_layers = config.num_hidden_layers
+    head_dim = getattr(config, "head_dim", None) or config.hidden_size // n_head
+
+    w = GGUFWriter(out_path, architecture="llama")
+    w.add("general.name", getattr(config, "name_or_path", "") or "converted")
+    w.add("llama.context_length", np.uint32(config.max_position_embeddings))
+    w.add("llama.embedding_length", np.uint32(config.hidden_size))
+    w.add("llama.block_count", np.uint32(n_layers))
+    w.add("llama.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("llama.attention.head_count", np.uint32(n_head))
+    w.add("llama.attention.head_count_kv", np.uint32(n_kv))
+    w.add("llama.attention.key_length", np.uint32(head_dim))
+    w.add("llama.attention.value_length", np.uint32(head_dim))
+    w.add("llama.attention.layer_norm_rms_epsilon", np.float32(config.rms_norm_eps))
+    w.add("llama.rope.freq_base", np.float32(getattr(config, "rope_theta", 10000.0)))
+    w.add("llama.rope.dimension_count", np.uint32(head_dim))
+    w.add("llama.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    overrides = quant_overrides or {}
+
+    def qt_for(gguf_name, arr):
+        t = overrides.get(gguf_name, quant_type)
+        # 1-D tensors and tiny rows stay f32
+        if arr.ndim == 1 or arr.shape[-1] % 256:
+            t = GGMLType.F32 if arr.shape[-1] % 32 else (
+                t if t in (GGMLType.F16, GGMLType.F32, GGMLType.Q8_0,
+                           GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
+                           GGMLType.Q5_1) else GGMLType.F32)
+        if arr.ndim == 1:
+            t = GGMLType.F32
+        return t
+
+    def add(gguf_name, arr):
+        w.add_tensor(gguf_name, arr, qt_for(gguf_name, arr))
+
+    add("token_embd.weight", get("model.embed_tokens.weight"))
+    add("output_norm.weight", get("model.norm.weight"))
+    if "lm_head.weight" in state:
+        add("output.weight", get("lm_head.weight"))
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        add(gp + "attn_norm.weight", get(hp + "input_layernorm.weight"))
+        add(gp + "attn_q.weight", permute_qk(get(hp + "self_attn.q_proj.weight"), n_head))
+        add(gp + "attn_k.weight", permute_qk(get(hp + "self_attn.k_proj.weight"), n_kv))
+        add(gp + "attn_v.weight", get(hp + "self_attn.v_proj.weight"))
+        add(gp + "attn_output.weight", get(hp + "self_attn.o_proj.weight"))
+        add(gp + "ffn_norm.weight", get(hp + "post_attention_layernorm.weight"))
+        add(gp + "ffn_gate.weight", get(hp + "mlp.gate_proj.weight"))
+        add(gp + "ffn_up.weight", get(hp + "mlp.up_proj.weight"))
+        add(gp + "ffn_down.weight", get(hp + "mlp.down_proj.weight"))
+    w.write()
+    return out_path
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Convert HF llama checkpoint to GGUF")
+    ap.add_argument("model_dir")
+    ap.add_argument("--outfile", required=True)
+    ap.add_argument("--outtype", default="f16",
+                    choices=["f32", "f16", "q8_0", "q4_k", "q5_k", "q6_k"])
+    args = ap.parse_args()
+    import torch  # noqa: F401
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    cfg = AutoConfig.from_pretrained(args.model_dir)
+    model = AutoModelForCausalLM.from_pretrained(args.model_dir, torch_dtype="float32")
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    t = {"f32": GGMLType.F32, "f16": GGMLType.F16, "q8_0": GGMLType.Q8_0,
+         "q4_k": GGMLType.Q4_K, "q5_k": GGMLType.Q5_K, "q6_k": GGMLType.Q6_K}[args.outtype]
+    convert_llama_state_dict(state, cfg, args.outfile, quant_type=t)
+    print(f"wrote {args.outfile}")
+
+
+if __name__ == "__main__":
+    main()
