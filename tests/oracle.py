@@ -13,8 +13,12 @@ _REF = "/root/reference/gguf-py"
 def load_reference_gguf():
     """Import the reference gguf-py package (stubbing its optional deps)."""
     if "sentencepiece" not in sys.modules:
+        import importlib.machinery
+
         sp = types.ModuleType("sentencepiece")
         sp.SentencePieceProcessor = object
+        # a real ModuleSpec so transformers' find_spec probing stays happy
+        sp.__spec__ = importlib.machinery.ModuleSpec("sentencepiece", loader=None)
         sys.modules["sentencepiece"] = sp
     if _REF not in sys.path:
         sys.path.insert(0, _REF)
