@@ -1,0 +1,3 @@
+from .engine import Engine, GenParams, GenerationResult, Timings
+
+__all__ = ["Engine", "GenParams", "GenerationResult", "Timings"]

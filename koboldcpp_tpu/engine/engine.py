@@ -1,0 +1,442 @@
+"""Generation engine: the serving hot loop.
+
+Counterpart of gpttype_generate (/root/reference/gpttype_adapter.cpp:2453-3535):
+prefill (chunked, shape-bucketed jit) -> sample -> stream -> stop checks, with
+kobold's signature KV-reuse tricks:
+  - context fast-forward (longest common prefix, model_adapter.cpp:424)
+  - context shift (mid-cache trim + RoPE re-rotation, gpttype_adapter.cpp:1504)
+  - anti-slop rewind (banned phrases, gpttype_adapter.cpp:3292)
+
+Single-sequence round-1 engine (matches the reference's one-at-a-time design);
+the continuous-batching scheduler builds on the same jitted step functions.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grammar.gbnf import TokenFilter
+from ..kv.cache import KVCache, init_cache
+from ..models import llama as model_llama
+from ..models.config import ModelConfig
+from ..models.loader import Model
+from ..ops.rope import rope_frequencies
+from ..sampling import SamplerParams, build_dry_sequences, make_state, sample_logits
+
+PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+@dataclass
+class GenParams:
+    """Per-request generation controls (generation_inputs, expose.h:76-175)."""
+
+    max_length: int = 128
+    sampler: SamplerParams = field(default_factory=SamplerParams)
+    stop_sequences: list[str] = field(default_factory=list)
+    grammar: str = ""
+    grammar_retain_state: bool = False
+    use_default_badwordsids: bool = False  # ban EOS
+    banned_phrases: list[str] = field(default_factory=list)  # anti-slop
+    dry_sequence_breakers: list[str] = field(default_factory=list)
+    trim_stop: bool = True
+    bypass_eos: bool = False
+
+
+@dataclass
+class Timings:
+    prompt_tokens: int = 0
+    gen_tokens: int = 0
+    prompt_time: float = 0.0
+    gen_time: float = 0.0
+
+    @property
+    def prompt_tps(self) -> float:
+        return self.prompt_tokens / self.prompt_time if self.prompt_time > 0 else 0.0
+
+    @property
+    def gen_tps(self) -> float:
+        return self.gen_tokens / self.gen_time if self.gen_time > 0 else 0.0
+
+
+@dataclass
+class GenerationResult:
+    text: str = ""
+    tokens: list[int] = field(default_factory=list)
+    stop_reason: str = "length"  # length | eos | stop_sequence | abort
+    timings: Timings = field(default_factory=Timings)
+
+
+def _bucket(n: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return PREFILL_BUCKETS[-1]
+
+
+class Engine:
+    def __init__(self, model: Model, max_context: int = 2048,
+                 cache_dtype=jnp.bfloat16, compute_dtype=None):
+        self.model = model
+        self.cfg = model.cfg
+        self.tokenizer = model.tokenizer
+        self.max_context = max_context
+        self.cache_dtype = cache_dtype
+        self.cache = init_cache(self.cfg.n_layers, 1, max_context,
+                                self.cfg.n_kv_heads, self.cfg.head_dim,
+                                dtype=cache_dtype)
+        self.context_tokens: list[int] = []  # tokens currently in the cache
+        self.abort_event = threading.Event()
+        self.lock = threading.Lock()  # the modelbusy equivalent
+        self._grammar_cache: tuple[str, TokenFilter] | None = None
+        self.last_timings = Timings()
+        self.total_gens = 0
+        # streaming state for the polling API
+        self.stream_tokens: list[str] = []
+        self.generation_finished = True
+
+        self._forward = jax.jit(
+            partial(model_llama.forward, cfg=self.cfg, last_only=True),
+            static_argnames=(),
+            donate_argnames=("cache",),
+        )
+
+    # -- low-level steps ---------------------------------------------------
+    def _eval_chunk(self, tokens: list[int], start_pos: int) -> np.ndarray:
+        """Evaluate tokens at positions [start_pos, ...); returns last logits."""
+        n = len(tokens)
+        b = _bucket(n)
+        pad = b - n
+        tok = jnp.asarray(np.array([[0] * pad + tokens], dtype=np.int32))
+        pos = jnp.asarray(
+            np.array([[-1] * pad + list(range(start_pos, start_pos + n))],
+                     dtype=np.int32))
+        logits, self.cache = self._forward(self.model.params, tokens=tok,
+                                           positions=pos, cache=self.cache)
+        return np.asarray(logits[0, -1])
+
+    def eval_tokens(self, tokens: list[int], start_pos: int) -> np.ndarray:
+        """Chunked prefill (n_batch equivalent); returns logits of last token."""
+        logits = None
+        pos = start_pos
+        i = 0
+        while i < len(tokens):
+            chunk = tokens[i:i + PREFILL_BUCKETS[-1]]
+            logits = self._eval_chunk(chunk, pos)
+            pos += len(chunk)
+            i += len(chunk)
+        return logits
+
+    # -- context reuse -----------------------------------------------------
+    def _fast_forward(self, prompt: list[int]) -> int:
+        """Longest common prefix with the cached context (ContextFastForward,
+        model_adapter.cpp:424). Returns n_past. Always re-evals >=1 token."""
+        n = 0
+        limit = min(len(self.context_tokens), len(prompt) - 1)
+        while n < limit and self.context_tokens[n] == prompt[n]:
+            n += 1
+        return n
+
+    def _context_shift(self, prompt: list[int]) -> list[int] | None:
+        """Smart purge (PurgeMissingTokens, gpttype_adapter.cpp:1504): when the
+        history scrolled (chat trimmed at top), drop the gap from the cache and
+        re-rotate shifted keys instead of re-evaluating everything.
+
+        Returns the prompt with positions remapped... in this TPU design we
+        instead surgically rewrite the cache; returns None if not applicable.
+        """
+        ctx = self.context_tokens
+        if not ctx or len(prompt) < 2:
+            return None
+        # find first divergence
+        p0 = 0
+        lim = min(len(ctx), len(prompt))
+        while p0 < lim and ctx[p0] == prompt[p0]:
+            p0 += 1
+        if p0 == 0 or p0 >= len(ctx):
+            return None
+        # find the longest run of the remaining cache that reappears in the
+        # new prompt after the divergence point
+        short_fall = max(0, len(prompt) - self.max_context)
+        tail_ctx = ctx[p0:]
+        tail_prompt = prompt[p0:]
+        best_len, ci, pi = _longest_common_run(tail_ctx, tail_prompt)
+        threshold = max(96, len(tail_prompt) // 4)
+        if best_len < threshold or ci == 0:
+            return None
+        # remove cache positions [p0, p0+ci), shift the rest down
+        self._kv_remove_shift(p0, p0 + ci)
+        self.context_tokens = ctx[:p0] + ctx[p0 + ci:]
+        return prompt
+
+    def _kv_remove_shift(self, start: int, end: int):
+        """Delete cache slots [start, end) and slide later slots down,
+        re-rotating K by the position delta (the reference's kv_seq_rm +
+        kv_seq_add + k-shift graph, src/llama.cpp:16268)."""
+        delta = end - start
+        n_used = len(self.context_tokens)
+        freqs = rope_frequencies(self.cfg)
+        self.cache = _kv_shift_jit(self.cache, start, end, n_used, freqs,
+                                   self.cfg.rope_type, self.cfg.rope_dim)
+
+    # -- grammar -----------------------------------------------------------
+    def _get_grammar(self, params: GenParams) -> TokenFilter | None:
+        if not params.grammar:
+            return None
+        if (params.grammar_retain_state and self._grammar_cache
+                and self._grammar_cache[0] == params.grammar):
+            return self._grammar_cache[1]
+        tf = TokenFilter(params.grammar, self.tokenizer)
+        self._grammar_cache = (params.grammar, tf)
+        return tf
+
+    # -- main entry --------------------------------------------------------
+    def abort(self):
+        self.abort_event.set()
+
+    def generate(self, prompt: str | list[int], params: GenParams,
+                 on_token: Callable[[int, str], None] | None = None) -> GenerationResult:
+        with self.lock:
+            return self._generate_locked(prompt, params, on_token)
+
+    def _generate_locked(self, prompt, params, on_token) -> GenerationResult:
+        self.abort_event.clear()
+        self.generation_finished = False
+        self.stream_tokens = []
+        tk = self.tokenizer
+        result = GenerationResult()
+        t0 = time.perf_counter()
+
+        if isinstance(prompt, str):
+            prompt_tokens = tk.encode(prompt)
+        else:
+            prompt_tokens = list(prompt)
+        if not prompt_tokens:
+            prompt_tokens = [tk.vocab.bos_id if tk.vocab.bos_id >= 0 else 0]
+        # clamp to context window, keeping the tail (reference trims the head)
+        budget = max(8, self.max_context - params.max_length)
+        if len(prompt_tokens) > budget:
+            keep_first = 1 if tk.vocab.add_bos else 0
+            overflow = len(prompt_tokens) - budget
+            prompt_tokens = (prompt_tokens[:keep_first]
+                             + prompt_tokens[keep_first + overflow:])
+
+        # context shift, then fast-forward
+        self._context_shift(prompt_tokens)
+        n_past = self._fast_forward(prompt_tokens)
+        self.context_tokens = self.context_tokens[:n_past]
+        todo = prompt_tokens[n_past:]
+
+        grammar = self._get_grammar(params)
+        if grammar is not None and not params.grammar_retain_state:
+            grammar.reset()
+
+        state = make_state(params.sampler.seed)
+        if params.sampler.dry_multiplier > 0:
+            breakers = params.dry_sequence_breakers or ["\n", ":", '"', "*"]
+            state.dry_sequences = build_dry_sequences(tk, breakers)
+
+        sampler = params.sampler
+        eos_ids = [i for i in (tk.vocab.eos_id, tk.vocab.eot_id, tk.vocab.eom_id)
+                   if i is not None and i >= 0]
+        banned = list(sampler.banned_tokens)
+        if params.use_default_badwordsids:
+            banned.extend(eos_ids)
+        sampler_banned = tuple(banned)
+
+        # prefill
+        logits = self.eval_tokens(todo, n_past)
+        self.context_tokens.extend(todo)
+        t1 = time.perf_counter()
+
+        # decode loop
+        out_tokens: list[int] = []
+        out_text = ""
+        pending_bytes = b""
+        stop_reason = "length"
+        sp = SamplerParams(**{**sampler.__dict__, "banned_tokens": sampler_banned})
+        max_len = min(params.max_length, self.max_context - len(self.context_tokens))
+
+        for _ in range(max_len):
+            if self.abort_event.is_set():
+                stop_reason = "abort"
+                break
+            gmask = None
+            if grammar is not None:
+                gmask = grammar.mask()
+            tok = sample_logits(logits, self.context_tokens, self.max_context,
+                                sp, state, grammar_mask=gmask)
+            if grammar is not None:
+                try:
+                    grammar.accept(tok)
+                except ValueError:
+                    pass
+            out_tokens.append(tok)
+
+            piece_bytes = tk.decode_token_bytes(tok, skip_special=False)
+            pending_bytes += piece_bytes
+            try:
+                piece = pending_bytes.decode("utf-8")
+                pending_bytes = b""
+            except UnicodeDecodeError:
+                piece = ""
+            if piece:
+                out_text += piece
+                self.stream_tokens.append(piece)
+                if on_token:
+                    on_token(tok, piece)
+
+            if not params.bypass_eos and tok in eos_ids:
+                stop_reason = "eos"
+                break
+
+            # string stop sequences over accumulated output
+            if params.stop_sequences:
+                hit = _find_stop(out_text, params.stop_sequences)
+                if hit is not None:
+                    if params.trim_stop:
+                        out_text = out_text[:hit]
+                    stop_reason = "stop_sequence"
+                    break
+
+            # anti-slop: banned phrase appeared -> rewind and ban that token
+            if params.banned_phrases:
+                rew = self._antislop_check(out_text, params.banned_phrases, out_tokens)
+                if rew is not None:
+                    n_rewind, ban_tok = rew
+                    out_tokens = out_tokens[:-n_rewind]
+                    out_text = _detok(tk, out_tokens)
+                    self.context_tokens = self.context_tokens[:len(self.context_tokens) - n_rewind]
+                    sp = SamplerParams(**{**sp.__dict__,
+                                          "banned_tokens": sp.banned_tokens + (ban_tok,)})
+                    logits = self._replay_logits()
+                    continue
+
+            # feed the token back
+            logits = self._eval_chunk([tok], len(self.context_tokens))
+            self.context_tokens.append(tok)
+
+        t2 = time.perf_counter()
+        self.last_timings = Timings(
+            prompt_tokens=len(todo), gen_tokens=len(out_tokens),
+            prompt_time=t1 - t0, gen_time=t2 - t1)
+        self.total_gens += 1
+        self.generation_finished = True
+
+        result.text = out_text
+        result.tokens = out_tokens
+        result.stop_reason = stop_reason
+        result.timings = self.last_timings
+        return result
+
+    def _replay_logits(self) -> np.ndarray:
+        """Recompute logits at the current context tail (after a rewind)."""
+        last = self.context_tokens[-1]
+        return self._eval_chunk([last], len(self.context_tokens) - 1)
+
+    def _antislop_check(self, text: str, phrases: list[str],
+                        out_tokens: list[int]) -> tuple[int, int] | None:
+        low = text.lower()
+        for ph in phrases:
+            i = low.rfind(ph.lower())
+            if i < 0:
+                continue
+            # find how many generated tokens to rewind to reach offset i
+            tk = self.tokenizer
+            acc = ""
+            for n, tok in enumerate(out_tokens):
+                nxt = acc + tk.token_str(tok)
+                if len(nxt) > i:
+                    n_rewind = len(out_tokens) - n
+                    return n_rewind, out_tokens[n]
+                acc = nxt
+        return None
+
+    # -- utility API -------------------------------------------------------
+    def token_count(self, text: str) -> list[int]:
+        return self.tokenizer.encode(text)
+
+    def reset_context(self):
+        self.context_tokens = []
+
+
+def _detok(tk, tokens: list[int]) -> str:
+    return b"".join(tk.decode_token_bytes(t, skip_special=False)
+                    for t in tokens).decode("utf-8", errors="replace")
+
+
+def _find_stop(text: str, stops: list[str]) -> int | None:
+    best = None
+    for s in stops:
+        if not s:
+            continue
+        i = text.find(s)
+        if i >= 0 and (best is None or i < best):
+            best = i
+    return best
+
+
+def _longest_common_run(a: list[int], b: list[int]) -> tuple[int, int, int]:
+    """Longest run of consecutive equal tokens (LCS of runs); returns
+    (length, start_in_a, start_in_b). Mirrors arr_longest_common_substring
+    (model_adapter.cpp:382) with O(len(a)*len(b)) DP, vectorized."""
+    if not a or not b:
+        return 0, 0, 0
+    A = np.asarray(a)[:, None]
+    B = np.asarray(b)[None, :]
+    eq = (A == B).astype(np.int32)
+    # DP over diagonals: run[i,j] = run[i-1,j-1]+1 if eq
+    run = np.zeros_like(eq)
+    run[0, :] = eq[0, :]
+    run[:, 0] = eq[:, 0]
+    for i in range(1, eq.shape[0]):
+        run[i, 1:] = (run[i - 1, :-1] + 1) * eq[i, 1:]
+    idx = np.unravel_index(np.argmax(run), run.shape)
+    ln = int(run[idx])
+    return ln, int(idx[0]) - ln + 1, int(idx[1]) - ln + 1
+
+
+@partial(jax.jit, static_argnames=("rope_type", "rot_dim"), donate_argnames=("cache",))
+def _kv_shift_jit(cache: KVCache, start: int, end: int, n_used: int,
+                  freqs: jnp.ndarray, rope_type: str, rot_dim: int) -> KVCache:
+    """Slide cache slots [end, n_used) down to start and RoPE-re-rotate K by
+    -delta. Positions are static per call (retraces per unique shift); the
+    continuous-batching paged cache replaces this with page-table remaps."""
+    delta = end - start
+    S = cache.k.shape[2]
+    idx = jnp.arange(S)
+    src = jnp.where(idx >= start, idx + delta, idx)  # slot i reads old i+delta
+    src = jnp.minimum(src, S - 1)
+    k = cache.k[:, :, src]
+    v = cache.v[:, :, src]
+    # re-rotate moved keys by -delta
+    angle = -delta * freqs  # (rot/2,)
+    cos = jnp.cos(angle)
+    sin = jnp.sin(angle)
+    d = cache.k.shape[-1]
+    rot = rot_dim or d
+    kf = k.astype(jnp.float32)
+    if rope_type == "neox":
+        k1 = kf[..., : rot // 2]
+        k2 = kf[..., rot // 2: rot]
+        r1 = k1 * cos - k2 * sin
+        r2 = k1 * sin + k2 * cos
+        k_rot = jnp.concatenate([r1, r2, kf[..., rot:]], axis=-1)
+    else:
+        kr = kf[..., :rot].reshape(kf.shape[:-1] + (rot // 2, 2))
+        k1 = kr[..., 0]
+        k2 = kr[..., 1]
+        r1 = k1 * cos - k2 * sin
+        r2 = k1 * sin + k2 * cos
+        k_rot = jnp.concatenate(
+            [jnp.stack([r1, r2], axis=-1).reshape(kf.shape[:-1] + (rot,)),
+             kf[..., rot:]], axis=-1)
+    moved = (idx >= start)[None, None, :, None, None]
+    k = jnp.where(moved, k_rot.astype(cache.k.dtype), k)
+    return KVCache(k=k, v=v)

@@ -1,0 +1,160 @@
+"""Engine tests on a tiny real model: greedy decode determinism, fast-forward
+reuse, stop sequences, grammar-constrained output, abort, streaming."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from koboldcpp_tpu.engine import Engine, GenParams
+from koboldcpp_tpu.models.loader import load_model
+from koboldcpp_tpu.sampling import SamplerParams
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from convert_hf import convert_llama_state_dict
+    from .test_model_forward import tiny_tokenizer_md
+
+    torch.manual_seed(7)
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path_factory.mktemp("e") / "tiny.gguf")
+    convert_llama_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(256))
+    m = load_model(path, packed=False, dtype=jnp.float32)
+    return Engine(m, max_context=256, cache_dtype=jnp.float32)
+
+
+def greedy(max_length=8, **kw):
+    return GenParams(max_length=max_length,
+                     sampler=SamplerParams(temperature=0.0, rep_pen=1.0, top_k=1),
+                     **kw)
+
+
+def test_greedy_deterministic(engine):
+    r1 = engine.generate([1, 5, 9], greedy())
+    engine.reset_context()
+    r2 = engine.generate([1, 5, 9], greedy())
+    assert r1.tokens == r2.tokens
+    assert len(r1.tokens) == 8
+    assert r1.timings.gen_tokens == 8
+
+
+def test_fast_forward_same_result(engine):
+    engine.reset_context()
+    r1 = engine.generate([1, 5, 9, 20, 30], greedy())
+    # same prompt again: fast-forward reuses cache, result must be identical
+    r2 = engine.generate([1, 5, 9, 20, 30], greedy())
+    assert r1.tokens == r2.tokens
+
+
+def test_continuation_fast_forward(engine):
+    engine.reset_context()
+    r1 = engine.generate([1, 5, 9], greedy(max_length=4))
+    # continuation prompt includes previous output; only the new tail evals
+    prompt2 = [1, 5, 9] + r1.tokens + [7]
+    r2 = engine.generate(prompt2, greedy(max_length=4))
+    assert r2.timings.prompt_tokens <= 2  # just the new tail
+    engine.reset_context()
+    r3 = engine.generate(prompt2, greedy(max_length=4))
+    assert r2.tokens == r3.tokens  # reuse didn't change results
+
+
+def test_streaming_callback(engine):
+    engine.reset_context()
+    seen = []
+    engine.generate([1, 5], greedy(max_length=5),
+                    on_token=lambda t, s: seen.append((t, s)))
+    assert len(seen) == 5
+
+
+def test_max_length_respected(engine):
+    engine.reset_context()
+    r = engine.generate([1, 5], greedy(max_length=3))
+    assert len(r.tokens) == 3
+    assert r.stop_reason == "length"
+
+
+def test_stop_sequence(engine):
+    engine.reset_context()
+    r1 = engine.generate([1, 5], greedy(max_length=6))
+    piece = engine.tokenizer.token_str(r1.tokens[2])
+    engine.reset_context()
+    r2 = engine.generate([1, 5], greedy(max_length=6, stop_sequences=[piece]))
+    assert r2.stop_reason == "stop_sequence"
+    assert piece not in r2.text
+
+
+def test_grammar_constrained(engine):
+    engine.reset_context()
+    # token strings are tok<N>; force output to be a run of "tok5" pieces
+    r = engine.generate([1], GenParams(
+        max_length=4,
+        sampler=SamplerParams(temperature=0.0, rep_pen=1.0, top_k=1),
+        grammar='root ::= "tok5"+'))
+    v = engine.tokenizer.vocab
+    allowed = {v.token_to_id["tok5"]} | {v.eos_id, v.eot_id}
+    assert all(t in allowed for t in r.tokens)
+
+
+def test_bypass_eos_and_ban_eos(engine):
+    engine.reset_context()
+    r = engine.generate([1, 2], greedy(max_length=5, use_default_badwordsids=True))
+    assert engine.tokenizer.vocab.eos_id not in r.tokens
+
+
+def test_abort(engine):
+    engine.reset_context()
+    engine.abort()
+    # abort flag is cleared at start; mid-run abort via callback
+    def cb(t, s):
+        engine.abort()
+    r = engine.generate([1, 5], greedy(max_length=50), on_token=cb)
+    assert r.stop_reason == "abort"
+    assert len(r.tokens) <= 2
+
+
+def test_kv_shift_mechanics():
+    """_kv_shift_jit must move V exactly and re-rotate K so that a key written
+    at position p lands as if written at position p-delta.
+
+    (Context shift is inherently lossy end-to-end — the reference also keeps
+    KV values computed with the removed tokens present — so the mechanical
+    contract is what's testable.)"""
+    from koboldcpp_tpu.engine.engine import _kv_shift_jit
+    from koboldcpp_tpu.kv.cache import KVCache
+    from koboldcpp_tpu.models.config import ModelConfig
+    from koboldcpp_tpu.ops.rope import apply_rope, rope_frequencies
+
+    cfg = ModelConfig(head_dim=8, rope_dim=8)
+    freqs = rope_frequencies(cfg)
+    rng = np.random.default_rng(0)
+    S, H, D = 32, 2, 8
+    base = jnp.asarray(rng.standard_normal((1, S, H, D)).astype(np.float32))
+    pos = jnp.arange(S)[None, :]
+    k_roped = apply_rope(base, pos, freqs, "norm", D)
+    v = jnp.asarray(rng.standard_normal((1, 1, S, H, D)).astype(np.float32))
+    k_np, v_np = np.asarray(k_roped), np.asarray(v)  # donation-safe copies
+    cache = KVCache(k=k_roped[None], v=v)
+
+    start, end = 10, 20
+    delta = end - start
+    out = _kv_shift_jit(cache, start, end, 22, freqs, "norm", D)
+
+    # V: slots [start:S-delta] now hold old [end:S]
+    np.testing.assert_array_equal(np.asarray(out.v[0, 0, start:S - delta]),
+                                  v_np[0, 0, end:])
+    np.testing.assert_array_equal(np.asarray(out.v[0, 0, :start]),
+                                  v_np[0, 0, :start])
+    # K: moved slots equal base roped at shifted positions
+    want = apply_rope(base, pos - delta, freqs, "norm", D)
+    np.testing.assert_allclose(np.asarray(out.k[0, 0, start:S - delta]),
+                               np.asarray(want[0, end:]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.k[0, 0, :start]),
+                               k_np[0, :start], rtol=1e-6, atol=1e-6)
