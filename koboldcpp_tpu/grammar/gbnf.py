@@ -296,7 +296,7 @@ class GrammarState:
     tokens that end mid-codepoint)."""
 
     def __init__(self, grammar: Grammar, stacks: frozenset[Stack] | None = None,
-                 partial: tuple[int, int] = (0, 0)):
+                 partial: tuple[int, int, int] = (0, 0, 0)):
         self.g = grammar
         if stacks is None:
             init: set[Stack] = set()
@@ -304,7 +304,7 @@ class GrammarState:
                 self._normalize(((grammar.root, ai, 0),), init)
             stacks = frozenset(init)
         self.stacks = stacks
-        self.partial = partial  # (value, bytes_remaining)
+        self.partial = partial  # (value, bytes_remaining, min_codepoint)
 
     # -- stack mechanics ---------------------------------------------------
     def _item(self, cur: Cursor) -> Item | None:
@@ -351,9 +351,10 @@ class GrammarState:
 
     # -- byte/token interface ---------------------------------------------
     def advance_bytes(self, data: bytes) -> "GrammarState | None":
-        """Feed raw UTF-8 bytes, resuming/leaving partial codepoint state."""
+        """Feed raw UTF-8 bytes, resuming/leaving partial codepoint state.
+        Overlong encodings are rejected (min codepoint per sequence length)."""
         state: GrammarState | None = self
-        value, remain = self.partial
+        value, remain, min_cp = self.partial
         for b in data:
             if state is None:
                 return None
@@ -363,27 +364,32 @@ class GrammarState:
                 value = (value << 6) | (b & 0x3F)
                 remain -= 1
                 if remain == 0:
+                    if value < min_cp or value > 0x10FFFF:
+                        return None  # overlong / out of range
                     state = state.advance_codepoint(value)
                     value = 0
+                    min_cp = 0
             elif b < 0x80:
                 state = state.advance_codepoint(b)
             elif b >> 5 == 0b110:
-                value, remain = b & 0x1F, 1
+                value, remain, min_cp = b & 0x1F, 1, 0x80
             elif b >> 4 == 0b1110:
-                value, remain = b & 0x0F, 2
+                value, remain, min_cp = b & 0x0F, 2, 0x800
             elif b >> 3 == 0b11110:
-                value, remain = b & 0x07, 3
+                value, remain, min_cp = b & 0x07, 3, 0x10000
             else:
                 return None
         if state is None:
             return None
         if remain > 0:
             # partial codepoint: some stack top must match a completion of the
-            # prefix (reference llama_grammar_match_partial_char semantics)
+            # prefix (reference llama_grammar_match_partial_char semantics,
+            # tightened with the overlong minimum)
             low = value << (remain * 6)
             high = low | ((1 << (remain * 6)) - 1)
-            if low == 0:
-                low = {1: 0x80, 2: 0x800, 3: 0x10000}.get(remain, 0)
+            low = max(low, min_cp)
+            if high < low:
+                return None
             ok = False
             for stack in state.stacks:
                 if not stack:
@@ -394,7 +400,7 @@ class GrammarState:
                     break
             if not ok:
                 return None
-        return GrammarState(self.g, state.stacks, (value, remain))
+        return GrammarState(self.g, state.stacks, (value, remain, min_cp))
 
     @property
     def allows_eos(self) -> bool:

@@ -17,14 +17,20 @@ from convert_hf import convert_llama_state_dict  # noqa: E402
 
 
 def tiny_tokenizer_md(vocab_size):
-    toks = ["<unk>", "<s>", "</s>"] + [f"tok{i}" for i in range(vocab_size - 3)]
+    """SPM-style test vocab: specials + full byte-fallback range + filler
+    pieces. Needs vocab_size >= 300 for the byte tokens to fit."""
+    toks = ["<unk>", "<s>", "</s>"]
+    types = [int(TokenType.UNKNOWN), int(TokenType.CONTROL), int(TokenType.CONTROL)]
+    if vocab_size >= 3 + 256:
+        toks += [f"<0x{b:02X}>" for b in range(256)]
+        types += [int(TokenType.BYTE)] * 256
+    toks += [f"tok{i}" for i in range(vocab_size - len(toks))]
+    types += [int(TokenType.NORMAL)] * (vocab_size - len(types))
     return {
         "tokenizer.ggml.model": "llama",
         "tokenizer.ggml.tokens": toks,
         "tokenizer.ggml.scores": np.zeros(vocab_size, np.float32),
-        "tokenizer.ggml.token_type": np.array(
-            [int(TokenType.UNKNOWN), int(TokenType.CONTROL), int(TokenType.CONTROL)]
-            + [int(TokenType.NORMAL)] * (vocab_size - 3), np.int32),
+        "tokenizer.ggml.token_type": np.array(types, np.int32),
         "tokenizer.ggml.bos_token_id": np.uint32(1),
         "tokenizer.ggml.eos_token_id": np.uint32(2),
     }
@@ -37,7 +43,7 @@ def hf_and_gguf(tmp_path_factory):
 
     torch.manual_seed(0)
     cfg = LlamaConfig(
-        vocab_size=256, hidden_size=64, intermediate_size=128,
+        vocab_size=512, hidden_size=64, intermediate_size=128,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
         max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
         tie_word_embeddings=False,
@@ -45,7 +51,7 @@ def hf_and_gguf(tmp_path_factory):
     model = LlamaForCausalLM(cfg).eval().float()
     state = {k: v.numpy() for k, v in model.state_dict().items()}
     path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
-    convert_llama_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(256))
+    convert_llama_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
     return model, path
 
 

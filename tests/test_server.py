@@ -1,0 +1,166 @@
+"""Black-box API tests over the aiohttp app (the reference's BDD scenario list
+— security, wrong_usages, results/determinism — is the capability model)."""
+import json
+
+import pytest
+import jax.numpy as jnp
+
+pytest_plugins = ("aiohttp.pytest_plugin",)
+
+from koboldcpp_tpu.server.app import ServerSettings, make_app
+
+GEN = {"prompt": "tok5 tok9", "max_length": 4, "temperature": 0,
+       "sampler_seed": 42, "rep_pen": 1.0}
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from convert_hf import convert_llama_state_dict
+    from .test_model_forward import tiny_tokenizer_md
+    from koboldcpp_tpu.engine import Engine
+    from koboldcpp_tpu.models.loader import load_model
+
+    torch.manual_seed(11)
+    cfg = LlamaConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=512,
+                      tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path_factory.mktemp("srv") / "tiny.gguf")
+    convert_llama_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m = load_model(path, packed=False, dtype=jnp.float32)
+    return Engine(m, max_context=256, cache_dtype=jnp.float32)
+
+
+@pytest.fixture
+async def client(engine, aiohttp_client):
+    app = make_app(engine, ServerSettings(model_name="test/tiny"))
+    return await aiohttp_client(app)
+
+
+async def test_info_endpoints(client):
+    r = await client.get("/api/v1/model")
+    assert (await r.json())["result"] == "test/tiny"
+    r = await client.get("/api/extra/version")
+    j = await r.json()
+    assert j["result"] == "KoboldCpp" and "version" in j
+    r = await client.get("/api/v1/config/max_context_length")
+    assert (await r.json())["value"] == 256
+    r = await client.get("/v1/models")
+    assert (await r.json())["data"][0]["id"] == "test/tiny"
+    r = await client.get("/api/tags")
+    assert (await r.json())["models"][0]["name"] == "test/tiny"
+    r = await client.get("/sdapi/v1/samplers")
+    assert any(s["name"] == "Euler a" for s in await r.json())
+
+
+async def test_kai_generate(client):
+    r = await client.post("/api/v1/generate", json=GEN)
+    assert r.status == 200
+    j = await r.json()
+    assert "results" in j and isinstance(j["results"][0]["text"], str)
+    assert len(j["results"][0]["text"]) > 0
+
+
+async def test_openai_completions(client):
+    r = await client.post("/v1/completions", json={
+        "prompt": "tok5", "max_tokens": 4, "temperature": 0})
+    j = await r.json()
+    assert j["object"] == "text_completion"
+    assert j["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+async def test_openai_chat(client):
+    r = await client.post("/v1/chat/completions", json={
+        "messages": [{"role": "user", "content": "tok5"}],
+        "max_tokens": 4, "temperature": 0})
+    j = await r.json()
+    assert j["object"] == "chat.completion"
+    assert j["choices"][0]["message"]["role"] == "assistant"
+
+
+async def test_tokencount(client):
+    r = await client.post("/api/extra/tokencount", json={"prompt": "tok5 tok9"})
+    j = await r.json()
+    assert j["value"] == len(j["ids"]) > 0
+
+
+async def test_sse_stream_kobold(client):
+    r = await client.post("/api/extra/generate/stream",
+                          json={**GEN, "genkey": "KCPPTEST1"})
+    assert r.headers["Content-Type"].startswith("text/event-stream")
+    body = (await r.read()).decode()
+    events = [line for line in body.split("\n") if line.startswith("data:")]
+    assert len(events) >= 2  # tokens + finish
+    last = json.loads(events[-1][5:])
+    assert last["finish_reason"] in ("stop", "length")
+
+
+async def test_sse_stream_openai(client):
+    r = await client.post("/v1/chat/completions", json={
+        "messages": [{"role": "user", "content": "tok5"}],
+        "max_tokens": 3, "temperature": 0, "stream": True})
+    body = (await r.read()).decode()
+    assert "data: [DONE]" in body
+    chunks = [json.loads(l[6:]) for l in body.split("\n")
+              if l.startswith("data: ") and l != "data: [DONE]"]
+    assert chunks[0]["object"] == "chat.completion.chunk"
+
+
+async def test_auth(engine, aiohttp_client):
+    app = make_app(engine, ServerSettings(password="sekret"))
+    c = await aiohttp_client(app)
+    r = await c.post("/api/v1/generate", json=GEN)
+    assert r.status == 401
+    r = await c.post("/api/v1/generate", json=GEN,
+                     headers={"Authorization": "Bearer sekret"})
+    assert r.status == 200
+    r = await c.get("/api/extra/version")  # info endpoints stay open
+    assert r.status == 200
+
+
+async def test_perf_endpoint(client):
+    await client.post("/api/v1/generate", json=GEN)
+    r = await client.get("/api/extra/perf")
+    j = await r.json()
+    assert j["idle"] == 1 and j["total_gens"] >= 1
+
+
+async def test_abort_endpoint(client):
+    r = await client.post("/api/extra/abort", json={"genkey": "NOPE"})
+    j = await r.json()
+    assert j["success"] is True
+
+
+async def test_determinism_with_seed(client):
+    """results.feature equivalent: same seed => same output."""
+    body = {"prompt": "tok5 tok9", "max_length": 6, "temperature": 1.0,
+            "sampler_seed": 1234, "rep_pen": 1.0}
+    r1 = await client.post("/api/v1/generate", json=body)
+    r2 = await client.post("/api/v1/generate", json=body)
+    t1 = (await r1.json())["results"][0]["text"]
+    t2 = (await r2.json())["results"][0]["text"]
+    assert t1 == t2
+
+
+async def test_cors_preflight(client):
+    r = await client.options("/api/v1/generate")
+    assert r.status == 200
+    assert r.headers["Access-Control-Allow-Origin"] == "*"
+
+
+async def test_not_implemented_modalities(client):
+    r = await client.post("/sdapi/v1/txt2img", json={})
+    assert r.status == 501
+
+
+async def test_detokenize(client, engine):
+    ids = engine.tokenizer.encode("tok5 tok9", add_bos=False)
+    r = await client.post("/api/extra/detokenize", json={"ids": ids})
+    j = await r.json()
+    assert j["success"] is True and "tok5" in j["result"]
