@@ -1,0 +1,107 @@
+"""Synthetic model builders for benches / compile checks (no weights on disk).
+
+Packed QTensors are constructed directly from random bytes + small scales —
+byte-layout-identical to GGUF-loaded weights, so kernels and benchmarks see
+the real memory traffic without paying numpy quantization of billions of
+parameters.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..gguf.constants import QK_K
+from ..ops.linear import QTensor, dense
+from .config import ModelConfig
+
+TINYLLAMA_1_1B = ModelConfig(
+    arch="llama", name="tinyllama-1.1b-synthetic",
+    vocab_size=32000, hidden_size=2048, n_layers=22, n_heads=32, n_kv_heads=4,
+    head_dim=64, intermediate_size=5632, max_position_embeddings=2048,
+    rope_theta=10000.0, rope_dim=64,
+)
+
+LLAMA2_7B = ModelConfig(
+    arch="llama", name="llama2-7b-synthetic",
+    vocab_size=32000, hidden_size=4096, n_layers=32, n_heads=32, n_kv_heads=32,
+    head_dim=128, intermediate_size=11008, max_position_embeddings=4096,
+    rope_dim=128,
+)
+
+
+def _rand_dense(rng, shape, scale=0.02, dtype=jnp.bfloat16) -> QTensor:
+    return dense((rng.standard_normal(shape) * scale).astype(np.float32), dtype=dtype)
+
+
+def _rand_q4k(rng, out_f: int, in_f: int) -> QTensor:
+    nsb = in_f // QK_K
+    qs = rng.integers(0, 256, size=(out_f, in_f // 2), dtype=np.uint8)
+    scale = (rng.random((out_f, nsb * 8), dtype=np.float32) * 0.004).astype(np.float32)
+    mn = (rng.random((out_f, nsb * 8), dtype=np.float32) * 0.004).astype(np.float32)
+    return QTensor(kind="q4_k", shape=(out_f, in_f), data={
+        "qs": jnp.asarray(qs),
+        "scale": jnp.asarray(scale, dtype=jnp.bfloat16),
+        "min": jnp.asarray(mn, dtype=jnp.bfloat16),
+    })
+
+
+def _rand_q6k(rng, out_f: int, in_f: int) -> QTensor:
+    nsb = in_f // QK_K
+    return QTensor(kind="q6_k", shape=(out_f, in_f), data={
+        "ql": jnp.asarray(rng.integers(0, 256, size=(out_f, nsb * 128), dtype=np.uint8)),
+        "qh": jnp.asarray(rng.integers(0, 256, size=(out_f, nsb * 64), dtype=np.uint8)),
+        "scale": jnp.asarray(
+            (rng.random((out_f, nsb * 16), dtype=np.float32) * 0.002).astype(np.float32),
+            dtype=jnp.bfloat16),
+    })
+
+
+def _rand_q8_0(rng, out_f: int, in_f: int) -> QTensor:
+    return QTensor(kind="q8_0", shape=(out_f, in_f), data={
+        "q": jnp.asarray(rng.integers(-127, 128, size=(out_f, in_f), dtype=np.int8)),
+        "scale": jnp.asarray(
+            (rng.random((out_f, in_f // 32), dtype=np.float32) * 0.002).astype(np.float32),
+            dtype=jnp.bfloat16),
+    })
+
+
+_MAKERS = {"q4_k": _rand_q4k, "q6_k": _rand_q6k, "q8_0": _rand_q8_0}
+
+
+def synthetic_params(cfg: ModelConfig, kind: str = "q4_k", seed: int = 0) -> dict:
+    """Build a full llama params pytree with synthetic weights.
+
+    kind: "dense" | "q4_k" | "q6_k" | "q8_0" for the big matmul weights
+    (embeddings and norms stay dense, mirroring the GGUF loader)."""
+    rng = np.random.default_rng(seed)
+    C, F = cfg.hidden_size, cfg.intermediate_size
+    qdim = cfg.n_heads * cfg.head_dim
+    kvdim = cfg.n_kv_heads * cfg.head_dim
+
+    def big(out_f, in_f):
+        if kind == "dense" or in_f % QK_K or out_f % 8:
+            return _rand_dense(rng, (out_f, in_f))
+        return _MAKERS[kind](rng, out_f, in_f)
+
+    def norm():
+        return jnp.asarray(np.ones(C, np.float32) + rng.standard_normal(C).astype(np.float32) * 0.01)
+
+    params: dict = {
+        "tok_embd": _rand_dense(rng, (cfg.vocab_size, C)),
+        "output_norm": norm(),
+        "output": big(cfg.vocab_size, C),
+        "layers": [],
+    }
+    for _ in range(cfg.n_layers):
+        params["layers"].append({
+            "attn_norm": norm(),
+            "wq": big(qdim, C),
+            "wk": big(kvdim, C),
+            "wv": big(kvdim, C),
+            "wo": big(C, qdim),
+            "ffn_norm": norm(),
+            "w_gate": big(F, C),
+            "w_up": big(F, C),
+            "w_down": big(C, F),
+        })
+    return params

@@ -1,0 +1,112 @@
+"""Mesh + sharding rules (GSPMD).
+
+TPU-native counterpart of the reference's multi-device machinery
+(split-mode row/layer `gpttype_adapter.cpp:1892`, CUDA split buffers
+`ggml-cuda.cu:1883-1913`, RPC scale-out `ggml-rpc.cpp`): instead of manual
+row-splits + peer copies, weights and KV get NamedShardings over a device mesh
+and XLA inserts the ICI collectives.
+
+Axes:
+  dp — data/batch parallel (independent sequences)
+  tp — tensor parallel (attention heads / ffn rows, Megatron-style)
+Weights: wq/wk/wv/w_gate/w_up/output shard the out-dim over tp; wo/w_down the
+in-dim (contraction -> psum over tp). KV cache shards heads over tp, batch
+over dp. sp (sequence/ring) and ep (expert) axes land with the paged engine.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.linear import QTensor
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None,
+              tp: int | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_devices:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if dp is None or tp is None:
+        # favor tp (decode is latency-bound; TP over ICI is the win)
+        tp = tp or min(n, 8)
+        while n % tp:
+            tp //= 2
+        dp = n // tp
+    return Mesh(np.asarray(devices).reshape(dp, tp), ("dp", "tp"))
+
+
+# which param keys shard which way
+_ROW_SHARDED = {"wq", "wk", "wv", "w_gate", "w_up", "output"}  # out-dim over tp
+_COL_SHARDED = {"wo", "w_down"}  # in-dim over tp (psum on output)
+_REPLICATED = {"attn_norm", "ffn_norm", "output_norm", "tok_embd",
+               "bq", "bk", "bv", "ffn_gate_inp",
+               "ffn_gate_exps", "ffn_up_exps", "ffn_down_exps"}
+
+
+def _qt_spec(qt: QTensor, axis: int) -> dict[str, P]:
+    """PartitionSpec for each array inside a QTensor, sharding the logical
+    `axis` (0=out rows, 1=in cols) over tp."""
+    specs = {}
+    for name, arr in qt.data.items():
+        nd = getattr(arr, "ndim", 0)
+        if axis == 0:
+            # every packed field carries the out-dim as axis 0
+            specs[name] = P("tp") if nd == 1 else P("tp", *([None] * (nd - 1)))
+        else:
+            # in-dim is the last axis of every packed field
+            specs[name] = P(*([None] * (nd - 1)), "tp") if nd >= 1 else P()
+    return specs
+
+
+def _shard_qtensor(qt: QTensor, mesh: Mesh, axis: int | None) -> QTensor:
+    data = {}
+    if axis is None:
+        for name, arr in qt.data.items():
+            data[name] = jax.device_put(arr, NamedSharding(mesh, P()))
+    else:
+        specs = _qt_spec(qt, axis)
+        for name, arr in qt.data.items():
+            data[name] = jax.device_put(arr, NamedSharding(mesh, specs[name]))
+    return QTensor(kind=qt.kind, shape=qt.shape, data=data)
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    """Place a model params pytree onto the mesh with TP shardings."""
+    def place(key: str, v: Any) -> Any:
+        if isinstance(v, QTensor):
+            if key in _ROW_SHARDED:
+                return _shard_qtensor(v, mesh, 0)
+            if key in _COL_SHARDED:
+                return _shard_qtensor(v, mesh, 1)
+            return _shard_qtensor(v, mesh, None)
+        return jax.device_put(v, NamedSharding(mesh, P()))
+
+    out: dict = {}
+    for k, v in params.items():
+        if k == "layers":
+            out["layers"] = [
+                {lk: place(lk, lv) for lk, lv in layer.items()} for layer in v
+            ]
+        else:
+            out[k] = place(k, v)
+    return out
+
+
+def cache_sharding(mesh: Mesh) -> NamedSharding:
+    """KV cache (L, B, S, H_kv, D): batch over dp, heads over tp."""
+    return NamedSharding(mesh, P(None, "dp", None, "tp", None))
+
+
+def shard_cache(cache, mesh: Mesh):
+    from ..kv.cache import KVCache
+
+    s = cache_sharding(mesh)
+    return KVCache(k=jax.device_put(cache.k, s), v=jax.device_put(cache.v, s))
+
+
+def token_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("dp", None))

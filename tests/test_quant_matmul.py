@@ -1,0 +1,59 @@
+"""Pallas fused dequant-matmul kernels (interpret mode on CPU) vs the XLA
+dequant path and the numpy reference."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from koboldcpp_tpu.gguf import GGMLType, quants
+from koboldcpp_tpu.ops import linear, quant_matmul
+
+
+def make_qt(t: GGMLType, out_f=256, in_f=512, seed=0):
+    rng = np.random.default_rng(seed)
+    w = (rng.standard_normal((out_f, in_f)) * 0.1).astype(np.float32)
+    raw = quants.quantize(w, t)
+    qt = linear.from_gguf(raw, t, (out_f, in_f), packed=True)
+    assert qt.kind != "dense"
+    wref = quants.dequantize(raw, t).reshape(out_f, in_f)
+    return qt, wref
+
+
+@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+                               GGMLType.Q8_0], ids=lambda t: t.name)
+@pytest.mark.parametrize("T", [1, 8, 300])
+def test_kernel_matches_reference(t, T):
+    qt, wref = make_qt(t)
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((T, qt.in_features)) * 0.5).astype(np.float32)
+    y = quant_matmul.matmul_packed(jnp.asarray(x, dtype=jnp.bfloat16), qt)
+    assert y is not None, "kernel should cover this shape"
+    want = x @ wref.T
+    got = np.asarray(y, dtype=np.float32)
+    # bf16 x/scales => ~1% relative error budget
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 0.02
+
+
+def test_unsupported_shape_falls_back():
+    qt, _ = make_qt(GGMLType.Q4_K, out_f=256, in_f=512)
+    qt2 = linear.QTensor(kind="q4_k", shape=(100, 512), data=qt.data)
+    assert quant_matmul.matmul_packed(jnp.zeros((1, 512), jnp.bfloat16), qt2) is None
+
+
+def test_linear_matmul_uses_kernel_and_matches():
+    qt, wref = make_qt(GGMLType.Q4_K, out_f=512, in_f=768)
+    x = np.random.default_rng(2).standard_normal((4, 768)).astype(np.float32) * 0.3
+    y = linear.matmul(jnp.asarray(x, dtype=jnp.bfloat16), qt)
+    want = x @ wref.T
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(np.asarray(y, np.float32) - want).max() / scale < 0.02
+
+
+def test_batched_3d_input():
+    qt, wref = make_qt(GGMLType.Q8_0)
+    x = np.random.default_rng(3).standard_normal((2, 3, qt.in_features)).astype(np.float32) * 0.2
+    y = quant_matmul.matmul_packed(jnp.asarray(x, dtype=jnp.bfloat16), qt)
+    assert y.shape == (2, 3, qt.out_features)
+    want = x @ wref.T
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(np.asarray(y, np.float32) - want).max() / scale < 0.02
