@@ -1,0 +1,210 @@
+"""CLI launcher.
+
+Counterpart of the reference's flag system + main()
+(/root/reference/koboldcpp.py:4391-4488, 3826): same flag names where they
+make sense on TPU, `.kcpps` JSON config load/save, URL model download,
+benchmark mode, then the HTTP server. GPU-backend selection flags are accepted
+for CLI compatibility and ignored (XLA owns device placement on TPU).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="koboldcpp-tpu",
+        description="TPU-native KoboldCpp-compatible LLM server (JAX/XLA/Pallas)")
+    p.add_argument("model_param", nargs="?", default="",
+                   help="GGUF model file or URL (positional)")
+    p.add_argument("port_param", nargs="?", default="",
+                   help="port (positional compat)")
+    p.add_argument("--model", default="", help="GGUF model file or URL")
+    p.add_argument("--port", type=int, default=5001)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--password", default="", help="API key (Bearer auth)")
+    p.add_argument("--multiuser", type=int, nargs="?", const=5, default=1,
+                   help="max queued requests")
+    p.add_argument("--contextsize", type=int, default=2048)
+    p.add_argument("--maxrequestsize", type=int, default=32)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--debugmode", type=int, default=0)
+    p.add_argument("--config", default="", help=".kcpps JSON config file")
+    p.add_argument("--chatcompletionsadapter", default="",
+                   help="chat template adapter name or JSON file")
+    p.add_argument("--preloadstory", default="", help="story JSON to preload")
+    p.add_argument("--benchmark", nargs="?", const="stdout", default=None,
+                   help="run benchmark then exit; optional CSV filename")
+    p.add_argument("--prompt", default="", help="one-shot prompt mode")
+    p.add_argument("--promptlimit", type=int, default=100)
+    p.add_argument("--defaultgenamt", type=int, default=512)
+    p.add_argument("--quantkv", type=int, default=0,
+                   help="KV cache quantization: 0=bf16 1=q8 (2=q4 reserved)")
+    p.add_argument("--flashattention", action="store_true",
+                   help="accepted for compat; attention is always fused on TPU")
+    p.add_argument("--nocontextshift", action="store_true")
+    p.add_argument("--noshift", action="store_true")
+    p.add_argument("--nofastforward", action="store_true")
+    p.add_argument("--ropeconfig", nargs=2, type=float, default=None,
+                   metavar=("SCALE", "BASE"))
+    p.add_argument("--sdmodel", default="", help="stable-diffusion model (NYI)")
+    p.add_argument("--whispermodel", default="", help="whisper model (NYI)")
+    p.add_argument("--mmproj", default="", help="LLaVA projector (NYI)")
+    p.add_argument("--hordekey", default="")
+    p.add_argument("--hordeworkername", default="")
+    p.add_argument("--hordemodelname", default="")
+    p.add_argument("--hordemaxctx", type=int, default=0)
+    p.add_argument("--hordegenlen", type=int, default=0)
+    # accepted-for-compat, ignored on TPU (device placement is XLA's)
+    for flag in ("--usecublas", "--usevulkan", "--useclblast", "--usecpu",
+                 "--gpulayers", "--tensor_split", "--blasbatchsize",
+                 "--blasthreads", "--threads", "--highpriority", "--usemmap",
+                 "--usemlock", "--noavx2", "--failsafe", "--nommap"):
+        p.add_argument(flag, nargs="?", const=True, default=None,
+                       help=argparse.SUPPRESS)
+    p.add_argument("--mesh", default="", help="dp,tp mesh shape e.g. 1,8")
+    p.add_argument("--skiplauncher", action="store_true", help=argparse.SUPPRESS)
+    return p
+
+
+def load_kcpps(path: str, args: argparse.Namespace):
+    """Apply a .kcpps JSON config over the args namespace (koboldcpp.py:3757)."""
+    with open(path) as f:
+        cfg = json.load(f)
+    for k, v in cfg.items():
+        if hasattr(args, k):
+            setattr(args, k, v)
+    return args
+
+
+def save_kcpps(path: str, args: argparse.Namespace):
+    skip = {"model_param", "port_param", "config"}
+    data = {k: v for k, v in vars(args).items() if k not in skip}
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+
+
+def download_model_from_url(url: str, dest_dir: str = ".") -> str:
+    """URL model fetch (koboldcpp.py:3808)."""
+    name = url.split("?")[0].rstrip("/").split("/")[-1] or "model.gguf"
+    dest = os.path.join(dest_dir, name)
+    if not os.path.exists(dest):
+        print(f"Downloading {url} -> {dest}")
+        urllib.request.urlretrieve(url, dest)
+    return dest
+
+
+def run_benchmark(engine, csv_path: str | None):
+    """--benchmark mode (koboldcpp.py:4274-4353): one pp+tg pass, T/s report."""
+    from .engine import GenParams
+    from .sampling import SamplerParams
+
+    n_prompt = min(engine.max_context - 256, 2048)
+    prompt_tokens = [engine.tokenizer.vocab.bos_id] + [8] * (n_prompt - 1)
+    genamt = 100
+    t0 = time.time()
+    result = engine.generate(prompt_tokens, GenParams(
+        max_length=genamt,
+        sampler=SamplerParams(temperature=0.1, top_k=1, rep_pen=1.0),
+        bypass_eos=True))
+    total = time.time() - t0
+    t = result.timings
+    line = (f"ProcessingTime: {t.prompt_time:.2f}s ProcessingSpeed: {t.prompt_tps:.2f}T/s "
+            f"GenerationTime: {t.gen_time:.2f}s GenerationSpeed: {t.gen_tps:.2f}T/s "
+            f"TotalTime: {total:.2f}s")
+    print(line)
+    if csv_path and csv_path != "stdout":
+        import csv as _csv
+        new = not os.path.exists(csv_path)
+        with open(csv_path, "a", newline="") as f:
+            w = _csv.writer(f)
+            if new:
+                w.writerow(["Timestamp", "Backend", "Layers", "Model", "MaxCtx",
+                            "GenAmount", "ProcessingTime", "ProcessingSpeed",
+                            "GenerationTime", "GenerationSpeed", "TotalTime",
+                            "Output", "Flags"])
+            w.writerow([int(time.time()), "tpu", "all", "model",
+                        engine.max_context, genamt,
+                        f"{t.prompt_time:.2f}", f"{t.prompt_tps:.2f}",
+                        f"{t.gen_time:.2f}", f"{t.gen_tps:.2f}",
+                        f"{total:.2f}", result.text[:20], ""])
+    return result
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.config:
+        load_kcpps(args.config, args)
+    model_path = args.model or args.model_param
+    if args.model_param and args.model_param.endswith((".kcpps", ".kcppt")):
+        load_kcpps(args.model_param, args)
+        model_path = args.model
+    if not model_path:
+        print("error: no model specified (pass a GGUF path or --model)")
+        return 2
+    if model_path.startswith(("http://", "https://")):
+        model_path = download_model_from_url(model_path)
+    if args.port_param:
+        try:
+            args.port = int(args.port_param)
+        except ValueError:
+            pass
+
+    import jax.numpy as jnp
+
+    from .engine import Engine
+    from .models.loader import load_model
+
+    print(f"Loading model: {model_path}")
+    t0 = time.time()
+    model = load_model(model_path)
+    print(f"Load took {time.time() - t0:.1f}s "
+          f"({model.cfg.arch}, {model.cfg.n_layers} layers, "
+          f"vocab {model.cfg.vocab_size})")
+    cache_dtype = jnp.bfloat16  # --quantkv 1 (q8 cache) lands with paged KV
+    engine = Engine(model, max_context=args.contextsize, cache_dtype=cache_dtype)
+
+    if args.benchmark is not None:
+        run_benchmark(engine, args.benchmark)
+        return 0
+
+    if args.prompt:
+        from .engine import GenParams
+
+        r = engine.generate(args.prompt, GenParams(max_length=args.promptlimit))
+        print(r.text)
+        return 0
+
+    from .server.app import ServerSettings, run_server
+
+    chat_adapter = args.chatcompletionsadapter or None
+    if chat_adapter and os.path.exists(chat_adapter):
+        with open(chat_adapter) as f:
+            chat_adapter = json.load(f)
+    story = None
+    if args.preloadstory and os.path.exists(args.preloadstory):
+        with open(args.preloadstory) as f:
+            story = json.load(f)
+
+    settings = ServerSettings(
+        password=args.password, multiuser=args.multiuser,
+        model_name=os.path.basename(model_path),
+        chat_adapter=chat_adapter, preloaded_story=story, quiet=args.quiet)
+
+    if args.hordekey and args.hordeworkername:
+        from .server.horde import start_horde_worker
+
+        start_horde_worker(args, settings)
+
+    print(f"Starting server on {args.host}:{args.port}")
+    run_server(engine, host=args.host, port=args.port, settings=settings)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+"""Sharding tests on the 8-device CPU mesh: TP/DP-sharded forward must equal
+the unsharded forward bit-for-bit (same math, collectives inserted by XLA)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from koboldcpp_tpu.kv.cache import init_cache
+from koboldcpp_tpu.models import llama
+from koboldcpp_tpu.models.config import ModelConfig
+from koboldcpp_tpu.models.synthetic import synthetic_params
+from koboldcpp_tpu.parallel import (
+    make_mesh, shard_cache, shard_params, token_sharding)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(
+        arch="llama", vocab_size=512, hidden_size=128, n_layers=2,
+        n_heads=8, n_kv_heads=4, head_dim=32, intermediate_size=256,
+        rope_dim=32)
+    params = synthetic_params(cfg, kind="dense", seed=3)
+    return cfg, params
+
+
+def _forward(cfg, params, cache, tokens, positions):
+    return llama.forward(params, cfg, tokens, positions, cache, last_only=False)
+
+
+def test_tp_sharded_matches_unsharded(setup):
+    cfg, params = setup
+    assert len(jax.devices()) == 8
+    B, T = 2, 8
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), dtype=jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(T), (B, T)).astype(jnp.int32)
+
+    cache0 = init_cache(cfg.n_layers, B, 32, cfg.n_kv_heads, cfg.head_dim,
+                        dtype=jnp.float32)
+    ref, _ = jax.jit(lambda p, t, q, c: _forward(cfg, p, c, t, q))(
+        params, tokens, positions, cache0)
+
+    mesh = make_mesh(8, dp=2, tp=4)
+    sp = shard_params(params, mesh)
+    sc = shard_cache(init_cache(cfg.n_layers, B, 32, cfg.n_kv_heads,
+                                cfg.head_dim, dtype=jnp.float32), mesh)
+    st = jax.device_put(tokens, token_sharding(mesh))
+    spos = jax.device_put(positions, token_sharding(mesh))
+    with mesh:
+        out, new_cache = jax.jit(lambda p, t, q, c: _forward(cfg, p, c, t, q))(
+            sp, st, spos, sc)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    # cache writes must land identically
+    _, ref_cache = jax.jit(lambda p, t, q, c: _forward(cfg, p, c, t, q))(
+        params, tokens, positions,
+        init_cache(cfg.n_layers, B, 32, cfg.n_kv_heads, cfg.head_dim,
+                   dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(new_cache.k), np.asarray(ref_cache.k),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_mesh_shapes():
+    m = make_mesh(8)
+    assert m.devices.size == 8
+    m2 = make_mesh(8, dp=4, tp=2)
+    assert m2.devices.shape == (4, 2)
+
+
+def test_quantized_params_shard(setup):
+    """Packed QTensors shard their row/col axes without error."""
+    cfg, _ = setup
+    cfg_q = ModelConfig(
+        arch="llama", vocab_size=512, hidden_size=256, n_layers=1,
+        n_heads=8, n_kv_heads=4, head_dim=32, intermediate_size=512,
+        rope_dim=32)
+    params = synthetic_params(cfg_q, kind="q4_k", seed=4)
+    mesh = make_mesh(8, dp=1, tp=8)
+    sp = shard_params(params, mesh)
+    wq = sp["layers"][0]["wq"]
+    assert wq.kind == "q4_k"
+    # row-sharded: first axis split over tp
+    shard_shape = wq.data["qs"].sharding.shard_shape(wq.data["qs"].shape)
+    assert shard_shape[0] == wq.shape[0] // 8

@@ -1,0 +1,100 @@
+"""Tool tests: quantize round-trip, perplexity sanity, CLI flag system."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+@pytest.fixture(scope="module")
+def f32_gguf(tmp_path_factory):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    from convert_hf import convert_llama_state_dict
+    from .test_model_forward import tiny_tokenizer_md
+
+    torch.manual_seed(21)
+    cfg = LlamaConfig(vocab_size=512, hidden_size=256, intermediate_size=512,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=512,
+                      tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path_factory.mktemp("tools") / "f32.gguf")
+    convert_llama_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    return path
+
+
+def test_quantize_tool(f32_gguf, tmp_path):
+    from quantize import quantize_file
+    from koboldcpp_tpu.gguf import GGMLType, GGUFReader
+
+    out = str(tmp_path / "q4.gguf")
+    quantize_file(f32_gguf, out, GGMLType.Q4_K, verbose=False)
+    with GGUFReader(out) as r:
+        assert r.tensors["blk.0.attn_q.weight"].ggml_type == GGMLType.Q4_K
+        # output/embeddings bumped to Q6_K per heuristic
+        assert r.tensors["output.weight"].ggml_type == GGMLType.Q6_K
+        assert r.tensors["blk.0.attn_norm.weight"].ggml_type == GGMLType.F32
+        assert r.metadata["general.file_type"] == int(GGMLType.Q4_K)
+    assert os.path.getsize(out) < os.path.getsize(f32_gguf) / 3
+
+
+def test_quantized_model_still_loads_and_runs(f32_gguf, tmp_path):
+    from quantize import quantize_file
+    from koboldcpp_tpu.gguf import GGMLType
+    from koboldcpp_tpu.models.loader import load_model
+    from koboldcpp_tpu.engine import Engine, GenParams
+    from koboldcpp_tpu.sampling import SamplerParams
+
+    out = str(tmp_path / "q4.gguf")
+    quantize_file(f32_gguf, out, GGMLType.Q4_K, verbose=False)
+    m = load_model(out, packed=True)
+    eng = Engine(m, max_context=128)
+    r = eng.generate([1, 5, 9], GenParams(
+        max_length=4, sampler=SamplerParams(temperature=0.0, top_k=1, rep_pen=1.0)))
+    assert len(r.tokens) == 4
+
+
+def test_perplexity_quantization_degrades_gracefully(f32_gguf, tmp_path):
+    """Δppl(q) vs f32 must be small — the quality bar from SURVEY.md §4."""
+    from perplexity import perplexity
+    from quantize import quantize_file
+    from koboldcpp_tpu.gguf import GGMLType
+    from koboldcpp_tpu.models.loader import load_model
+
+    text = " ".join(f"tok{i % 37} tok{(i * 7) % 53}" for i in range(600))
+    m32 = load_model(f32_gguf, packed=False, dtype=jnp.float32)
+    p32 = perplexity(m32, text, n_ctx=128, verbose=False)
+
+    q8 = str(tmp_path / "q8.gguf")
+    quantize_file(f32_gguf, q8, GGMLType.Q8_0, verbose=False)
+    m8 = load_model(q8, packed=False, dtype=jnp.float32)
+    p8 = perplexity(m8, text, n_ctx=128, verbose=False)
+
+    assert p32 > 1.0
+    # random-weight ppl is near vocab-size; q8 shouldn't move it measurably
+    assert abs(p8 - p32) / p32 < 0.02
+
+
+def test_cli_parser_and_kcpps(tmp_path):
+    from koboldcpp_tpu.cli import build_parser, load_kcpps, save_kcpps
+
+    p = build_parser()
+    args = p.parse_args(["model.gguf", "5002", "--contextsize", "4096",
+                         "--multiuser", "3", "--password", "pw"])
+    assert args.model_param == "model.gguf"
+    assert args.contextsize == 4096
+    # legacy gpu flags accepted silently
+    args2 = p.parse_args(["m.gguf", "--usecublas", "--gpulayers", "99"])
+    assert args2.model_param == "m.gguf"
+
+    cfg_path = str(tmp_path / "test.kcpps")
+    save_kcpps(cfg_path, args)
+    fresh = p.parse_args(["x.gguf"])
+    load_kcpps(cfg_path, fresh)
+    assert fresh.contextsize == 4096 and fresh.password == "pw"
