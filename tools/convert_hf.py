@@ -96,6 +96,66 @@ def convert_llama_state_dict(
     return out_path
 
 
+def convert_mixtral_state_dict(
+    state: dict, config, out_path: str,
+    tokenizer_md: dict | None = None,
+    quant_type: GGMLType = GGMLType.F32,
+):
+    """Mixtral (sparse-MoE llama) -> GGUF, expert stacks as 3-D tensors
+    (reference converter's MixtralModel path: w1=gate, w3=up, w2=down)."""
+    n_head = config.num_attention_heads
+    n_kv = getattr(config, "num_key_value_heads", n_head) or n_head
+    n_layers = config.num_hidden_layers
+    head_dim = config.hidden_size // n_head
+
+    w = GGUFWriter(out_path, architecture="llama")
+    w.add("general.name", "mixtral-converted")
+    w.add("llama.context_length", np.uint32(config.max_position_embeddings))
+    w.add("llama.embedding_length", np.uint32(config.hidden_size))
+    w.add("llama.block_count", np.uint32(n_layers))
+    w.add("llama.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("llama.attention.head_count", np.uint32(n_head))
+    w.add("llama.attention.head_count_kv", np.uint32(n_kv))
+    w.add("llama.attention.layer_norm_rms_epsilon", np.float32(config.rms_norm_eps))
+    w.add("llama.rope.freq_base", np.float32(getattr(config, "rope_theta", 10000.0)))
+    w.add("llama.rope.dimension_count", np.uint32(head_dim))
+    w.add("llama.expert_count", np.uint32(config.num_local_experts))
+    w.add("llama.expert_used_count", np.uint32(config.num_experts_per_tok))
+    w.add("llama.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), GGMLType.F32)
+    w.add_tensor("output_norm.weight", get("model.norm.weight"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), GGMLType.F32)
+    E = config.num_local_experts
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "input_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_q.weight",
+                     permute_qk(get(hp + "self_attn.q_proj.weight"), n_head), quant_type)
+        w.add_tensor(gp + "attn_k.weight",
+                     permute_qk(get(hp + "self_attn.k_proj.weight"), n_kv), quant_type)
+        w.add_tensor(gp + "attn_v.weight", get(hp + "self_attn.v_proj.weight"), quant_type)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "self_attn.o_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_gate_inp.weight",
+                     get(hp + "block_sparse_moe.gate.weight"), GGMLType.F32)
+        gate = np.stack([get(hp + f"block_sparse_moe.experts.{e}.w1.weight") for e in range(E)])
+        down = np.stack([get(hp + f"block_sparse_moe.experts.{e}.w2.weight") for e in range(E)])
+        up = np.stack([get(hp + f"block_sparse_moe.experts.{e}.w3.weight") for e in range(E)])
+        w.add_tensor(gp + "ffn_gate_exps.weight", gate, GGMLType.F32)
+        w.add_tensor(gp + "ffn_up_exps.weight", up, GGMLType.F32)
+        w.add_tensor(gp + "ffn_down_exps.weight", down, GGMLType.F32)
+    w.write()
+    return out_path
+
+
 def main():
     ap = argparse.ArgumentParser(description="Convert HF llama checkpoint to GGUF")
     ap.add_argument("model_dir")
