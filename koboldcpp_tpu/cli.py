@@ -167,7 +167,15 @@ def main(argv=None):
           f"({model.cfg.arch}, {model.cfg.n_layers} layers, "
           f"vocab {model.cfg.vocab_size})")
     cache_dtype = jnp.bfloat16  # --quantkv 1 (q8 cache) lands with paged KV
-    engine = Engine(model, max_context=args.contextsize, cache_dtype=cache_dtype)
+    if args.multiuser > 1:
+        from .engine.batch_engine import BatchedEngine
+
+        engine = BatchedEngine(model, max_context=args.contextsize,
+                               n_slots=args.multiuser, cache_dtype=cache_dtype)
+        print(f"Continuous batching enabled: {args.multiuser} KV slots")
+    else:
+        engine = Engine(model, max_context=args.contextsize,
+                        cache_dtype=cache_dtype)
 
     if args.benchmark is not None:
         run_benchmark(engine, args.benchmark)

@@ -96,21 +96,25 @@ async def _read_json(request: web.Request) -> dict:
 
 async def _run_generation(state: ServerState, genparams: dict,
                           api_format: int) -> dict:
-    """Acquire the busy lock (or queue / 503) and run one generation."""
+    """Run one generation. With the continuous-batching engine, requests
+    multiplex across KV slots; with the simple engine they serialize behind
+    the busy lock (+ FIFO queue for --multiuser, 503 on overflow)."""
     s = state.settings
-    if state.busy.locked():
-        if state.requests_in_queue >= max(0, s.multiuser - 1):
-            raise web.HTTPServiceUnavailable(
-                text=json.dumps({"detail": {"msg": "Server is busy; please try again later.",
-                                            "type": "service_unavailable"}}),
-                content_type="application/json")
-        state.requests_in_queue += 1
-        try:
+    batched = hasattr(state.engine, "submit")
+    if not batched:
+        if state.busy.locked():
+            if state.requests_in_queue >= max(0, s.multiuser - 1):
+                raise web.HTTPServiceUnavailable(
+                    text=json.dumps({"detail": {"msg": "Server is busy; please try again later.",
+                                                "type": "service_unavailable"}}),
+                    content_type="application/json")
+            state.requests_in_queue += 1
+            try:
+                await state.busy.acquire()
+            finally:
+                state.requests_in_queue -= 1
+        else:
             await state.busy.acquire()
-        finally:
-            state.requests_in_queue -= 1
-    else:
-        await state.busy.acquire()
 
     genkey = str(genparams.get("genkey") or f"KCPP{uuid.uuid4().hex[:8]}")
     gen = ActiveGen(genkey=genkey, engine=state.engine)
@@ -131,8 +135,13 @@ async def _run_generation(state: ServerState, genparams: dict,
             gen.text_so_far += piece
             gen.pieces.put(piece)
 
-        result = await loop.run_in_executor(
-            None, lambda: state.engine.generate(full_prompt, params, on_token))
+        if batched:
+            req = state.engine.submit(full_prompt, params, on_token, genkey=genkey)
+            await loop.run_in_executor(None, req.done.wait)
+            result = req.result
+        else:
+            result = await loop.run_in_executor(
+                None, lambda: state.engine.generate(full_prompt, params, on_token))
         gen.done = True
         gen.pieces.put(None)  # sentinel
         state.total_gens += 1
@@ -141,7 +150,8 @@ async def _run_generation(state: ServerState, genparams: dict,
     finally:
         gen.done = True
         state.active.pop(genkey, None)
-        state.busy.release()
+        if not batched:
+            state.busy.release()
 
 
 def _wrap_response(result: dict, api_format: int, model_name: str) -> dict:
@@ -395,7 +405,10 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
         genkey = str(body.get("genkey", ""))
         ag = state.active.get(genkey) if genkey else None
         if ag is not None or not genkey:
-            state.engine.abort()
+            if hasattr(state.engine, "submit"):
+                state.engine.abort(genkey)
+            else:
+                state.engine.abort()
             return _json({"success": True, "done": True})
         state.pending_abort_keys.add(genkey)
         return _json({"success": True, "done": False})
