@@ -372,34 +372,18 @@ def _detok(tk, tokens: list[int]) -> str:
 
 
 def _find_stop(text: str, stops: list[str]) -> int | None:
-    best = None
-    for s in stops:
-        if not s:
-            continue
-        i = text.find(s)
-        if i >= 0 and (best is None or i < best):
-            best = i
-    return best
+    from ..utils.native import find_first_stop
+
+    return find_first_stop(text, stops)
 
 
 def _longest_common_run(a: list[int], b: list[int]) -> tuple[int, int, int]:
-    """Longest run of consecutive equal tokens (LCS of runs); returns
-    (length, start_in_a, start_in_b). Mirrors arr_longest_common_substring
-    (model_adapter.cpp:382) with O(len(a)*len(b)) DP, vectorized."""
-    if not a or not b:
-        return 0, 0, 0
-    A = np.asarray(a)[:, None]
-    B = np.asarray(b)[None, :]
-    eq = (A == B).astype(np.int32)
-    # DP over diagonals: run[i,j] = run[i-1,j-1]+1 if eq
-    run = np.zeros_like(eq)
-    run[0, :] = eq[0, :]
-    run[:, 0] = eq[:, 0]
-    for i in range(1, eq.shape[0]):
-        run[i, 1:] = (run[i - 1, :-1] + 1) * eq[i, 1:]
-    idx = np.unravel_index(np.argmax(run), run.shape)
-    ln = int(run[idx])
-    return ln, int(idx[0]) - ln + 1, int(idx[1]) - ln + 1
+    """Longest run of consecutive equal tokens; returns (length, start_in_a,
+    start_in_b). Counterpart of arr_longest_common_substring
+    (model_adapter.cpp:382); native C++ when available."""
+    from ..utils.native import longest_common_run
+
+    return longest_common_run(a, b)
 
 
 @partial(jax.jit, static_argnames=("rope_type", "rot_dim"), donate_argnames=("cache",))

@@ -424,29 +424,10 @@ def sample_dry(c: Candidates, ctx_tokens: list[int], n_ctx: int,
     if rep_limit <= allowed_length:
         return
 
-    # Step 2: reverse Z-algorithm over the window
-    repeat = [0] * last_n
-    last = last_n - 1
-    rt = lt = 0
-    for k in range(1, last_n):
-        if k > rt:
-            n = 0
-            while n + k < last_n and toks[last - n] == toks[last - (n + k)]:
-                n += 1
-            repeat[last - k] = min(n, rep_limit)
-            if n > 0:
-                lt, rt = k, k + n - 1
-        else:
-            p = k - lt
-            right_len = rt - k + 1
-            if repeat[last - p] < right_len:
-                repeat[last - k] = min(repeat[last - p], rep_limit)
-            else:
-                i2 = rt + 1
-                while i2 < last_n and toks[last - i2] == toks[last - (i2 - k)]:
-                    i2 += 1
-                repeat[last - k] = min(i2 - k, rep_limit)
-                lt, rt = k, i2 - 1
+    # Step 2: reverse Z-algorithm over the window (native C++ when available)
+    from ..utils.native import dry_repeat_scan
+
+    repeat = dry_repeat_scan(toks, rep_limit)
 
     # Step 3: max repeat ending in each continuation token
     max_rep: dict[int, int] = {}

@@ -1,0 +1,167 @@
+"""ctypes loader for the native helper library (native/kcpp_native.cpp).
+
+Mirrors the reference's dlopen bridge pattern (init_library,
+/root/reference/koboldcpp.py:317) at a much smaller scale: the TPU compute
+path is XLA/Pallas, so only host-side hot-loop algorithms live in C++.
+Falls back to pure-Python/numpy implementations when the .so is missing;
+`make -C native` (run automatically on first import if a compiler exists)
+builds it.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libkcpp_native.so")
+
+_lib = None
+
+
+def _try_build():
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], capture_output=True,
+                       timeout=120, check=True)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib or None
+    if not os.path.exists(_LIB_PATH):
+        if not _try_build():
+            _lib = False
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _lib = False
+        return None
+    i64 = ctypes.c_int64
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.kcpp_longest_common_run.argtypes = [p_i32, i64, p_i32, i64, p_i64]
+    lib.kcpp_longest_common_run.restype = None
+    lib.kcpp_dry_repeat_scan.argtypes = [p_i32, i64, i64, p_i32]
+    lib.kcpp_dry_repeat_scan.restype = None
+    lib.kcpp_find_first_stop.argtypes = [
+        ctypes.c_char_p, i64, ctypes.c_char_p, p_i64, i64]
+    lib.kcpp_find_first_stop.restype = i64
+    lib.kcpp_common_prefix.argtypes = [p_i32, i64, p_i32, i64]
+    lib.kcpp_common_prefix.restype = i64
+    _lib = lib
+    return lib
+
+
+def _as_i32(arr) -> np.ndarray:
+    return np.ascontiguousarray(arr, dtype=np.int32)
+
+
+def longest_common_run(a, b) -> tuple[int, int, int]:
+    """(length, start_in_a, start_in_b) of the longest consecutive match."""
+    lib = get_lib()
+    aa, bb = _as_i32(a), _as_i32(b)
+    if lib is not None:
+        out = np.zeros(3, dtype=np.int64)
+        lib.kcpp_longest_common_run(
+            aa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(aa),
+            bb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(bb),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return int(out[0]), int(out[1]), int(out[2])
+    # numpy fallback (diagonal DP)
+    if len(aa) == 0 or len(bb) == 0:
+        return 0, 0, 0
+    eq = (aa[:, None] == bb[None, :]).astype(np.int32)
+    run = np.zeros_like(eq)
+    run[0, :] = eq[0, :]
+    run[:, 0] = eq[:, 0]
+    for i in range(1, eq.shape[0]):
+        run[i, 1:] = (run[i - 1, :-1] + 1) * eq[i, 1:]
+    idx = np.unravel_index(np.argmax(run), run.shape)
+    ln = int(run[idx])
+    return ln, int(idx[0]) - ln + 1, int(idx[1]) - ln + 1
+
+
+def dry_repeat_scan(tokens, rep_limit: int) -> np.ndarray:
+    """Reverse Z-algorithm repeat lengths (DRY sampler step 2)."""
+    tt = _as_i32(tokens)
+    n = len(tt)
+    out = np.zeros(n, dtype=np.int32)
+    if n < 2:
+        return out
+    lib = get_lib()
+    if lib is not None:
+        lib.kcpp_dry_repeat_scan(
+            tt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+            rep_limit, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+    # python fallback
+    last = n - 1
+    rt = lt = 0
+    for k in range(1, n):
+        if k > rt:
+            m = 0
+            while m + k < n and tt[last - m] == tt[last - (m + k)]:
+                m += 1
+            out[last - k] = min(m, rep_limit)
+            if m > 0:
+                lt, rt = k, k + m - 1
+        else:
+            p = k - lt
+            right_len = rt - k + 1
+            if out[last - p] < right_len:
+                out[last - k] = min(int(out[last - p]), rep_limit)
+            else:
+                i = rt + 1
+                while i < n and tt[last - i] == tt[last - (i - k)]:
+                    i += 1
+                out[last - k] = min(i - k, rep_limit)
+                lt, rt = k, i - 1
+    return out
+
+
+def find_first_stop(text: str, stops: list[str]) -> int | None:
+    """Earliest index of any stop string in text, or None."""
+    real = [s for s in stops if s]
+    if not real or not text:
+        return None
+    lib = get_lib()
+    if lib is not None:
+        tb = text.encode("utf-8")
+        sb = b"".join(s.encode("utf-8") for s in real)
+        lens = np.array([len(s.encode("utf-8")) for s in real], dtype=np.int64)
+        # byte offset -> char offset mapping needed; do the scan in bytes then
+        # convert (utf-8 prefix decode)
+        i = lib.kcpp_find_first_stop(
+            tb, len(tb), sb, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(real))
+        if i < 0:
+            return None
+        return len(tb[:i].decode("utf-8", errors="ignore"))
+    best = None
+    for s in real:
+        i = text.find(s)
+        if i >= 0 and (best is None or i < best):
+            best = i
+    return best
+
+
+def common_prefix(a, b) -> int:
+    aa, bb = _as_i32(a), _as_i32(b)
+    lib = get_lib()
+    if lib is not None:
+        return int(lib.kcpp_common_prefix(
+            aa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(aa),
+            bb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(bb)))
+    n = min(len(aa), len(bb))
+    i = 0
+    while i < n and aa[i] == bb[i]:
+        i += 1
+    return i

@@ -1,0 +1,70 @@
+"""Native C++ helper library: builds, loads, and agrees with Python fallbacks."""
+import numpy as np
+import pytest
+
+from koboldcpp_tpu.utils import native
+
+
+def test_library_builds_and_loads():
+    lib = native.get_lib()
+    assert lib is not None, "native library should build (g++ is in the image)"
+
+
+def _py_lcr(a, b):
+    if not len(a) or not len(b):
+        return 0, 0, 0
+    A = np.asarray(a)[:, None]
+    B = np.asarray(b)[None, :]
+    eq = (A == B).astype(np.int32)
+    run = np.zeros_like(eq)
+    run[0, :] = eq[0, :]
+    run[:, 0] = eq[:, 0]
+    for i in range(1, eq.shape[0]):
+        run[i, 1:] = (run[i - 1, :-1] + 1) * eq[i, 1:]
+    idx = np.unravel_index(np.argmax(run), run.shape)
+    ln = int(run[idx])
+    return ln, int(idx[0]) - ln + 1, int(idx[1]) - ln + 1
+
+
+def test_longest_common_run_matches_reference_dp():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        a = rng.integers(0, 5, rng.integers(1, 40)).tolist()
+        b = rng.integers(0, 5, rng.integers(1, 40)).tolist()
+        ln, ia, ib = native.longest_common_run(a, b)
+        ref_ln, _, _ = _py_lcr(a, b)
+        assert ln == ref_ln
+        if ln:
+            assert a[ia:ia + ln] == b[ib:ib + ln]
+
+
+def test_dry_repeat_scan_example():
+    # the documented example from the reference (gpttype_adapter.cpp:829-835):
+    # tokens a b c c b c y a b c -> repeat counts 0 0 3 1 0 2 0 0 0 0
+    t = {"a": 1, "b": 2, "c": 3, "y": 4}
+    toks = [t[c] for c in "abccbcyabc"]
+    out = native.dry_repeat_scan(toks, rep_limit=len(toks))
+    assert out.tolist() == [0, 0, 3, 1, 0, 2, 0, 0, 0, 0]
+
+
+def test_dry_repeat_scan_native_vs_python(monkeypatch):
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, 4, 200).tolist()
+    got_native = native.dry_repeat_scan(toks, 50)
+    # force python fallback
+    monkeypatch.setattr(native, "_lib", False)
+    got_py = native.dry_repeat_scan(toks, 50)
+    np.testing.assert_array_equal(got_native, got_py)
+
+
+def test_find_first_stop():
+    assert native.find_first_stop("hello world", ["world", "lo"]) == 3
+    assert native.find_first_stop("hello", ["xyz"]) is None
+    assert native.find_first_stop("héllo wörld", ["wörld"]) == 6
+    assert native.find_first_stop("", ["x"]) is None
+
+
+def test_common_prefix():
+    assert native.common_prefix([1, 2, 3, 4], [1, 2, 9]) == 2
+    assert native.common_prefix([], [1]) == 0
+    assert native.common_prefix([5, 6], [5, 6]) == 2
