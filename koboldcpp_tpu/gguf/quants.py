@@ -756,6 +756,224 @@ def _iq4_xs_dequantize(raw: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# IQ codebook formats + ternary (grids: iq_grids.npz, see tools/gen_iq_grids.py)
+# ---------------------------------------------------------------------------
+
+_IQ_GRIDS: dict[str, np.ndarray] | None = None
+
+
+def _iq_grids() -> dict[str, np.ndarray]:
+    global _IQ_GRIDS
+    if _IQ_GRIDS is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "iq_grids.npz")
+        _IQ_GRIDS = dict(np.load(path))
+    return _IQ_GRIDS
+
+
+def _signs_from_index(idx: np.ndarray) -> np.ndarray:
+    """7-bit sign index -> (..., 8) of +-1 via the shared ksigns table."""
+    ks = _iq_grids()["ksigns"]
+    sbyte = ks[idx]  # (...,)
+    bits = (sbyte[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    return np.where(bits == 1, np.float32(-1), np.float32(1))
+
+
+def _iq2_xxs_dequantize(raw: np.ndarray) -> np.ndarray:
+    g = _iq_grids()["grid_iq2_xxs"]
+    blocks = raw.reshape(-1, 66)
+    N = len(blocks)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    q16 = blocks[:, 2:].copy().view(np.uint16).reshape(N, 8, 4).astype(np.uint32)
+    aux0 = q16[:, :, 0] | (q16[:, :, 1] << 16)  # grid indices, 4 bytes
+    aux1 = q16[:, :, 2] | (q16[:, :, 3] << 16)  # signs + scale
+    db = d[:, None] * (0.5 + (aux1 >> 28)).astype(np.float32) * 0.25  # (N, 8)
+    gidx = np.stack([(aux0 >> (8 * l)) & 0xFF for l in range(4)], axis=2)  # (N,8,4)
+    sidx = np.stack([(aux1 >> (7 * l)) & 127 for l in range(4)], axis=2)
+    vals = g[gidx]  # (N, 8, 4, 8)
+    signs = _signs_from_index(sidx)  # (N, 8, 4, 8)
+    out = db[:, :, None, None] * vals * signs
+    return out.reshape(N, QK_K).astype(np.float32)
+
+
+def _iq2_xs_dequantize(raw: np.ndarray) -> np.ndarray:
+    g = _iq_grids()["grid_iq2_xs"]
+    blocks = raw.reshape(-1, 74)
+    N = len(blocks)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    q16 = blocks[:, 2:66].copy().view(np.uint16).reshape(N, 8, 4)
+    scales = blocks[:, 66:74]  # (N, 8) packed nibble pairs
+    db = np.stack([d[:, None] * (0.5 + (scales & 0xF)) * 0.25,
+                   d[:, None] * (0.5 + (scales >> 4)) * 0.25], axis=2)  # (N,8,2)
+    gidx = (q16 & 511).astype(np.int64)
+    sidx = (q16 >> 9).astype(np.int64)
+    vals = g[gidx]                       # (N, 8, 4, 8)
+    signs = _signs_from_index(sidx)
+    scale_l = db[:, :, np.arange(4) // 2]  # (N, 8, 4)
+    out = scale_l[..., None] * vals * signs
+    return out.reshape(N, QK_K).astype(np.float32)
+
+
+def _iq2_s_dequantize(raw: np.ndarray) -> np.ndarray:
+    g = _iq_grids()["grid_iq2_s"]
+    blocks = raw.reshape(-1, 82)
+    N = len(blocks)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    qs = blocks[:, 2:34].reshape(N, 8, 4).astype(np.int64)       # low 8 bits
+    signs = blocks[:, 34:66].reshape(N, 8, 4)                    # sign bytes
+    qh = blocks[:, 66:74].astype(np.int64)                       # (N, 8)
+    scales = blocks[:, 74:82]
+    db = np.stack([d[:, None] * (0.5 + (scales & 0xF)) * 0.25,
+                   d[:, None] * (0.5 + (scales >> 4)) * 0.25], axis=2)
+    shift = (8 - 2 * np.arange(4))
+    gidx = qs | ((qh[:, :, None] << shift[None, None, :]) & 0x300)
+    vals = g[gidx]  # (N, 8, 4, 8)
+    bits = (signs[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    sgn = np.where(bits == 1, np.float32(-1), np.float32(1))
+    scale_l = db[:, :, np.arange(4) // 2]
+    out = scale_l[..., None] * vals * sgn
+    return out.reshape(N, QK_K).astype(np.float32)
+
+
+def _iq3_xxs_dequantize(raw: np.ndarray) -> np.ndarray:
+    g = _iq_grids()["grid_iq3_xxs"]
+    blocks = raw.reshape(-1, 98)
+    N = len(blocks)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    qs = blocks[:, 2:66].reshape(N, 8, 8).astype(np.int64)  # 8 grid bytes / 32
+    aux = blocks[:, 66:98].copy().view(np.uint32).reshape(N, 8)
+    db = d[:, None] * (0.5 + (aux >> 28)).astype(np.float32) * 0.5  # (N, 8)
+    sidx = np.stack([(aux >> (7 * l)) & 127 for l in range(4)], axis=2)  # (N,8,4)
+    signs = _signs_from_index(sidx)  # (N, 8, 4, 8)
+    vals = g[qs].reshape(N, 8, 4, 8)  # pairs of 4-element grid rows
+    out = db[:, :, None, None] * vals * signs
+    return out.reshape(N, QK_K).astype(np.float32)
+
+
+def _iq3_s_dequantize(raw: np.ndarray) -> np.ndarray:
+    g = _iq_grids()["grid_iq3_s"]
+    blocks = raw.reshape(-1, 110)
+    N = len(blocks)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    qs = blocks[:, 2:66].reshape(N, 8, 8).astype(np.int64)
+    qh = blocks[:, 66:74].astype(np.int64)  # (N, 8) one byte per 32-group
+    signs = blocks[:, 74:106].reshape(N, 8, 4)
+    scales = blocks[:, 106:110]  # (N, 4) nibble pairs per 64
+    db = np.stack([d[:, None] * (1 + 2 * (scales & 0xF)).astype(np.float32),
+                   d[:, None] * (1 + 2 * (scales >> 4)).astype(np.float32)],
+                  axis=2).reshape(N, 8)  # per-32 scale
+    # high bit: qh bit (2l + pair) extends qs[2l + pair]
+    k = np.arange(8)
+    gidx = qs | (((qh[:, :, None] << (8 - k)[None, None, :]) & 256))
+    vals = g[gidx].reshape(N, 8, 4, 8)
+    bits = (signs[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    sgn = np.where(bits == 1, np.float32(-1), np.float32(1))
+    out = db[:, :, None, None] * vals * sgn
+    return out.reshape(N, QK_K).astype(np.float32)
+
+
+IQ1S_DELTA = np.float32(0.125)
+
+
+def _iq1_s_dequantize(raw: np.ndarray) -> np.ndarray:
+    g = _iq_grids()["grid_iq1_s"]
+    blocks = raw.reshape(-1, 50)
+    N = len(blocks)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    qs = blocks[:, 2:34].reshape(N, 8, 4).astype(np.int64)
+    qh = blocks[:, 34:50].copy().view(np.uint16).reshape(N, 8).astype(np.int64)
+    dl = d[:, None] * (2 * ((qh >> 12) & 7) + 1).astype(np.float32)  # (N, 8)
+    delta = np.where(qh & 0x8000, -IQ1S_DELTA, IQ1S_DELTA)  # (N, 8)
+    l = np.arange(4)
+    gidx = qs | (((qh[:, :, None] >> (3 * l)[None, None, :]) & 7) << 8)
+    vals = g[gidx]  # (N, 8, 4, 8)
+    out = dl[:, :, None, None] * (vals + delta[:, :, None, None])
+    return out.reshape(N, QK_K).astype(np.float32)
+
+
+def _iq1_m_dequantize(raw: np.ndarray) -> np.ndarray:
+    g = _iq_grids()["grid_iq1_m"]
+    blocks = raw.reshape(-1, 56)
+    N = len(blocks)
+    qs = blocks[:, 0:32].reshape(N, 8, 4).astype(np.int64)
+    qh = blocks[:, 32:48].reshape(N, 8, 2).astype(np.int64)
+    sc = blocks[:, 48:56].copy().view(np.uint16).reshape(N, 4).astype(np.uint32)
+    scale_bits = ((sc[:, 0] >> 12) | ((sc[:, 1] >> 8) & 0x00F0)
+                  | ((sc[:, 2] >> 4) & 0x0F00) | (sc[:, 3] & 0xF000))
+    d = scale_bits.astype(np.uint16)[:, None].view(np.float16).astype(np.float32)[:, 0]
+    ib = np.arange(8)
+    dl1 = (2 * ((sc[:, ib // 2] >> (6 * (ib % 2))) & 7) + 1).astype(np.float32)
+    dl2 = (2 * ((sc[:, ib // 2] >> (6 * (ib % 2) + 3)) & 7) + 1).astype(np.float32)
+    dl = np.stack([dl1, dl1, dl2, dl2], axis=2) * d[:, None, None]  # (N, 8, 4)
+    idx = np.stack([
+        qs[:, :, 0] | ((qh[:, :, 0] << 8) & 0x700),
+        qs[:, :, 1] | ((qh[:, :, 0] << 4) & 0x700),
+        qs[:, :, 2] | ((qh[:, :, 1] << 8) & 0x700),
+        qs[:, :, 3] | ((qh[:, :, 1] << 4) & 0x700),
+    ], axis=2)  # (N, 8, 4)
+    dmask = np.stack([qh[:, :, 0] & 0x08, qh[:, :, 0] & 0x80,
+                      qh[:, :, 1] & 0x08, qh[:, :, 1] & 0x80], axis=2)
+    delta = np.where(dmask != 0, -IQ1S_DELTA, IQ1S_DELTA)
+    vals = g[idx]  # (N, 8, 4, 8)
+    out = dl[..., None] * (vals + delta[..., None])
+    return out.reshape(N, QK_K).astype(np.float32)
+
+
+def _tq1_0_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 54)
+    N = len(blocks)
+    qs = blocks[:, 0:48]
+    qh = blocks[:, 48:52]
+    d = _f16_to_f32(blocks[:, 52:54].copy())[:, 0]
+    pow3 = np.array([1, 3, 9, 27, 81], dtype=np.uint16)
+
+    def tern(bytes_, npow):  # (..., M) x pow planes -> (..., npow, M)
+        q = bytes_[..., None, :].astype(np.uint16) * pow3[:npow, None]
+        return ((((q & 0xFF) * 3) >> 8).astype(np.int8) - 1).astype(np.float32)
+
+    parts = [
+        tern(qs[:, 0:32], 5).reshape(N, 160),
+        tern(qs[:, 32:48], 5).reshape(N, 80),
+        tern(qh, 4).reshape(N, 16),
+    ]
+    q = np.concatenate(parts, axis=1)
+    return d[:, None] * q
+
+
+def _tq2_0_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 66)
+    N = len(blocks)
+    qs = blocks[:, 0:64].reshape(N, 2, 32)
+    d = _f16_to_f32(blocks[:, 64:66].copy())[:, 0]
+    planes = np.stack([(qs >> (2 * l)) & 3 for l in range(4)], axis=2)  # (N,2,4,32)
+    q = planes.reshape(N, QK_K).astype(np.int8) - 1
+    return d[:, None] * q.astype(np.float32)
+
+
+def _q8_1_quantize(x: np.ndarray) -> np.ndarray:
+    b = _rows(x, 32)
+    amax = np.abs(b).max(axis=-1)
+    d = (amax / 127.0).astype(np.float32)
+    inv = np.where(d != 0, np.float32(1.0) / d, np.float32(0.0))
+    v = b * inv[:, None]
+    q = np.trunc(v + np.where(v >= 0, np.float32(0.5), np.float32(-0.5))).astype(np.int8)
+    s = d * q.sum(axis=-1, dtype=np.float32)
+    out = np.empty((len(b), 36), dtype=np.uint8)
+    out[:, 0:2] = _f16(d)[:, None].view(np.uint8)
+    out[:, 2:4] = _f16(s)[:, None].view(np.uint8)
+    out[:, 4:] = q.view(np.uint8)
+    return out
+
+
+def _q8_1_dequantize(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 36)
+    d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+    q = blocks[:, 4:].view(np.int8).astype(np.float32)
+    return d[:, None] * q
+
+
+# ---------------------------------------------------------------------------
 # plain float formats
 # ---------------------------------------------------------------------------
 
@@ -809,6 +1027,7 @@ _QUANTIZERS = {
     GGMLType.Q5_K: _q5_k_quantize,
     GGMLType.Q6_K: _q6_k_quantize,
     GGMLType.Q8_K: _q8_k_quantize,
+    GGMLType.Q8_1: _q8_1_quantize,
     GGMLType.IQ4_NL: _iq4_nl_quantize,
 }
 
@@ -829,6 +1048,16 @@ _DEQUANTIZERS = {
     GGMLType.Q8_K: _q8_k_dequantize,
     GGMLType.IQ4_NL: _iq4_nl_dequantize,
     GGMLType.IQ4_XS: _iq4_xs_dequantize,
+    GGMLType.IQ2_XXS: _iq2_xxs_dequantize,
+    GGMLType.IQ2_XS: _iq2_xs_dequantize,
+    GGMLType.IQ2_S: _iq2_s_dequantize,
+    GGMLType.IQ3_XXS: _iq3_xxs_dequantize,
+    GGMLType.IQ3_S: _iq3_s_dequantize,
+    GGMLType.IQ1_S: _iq1_s_dequantize,
+    GGMLType.IQ1_M: _iq1_m_dequantize,
+    GGMLType.TQ1_0: _tq1_0_dequantize,
+    GGMLType.TQ2_0: _tq2_0_dequantize,
+    GGMLType.Q8_1: _q8_1_dequantize,
 }
 
 
