@@ -106,6 +106,14 @@ class Engine:
             static_argnames=(),
             donate_argnames=("cache",),
         )
+        self._forward_flash = jax.jit(
+            partial(model_llama.forward, cfg=self.cfg, flash_prefill=True),
+            static_argnames=(),
+            donate_argnames=("cache",),
+        )
+        # flash prefill: TPU-only pallas kernel, needs block-sized chunks
+        self.use_flash_prefill = (jax.default_backend() not in ("cpu",)
+                                  and self.cfg.head_dim in (64, 128, 256))
 
     # -- low-level steps ---------------------------------------------------
     def _eval_chunk(self, tokens: list[int], start_pos: int) -> np.ndarray:
@@ -113,6 +121,16 @@ class Engine:
         n = len(tokens)
         b = _bucket(n)
         pad = b - n
+        if self.use_flash_prefill and start_pos == 0 and b >= 128:
+            # pad at the END so row index == position (causal alignment);
+            # gather logits at the last real row
+            tok = jnp.asarray(np.array([tokens + [0] * pad], dtype=np.int32))
+            pos = jnp.asarray(np.array(
+                [list(range(n)) + [-1] * pad], dtype=np.int32))
+            logits, self.cache = self._forward_flash(
+                self.model.params, tokens=tok, positions=pos, cache=self.cache,
+                last_index=jnp.array([n - 1], dtype=jnp.int32))
+            return np.asarray(logits[0, -1])
         tok = jnp.asarray(np.array([[0] * pad + tokens], dtype=np.int32))
         pos = jnp.asarray(
             np.array([[-1] * pad + list(range(start_pos, start_pos + n))],

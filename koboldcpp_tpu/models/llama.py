@@ -30,6 +30,33 @@ def _softcap(x: jnp.ndarray, cap: float) -> jnp.ndarray:
     return x
 
 
+def flash_prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            positions: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Causal self-attention over the current chunk via the TPU Pallas flash
+    kernel (counterpart of the reference's --flashattention fattn path,
+    /root/reference/ggml/src/ggml-cuda/fattn.cu). Valid when the chunk is the
+    whole context so far (prefill from position 0). q: (B, T, H, D);
+    k/v: (B, T, Hkv, D); padding rows have position < 0."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+
+    B, T, H, D = q.shape
+    Hkv = k.shape[2]
+    G = H // Hkv
+    # repeat kv heads for GQA (flash kernel wants matching head counts)
+    if G > 1:
+        k = jnp.repeat(k, G, axis=2)
+        v = jnp.repeat(v, G, axis=2)
+    qh = q.transpose(0, 2, 1, 3)  # (B, H, T, D)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    seg = jnp.where(positions >= 0, 0, 1).astype(jnp.int32)  # pad rows isolated
+    out = flash_attention(qh, kh, vh,
+                          segment_ids=SegmentIds(q=seg, kv=seg),
+                          causal=True, sm_scale=scale)
+    return out.transpose(0, 2, 1, 3)
+
+
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               mask: jnp.ndarray, scale: float, softcap: float = 0.0) -> jnp.ndarray:
     """q: (B, T, H, D); k/v: (B, S, Hkv, D); mask: (B, T, S) bool.
@@ -90,7 +117,9 @@ def _moe_ffn(x: jnp.ndarray, layer: Params, cfg: ModelConfig) -> jnp.ndarray:
 
 def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             positions: jnp.ndarray, cache: KVCache,
-            last_only: bool = False) -> tuple[jnp.ndarray, KVCache]:
+            last_only: bool = False,
+            flash_prefill: bool = False,
+            last_index: jnp.ndarray | None = None) -> tuple[jnp.ndarray, KVCache]:
     """tokens, positions: (B, T) int32. Returns (logits f32, updated cache).
 
     Causal mask derives from the slot==position cache invariant:
@@ -126,8 +155,12 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         k = apply_rope(k, positions, freqs, cfg.rope_type, cfg.rope_dim)
 
         cache = kv_write(cache, li, positions, k, v)
-        attn_out = attention(q, cache.k[li], cache.v[li], mask, scale,
-                             cfg.attn_logit_softcap)
+        if flash_prefill and not cfg.attn_logit_softcap:
+            # prefill-from-zero: chunk == entire context, no cache read needed
+            attn_out = flash_prefill_attention(q, k, v, positions, scale)
+        else:
+            attn_out = attention(q, cache.k[li], cache.v[li], mask, scale,
+                                 cfg.attn_logit_softcap)
         attn_out = attn_out.reshape(B, T, cfg.n_heads * cfg.head_dim)
         x = x + linear.matmul(attn_out, layer["wo"])
 
@@ -137,7 +170,9 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         else:
             x = x + _ffn(h, layer)
 
-    if last_only:
+    if last_index is not None:
+        x = x[jnp.arange(B), last_index][:, None, :]
+    elif last_only:
         x = x[:, -1:, :]
     x = rms_norm(x, params["output_norm"], cfg.rms_norm_eps)
     logits = linear.matmul(x, params["output"], out_dtype=jnp.float32)

@@ -42,17 +42,29 @@ def _rand_q4k(rng, out_f: int, in_f: int) -> QTensor:
         "qs": jnp.asarray(qs),
         "scale": jnp.asarray(scale, dtype=jnp.bfloat16),
         "min": jnp.asarray(mn, dtype=jnp.bfloat16),
+        "scale_lo": jnp.asarray(scale[:, 0::2], dtype=jnp.bfloat16),
+        "scale_hi": jnp.asarray(scale[:, 1::2], dtype=jnp.bfloat16),
     })
 
 
 def _rand_q6k(rng, out_f: int, in_f: int) -> QTensor:
     nsb = in_f // QK_K
+    ql = rng.integers(0, 256, size=(out_f, nsb * 128), dtype=np.uint8)
+    qh = rng.integers(0, 256, size=(out_f, nsb * 64), dtype=np.uint8)
+    scale = (rng.random((out_f, nsb * 16), dtype=np.float32) * 0.002).astype(np.float32)
+    ql5 = ql.reshape(out_f, nsb, 2, 2, 32)
+    ql2 = np.concatenate([ql5[:, :, :, 0, :].reshape(out_f, -1),
+                          ql5[:, :, :, 1, :].reshape(out_f, -1)], axis=1)
+    s5 = scale.reshape(out_f, nsb, 2, 4, 2)
+    scale_p = np.concatenate([s5[:, :, :, j, :].reshape(out_f, -1)
+                              for j in range(4)], axis=1)
     return QTensor(kind="q6_k", shape=(out_f, in_f), data={
-        "ql": jnp.asarray(rng.integers(0, 256, size=(out_f, nsb * 128), dtype=np.uint8)),
-        "qh": jnp.asarray(rng.integers(0, 256, size=(out_f, nsb * 64), dtype=np.uint8)),
-        "scale": jnp.asarray(
-            (rng.random((out_f, nsb * 16), dtype=np.float32) * 0.002).astype(np.float32),
-            dtype=jnp.bfloat16),
+        "ql": jnp.asarray(ql),
+        "qh": jnp.asarray(qh),
+        "scale": jnp.asarray(scale, dtype=jnp.bfloat16),
+        "ql2": jnp.asarray(ql2),
+        "qh2": jnp.asarray(qh),
+        "scale_p": jnp.asarray(scale_p, dtype=jnp.bfloat16),
     })
 
 

@@ -82,6 +82,9 @@ def pack_q4_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
         "qs": jnp.asarray(qs),
         "scale": jnp.asarray(scales, dtype=jnp.bfloat16),  # per 32-col sub-block
         "min": jnp.asarray(mins, dtype=jnp.bfloat16),
+        # kernel-layout views: per-nibble-plane scales (even/odd sub-blocks)
+        "scale_lo": jnp.asarray(scales[:, 0::2], dtype=jnp.bfloat16),
+        "scale_hi": jnp.asarray(scales[:, 1::2], dtype=jnp.bfloat16),
     })
 
 
@@ -113,10 +116,22 @@ def pack_q6_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     sc8 = blocks[:, :, 192:208].view(np.int8).astype(np.float32)
     d = blocks[:, :, 208:210].copy().view(np.float16).astype(np.float32)[..., 0]
     scales = (d[..., None] * sc8).reshape(rows, nsb * 16)  # per 16-col sub-block
+    # kernel-layout views (constant-shift plane decode, see quant_matmul.py):
+    # ql2 = [bytes l (planes 0,2) | bytes l+32 (planes 1,3)], each [S, half, l]
+    ql5 = ql.reshape(rows, nsb, 2, 2, 32)  # (S, half, byte-group, l)
+    ql2 = np.concatenate([ql5[:, :, :, 0, :].reshape(rows, -1),
+                          ql5[:, :, :, 1, :].reshape(rows, -1)], axis=1)
+    # scales plane-major: natural idx = 16S + 8h + 2j + t -> plane j [S, h, t]
+    s5 = scales.reshape(rows, nsb, 2, 4, 2)
+    scale_p = np.concatenate([s5[:, :, :, j, :].reshape(rows, -1)
+                              for j in range(4)], axis=1)
     return QTensor(kind="q6_k", shape=shape, data={
         "ql": jnp.asarray(ql),
         "qh": jnp.asarray(qh),
         "scale": jnp.asarray(scales, dtype=jnp.bfloat16),
+        "ql2": jnp.asarray(ql2),
+        "qh2": jnp.asarray(qh),  # qh already [S, half, l] with plane shifts 0/2/4/6
+        "scale_p": jnp.asarray(scale_p, dtype=jnp.bfloat16),
     })
 
 

@@ -1,20 +1,27 @@
 """Fused dequant+matmul Pallas kernels for packed QTensors.
 
 TPU counterpart of ggml-cuda's mmq/mmvq and the CPU vec_dot paths
-(/root/reference/ggml/src/ggml-cuda/mmq.cuh, mmvq.cu,
-/root/reference/ggml/src/ggml-quants.c): weights stay packed in HBM
-(4.5-6.5 bits/weight); each grid step DMAs a packed tile to VMEM, unpacks with
-VPU bit ops (static reshapes only — the load-time repack in ops/linear.py was
-chosen so nibble planes land in column order), rescales to bf16 and feeds the
-MXU. Decode is HBM-bandwidth-bound, so the ~3.5x traffic cut vs bf16 is the
-speed-of-light lever.
+(/root/reference/ggml/src/ggml-cuda/mmq.cuh, mmvq.cu): weights stay packed in
+HBM; each grid step DMAs a packed tile to VMEM, dequantizes on-chip and feeds
+the MXU.
+
+Kernel construction notes (this jaxlib's Mosaic):
+- u8 bit ops must go through i32; no u8->bf16 casts; no rank>=4 reshapes or
+  minor-dim interleaves in-kernel. The nibble planes therefore contract
+  against PRE-SPLIT activations (xl/xh built by XLA outside the kernel), so
+  no in-kernel shuffles are needed at all.
+- per-32-column scales expand through an MXU dot with an iota-built 0/1
+  expansion matrix (decode is HBM-bound; the extra MXU work is free).
+- the Q4_K/Q5_K "min" term folds into a rank-G dot against per-group sums of
+  x (the same trick as mmq's q8_1 bsums), so mins never get expanded.
 
 `matmul_packed(x, qt)` returns None when no kernel covers (kind, shape);
-callers fall back to the XLA dequant path.
+callers fall back to the XLA dequant path in ops/linear.py.
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,163 +38,185 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _to_bf16(q):
-    """Mosaic-safe integer -> bf16 cast (no direct u8/i8 -> bf16 on TPU)."""
-    return q.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+def _pallas_enabled() -> bool:
+    """On-TPU default comes from KCPP_PALLAS_MM (set after A/B benchmarks);
+    the CPU interpreter always exercises the kernels (tests)."""
+    if jax.default_backend() == "cpu":
+        return True
+    return os.environ.get("KCPP_PALLAS_MM", "1") == "1"
 
 
-def _expand_scales(s, group: int):
-    """(R, C/group) -> (R, C) by repeating each column group times."""
-    R, G = s.shape
-    return jnp.broadcast_to(s[:, :, None], (R, G, group)).reshape(R, G * group)
+def _expand_mat(G: int, C: int, group: int) -> jnp.ndarray:
+    """(G, C) 0/1 matrix with E[g, c] = (c // group == g), built from iota."""
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (G, C), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (G, C), 1) // group
+    return (gidx == cidx).astype(jnp.bfloat16)
+
+
+def _dot_t(x, w):  # x (T, K) . w (R, K) -> (T, R) f32
+    return jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
 
-def _q4k_kernel(x_ref, qs_ref, scale_ref, min_ref, out_ref):
-    qs = qs_ref[:]
-    R, C2 = qs.shape
-    G = C2 // 32
-    lo = (qs & 0xF).reshape(R, G, 1, 32)
-    hi = (qs >> 4).reshape(R, G, 1, 32)
-    q = _to_bf16(jnp.concatenate([lo, hi], axis=2).reshape(R, C2 * 2))
-    s = _expand_scales(scale_ref[:].astype(jnp.bfloat16), 32)
-    m = _expand_scales(min_ref[:].astype(jnp.bfloat16), 32)
-    w = q * s - m
-    out_ref[:] = jax.lax.dot_general(
-        x_ref[:], w, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+def _sexp(s, E):
+    """scale expansion on the MXU: s (R, G) @ E (G, C) -> bf16 (R, C)."""
+    return jax.lax.dot_general(s, E, (((0 + 1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
 
-def _q5k_kernel(x_ref, qs_ref, qh_ref, scale_ref, min_ref, out_ref):
-    qs = qs_ref[:]
-    R, C2 = qs.shape
-    C = C2 * 2
-    G = C2 // 32
-    lo = (qs & 0xF).reshape(R, G, 1, 32)
-    hi = (qs >> 4).reshape(R, G, 1, 32)
-    q4 = jnp.concatenate([lo, hi], axis=2).reshape(R, C)
-    # qh: (R, C/8) bytes; bit sb of byte e%32 -> col 32*sb + e%32 per superblock
-    qh = qh_ref[:].reshape(R, C // 256, 1, 32)
-    sb = jnp.arange(8, dtype=jnp.uint8).reshape(1, 1, 8, 1)
-    bits = ((qh >> sb) & 1).reshape(R, C)
-    q = _to_bf16(q4 + (bits << 4))
-    s = _expand_scales(scale_ref[:].astype(jnp.bfloat16), 32)
-    m = _expand_scales(min_ref[:].astype(jnp.bfloat16), 32)
-    w = q * s - m
-    out_ref[:] = jax.lax.dot_general(
-        x_ref[:], w, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+def _q4k_kernel(xl_ref, xh_ref, xs_ref, qs_ref, slo_ref, shi_ref, m_ref, o_ref):
+    qs = qs_ref[:].astype(jnp.int32)
+    C2 = qs.shape[1]
+    lo = (qs & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
+    hi = ((qs >> 4) & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
+    E = _expand_mat(C2 // 32, C2, 32)
+    acc = _dot_t(xl_ref[:], lo * _sexp(slo_ref[:], E))
+    acc += _dot_t(xh_ref[:], hi * _sexp(shi_ref[:], E))
+    acc -= _dot_t(xs_ref[:], m_ref[:])
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
-def _q6k_kernel(x_ref, ql_ref, qh_ref, scale_ref, out_ref):
-    ql = ql_ref[:]
-    R = ql.shape[0]
-    C = ql.shape[1] * 2
-    H = C // 128  # 128-col halves
-    ql = ql.reshape(R, H, 2, 32)       # [half, byte-pair-plane, 32]
-    qh = qh_ref[:].reshape(R, H, 1, 32).astype(jnp.int32)
-    lo0 = (ql[:, :, 0:1, :] & 0xF).astype(jnp.int32)
-    lo1 = (ql[:, :, 1:2, :] & 0xF).astype(jnp.int32)
-    hi0 = (ql[:, :, 0:1, :] >> 4).astype(jnp.int32)
-    hi1 = (ql[:, :, 1:2, :] >> 4).astype(jnp.int32)
-    planes = jnp.concatenate([
-        lo0 | ((qh & 3) << 4),
-        lo1 | (((qh >> 2) & 3) << 4),
-        hi0 | (((qh >> 4) & 3) << 4),
-        hi1 | (((qh >> 6) & 3) << 4),
-    ], axis=2)  # (R, H, 4, 32)
-    q = _to_bf16(planes.reshape(R, C) - 32)
-    s = _expand_scales(scale_ref[:].astype(jnp.bfloat16), 16)
-    w = q * s
-    out_ref[:] = jax.lax.dot_general(
-        x_ref[:], w, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+def _q6k_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
+                ql_ref, qh_ref, s_ref, o_ref):
+    """Q6_K via 4 constant-shift bit planes; value = s * (q6 - 32), with the
+    -32 folded into a dot against per-16-group sums of x (xs)."""
+    ql = ql_ref[:].astype(jnp.int32)   # (R, C/2): [plane-pair A | plane-pair B]
+    qh = qh_ref[:].astype(jnp.int32)   # (R, C/4): 2-bit quads, planes 0-3
+    C2 = ql.shape[1]
+    C4 = C2 // 2
+    qlA, qlB = ql[:, :C4], ql[:, C4:]
+
+    def bf(v):
+        return v.astype(jnp.float32).astype(jnp.bfloat16)
+
+    p0 = bf((qlA & 0xF) | ((qh & 3) << 4))
+    p1 = bf((qlB & 0xF) | (((qh >> 2) & 3) << 4))
+    p2 = bf(((qlA >> 4) & 0xF) | (((qh >> 4) & 3) << 4))
+    p3 = bf(((qlB >> 4) & 0xF) | (((qh >> 6) & 3) << 4))
+    E = _expand_mat(C4 // 16, C4, 16)
+    s = s_ref[:]  # (R, C/16) bf16, plane-major [s0|s1|s2|s3]
+    n = s.shape[1] // 4
+    acc = _dot_t(x0_ref[:], p0 * _sexp(s[:, :n], E))
+    acc += _dot_t(x1_ref[:], p1 * _sexp(s[:, n:2 * n], E))
+    acc += _dot_t(x2_ref[:], p2 * _sexp(s[:, 2 * n:3 * n], E))
+    acc += _dot_t(x3_ref[:], p3 * _sexp(s[:, 3 * n:], E))
+    acc -= 32.0 * _dot_t(xs_ref[:], s)
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
-def _q8_0_kernel(x_ref, q_ref, scale_ref, out_ref):
-    q = _to_bf16(q_ref[:])
-    s = _expand_scales(scale_ref[:].astype(jnp.bfloat16), 32)
-    w = q * s
-    out_ref[:] = jax.lax.dot_general(
-        x_ref[:], w, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+def _q8_0_kernel(x_ref, q_ref, s_ref, o_ref):
+    q = q_ref[:].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+    C = q.shape[1]
+    E = _expand_mat(C // 32, C, 32)
+    acc = _dot_t(x_ref[:], q * _sexp(s_ref[:], E))
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
-# dispatch
+# host-side prep (XLA ops: plane splits + group sums) and dispatch
 # ---------------------------------------------------------------------------
 
-_KERNELS = {
-    "q4_k": (_q4k_kernel, ("qs", "scale", "min"), {"qs": 2, "scale": 32, "min": 32}),
-    "q5_k": (_q5k_kernel, ("qs", "qh", "scale", "min"),
-             {"qs": 2, "qh": 8, "scale": 32, "min": 32}),
-    "q6_k": (_q6k_kernel, ("ql", "qh", "scale"), {"ql": 2, "qh": 4, "scale": 16}),
-    "q8_0": (_q8_0_kernel, ("q", "scale"), {"q": 1, "scale": 32}),
-}
+def _plane_split2(x: jnp.ndarray, in_f: int):
+    """x (T, C) -> (xl, xh) in ggml nibble order: byte b of group g pairs
+    cols 64g+j (lo) and 64g+32+j (hi)."""
+    T = x.shape[0]
+    x3 = x.reshape(T, in_f // 64, 64)
+    xl = x3[:, :, :32].reshape(T, in_f // 2)
+    xh = x3[:, :, 32:].reshape(T, in_f // 2)
+    return xl, xh
+
+
+def _group_sums(x: jnp.ndarray, in_f: int, group: int):
+    T = x.shape[0]
+    return (x.astype(jnp.float32).reshape(T, in_f // group, group)
+            .sum(-1).astype(jnp.bfloat16))
+
+
+def _specs_x(t_tile, shapes):
+    return [pl.BlockSpec((t_tile, s), lambda o, t: (t, 0),
+                         memory_space=pltpu.VMEM) for s in shapes]
+
+
+def _specs_w(shapes):
+    return [pl.BlockSpec((ROW_TILE, s), lambda o, t: (o, 0),
+                         memory_space=pltpu.VMEM) for s in shapes]
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
-def _packed_matmul_2d(x, *fields, kind: str, out_f: int, in_f: int,
+def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
                       interpret: bool):
-    """x: (T, C) bf16 -> (T, out_f) f32-accumulated bf16."""
-    kernel, names, divisors = _KERNELS[kind]
     T = x.shape[0]
     t_tile = min(T_TILE, T)
     grid = (out_f // ROW_TILE, pl.cdiv(T, t_tile))
 
-    in_specs = [pl.BlockSpec((t_tile, in_f), lambda o, t: (t, 0),
-                             memory_space=pltpu.VMEM)]
-    for name in names:
-        cols = in_f // divisors[name]
-        in_specs.append(pl.BlockSpec((ROW_TILE, cols), lambda o, t: (o, 0),
-                                     memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((t_tile, ROW_TILE), lambda o, t: (t, o),
-                            memory_space=pltpu.VMEM)
+    if kind == "q4_k":
+        xl, xh = _plane_split2(x, in_f)
+        xs = _group_sums(x, in_f, 32)
+        x_args = (xl, xh, xs)
+        x_shapes = (in_f // 2, in_f // 2, in_f // 32)
+        kernel = _q4k_kernel
+        w_shapes = (in_f // 2, in_f // 64, in_f // 64, in_f // 32)
+    elif kind == "q6_k":
+        Tn = x.shape[0]
+        x4 = x.reshape(Tn, in_f // 128, 128)
+        planes = [x4[:, :, i * 32:(i + 1) * 32].reshape(Tn, in_f // 4)
+                  for i in range(4)]
+        xs4 = [_group_sums(p, in_f // 4, 16) for p in planes]
+        xs = jnp.concatenate(xs4, axis=1)  # matches s plane order
+        x_args = (*planes, xs)
+        x_shapes = (in_f // 4,) * 4 + (in_f // 16,)
+        kernel = _q6k_kernel
+        w_shapes = (in_f // 2, in_f // 4, in_f // 16)
+    elif kind == "q8_0":
+        x_args = (x,)
+        x_shapes = (in_f,)
+        kernel = _q8_0_kernel
+        w_shapes = (in_f, in_f // 32)
+    else:
+        raise ValueError(kind)
 
-    flops = 2 * T * in_f * out_f
-    bytes_accessed = sum(f.nbytes for f in fields) + x.nbytes + T * out_f * 2
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=in_specs,
-        out_specs=out_spec,
+        in_specs=_specs_x(t_tile, x_shapes) + _specs_w(w_shapes),
+        out_specs=pl.BlockSpec((t_tile, ROW_TILE), lambda o, t: (t, o),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, out_f), x.dtype),
-        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed,
-                                      transcendentals=0),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * in_f * out_f,
+            bytes_accessed=sum(f.nbytes for f in fields) + x.nbytes + T * out_f * 2,
+            transcendentals=0),
         interpret=interpret,
-    )(x, *fields)
+    )(*x_args, *fields)
 
 
-def _pallas_enabled() -> bool:
-    """The XLA path fuses dequant into the matmul and measures ~84-100% of the
-    packed-weight HBM roofline on v5e (see bench.py), and this jaxlib's Mosaic
-    rejects the concat/reshape patterns these kernels use on real TPU — so the
-    Pallas path is opt-in on TPU (KCPP_PALLAS_MM=1) and always-on under the
-    CPU interpreter (where tests validate kernel semantics)."""
-    import os
-
-    if jax.default_backend() == "cpu":
-        return True
-    return os.environ.get("KCPP_PALLAS_MM", "0") == "1"
+_FIELD_LISTS = {
+    "q4_k": ("qs", "scale_lo", "scale_hi", "min"),
+    "q6_k": ("ql2", "qh2", "scale_p"),
+    "q8_0": ("q", "scale"),
+}
 
 
 def matmul_packed(x: jnp.ndarray, qt: QTensor):
     """Dispatch to a Pallas kernel if one covers this QTensor, else None."""
-    if qt.kind not in _KERNELS or not _pallas_enabled():
+    if qt.kind not in _FIELD_LISTS or not _pallas_enabled():
         return None
     out_f, in_f = qt.shape
     if out_f % ROW_TILE or in_f % 256:
         return None
-    _, names, _ = _KERNELS[qt.kind]
-    fields = [qt.data[n] for n in names]
+    names = _FIELD_LISTS[qt.kind]
+    if any(n not in qt.data for n in names):
+        return None  # tensor packed before kernel-layout fields existed
+    fields = tuple(qt.data[n] for n in names)
 
     lead = x.shape[:-1]
     x2 = x.reshape(-1, in_f)
-    if x2.dtype not in (jnp.bfloat16, jnp.float32):
+    if x2.dtype != jnp.bfloat16:
         x2 = x2.astype(jnp.bfloat16)
-    y = _packed_matmul_2d(x2, *fields, kind=qt.kind, out_f=out_f, in_f=in_f,
+    y = _packed_matmul_2d(x2, fields, kind=qt.kind, out_f=out_f, in_f=in_f,
                           interpret=_use_interpret())
     return y.reshape(*lead, out_f)

@@ -18,8 +18,8 @@ def make_qt(t: GGMLType, out_f=256, in_f=512, seed=0):
     return qt, wref
 
 
-@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
-                               GGMLType.Q8_0], ids=lambda t: t.name)
+@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q8_0],
+                         ids=lambda t: t.name)
 @pytest.mark.parametrize("T", [1, 8, 300])
 def test_kernel_matches_reference(t, T):
     qt, wref = make_qt(t)
@@ -32,6 +32,19 @@ def test_kernel_matches_reference(t, T):
     # bf16 x/scales => ~1% relative error budget
     scale = np.abs(want).max() + 1e-6
     assert np.abs(got - want).max() / scale < 0.02
+
+
+def test_q5k_falls_back_to_xla():
+    """Q5_K has no v2 kernel (variable-shift high bits); linear.matmul must
+    still produce correct results through the XLA dequant path."""
+    qt, wref = make_qt(GGMLType.Q5_K)
+    assert quant_matmul.matmul_packed(
+        jnp.zeros((1, qt.in_features), jnp.bfloat16), qt) is None
+    x = np.random.default_rng(4).standard_normal((3, qt.in_features)).astype(np.float32) * 0.3
+    y = linear.matmul(jnp.asarray(x, dtype=jnp.bfloat16), qt)
+    want = x @ wref.T
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(np.asarray(y, np.float32) - want).max() / scale < 0.02
 
 
 def test_unsupported_shape_falls_back():
