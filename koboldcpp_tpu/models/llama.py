@@ -77,8 +77,13 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _ffn(x: jnp.ndarray, layer: Params) -> jnp.ndarray:
-    gate = linear.matmul(x, layer["w_gate"])
-    up = linear.matmul(x, layer["w_up"])
+    if "w_gateup" in layer:  # fused gate+up (one kernel launch)
+        gu = linear.matmul(x, layer["w_gateup"])
+        F = gu.shape[-1] // 2
+        gate, up = gu[..., :F], gu[..., F:]
+    else:
+        gate = linear.matmul(x, layer["w_gate"])
+        up = linear.matmul(x, layer["w_up"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     return linear.matmul(act, layer["w_down"])
 
@@ -138,12 +143,20 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     slot_ids = jnp.arange(S)
     mask = slot_ids[None, None, :] <= positions[:, :, None]  # (B, T, S)
 
+    qdim = cfg.n_heads * cfg.head_dim
+    kvdim = cfg.n_kv_heads * cfg.head_dim
     scale = cfg.head_dim ** -0.5 * mscale
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        q = linear.matmul(h, layer["wq"])
-        k = linear.matmul(h, layer["wk"])
-        v = linear.matmul(h, layer["wv"])
+        if "wqkv" in layer:  # fused projection (one kernel launch)
+            qkv = linear.matmul(h, layer["wqkv"])
+            q = qkv[..., :qdim]
+            k = qkv[..., qdim:qdim + kvdim]
+            v = qkv[..., qdim + kvdim:]
+        else:
+            q = linear.matmul(h, layer["wq"])
+            k = linear.matmul(h, layer["wk"])
+            v = linear.matmul(h, layer["wv"])
         if "bq" in layer:
             q = q + layer["bq"].astype(q.dtype)
             k = k + layer["bk"].astype(k.dtype)

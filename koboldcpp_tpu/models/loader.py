@@ -57,16 +57,34 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
     else:  # tied embeddings
         params["output"] = tok_embd
 
+    def fused(names_in: list[str]) -> Any | None:
+        """Row-concatenate same-type same-width tensors into one QTensor
+        (single fused kernel launch per projection group)."""
+        infos = [reader.tensors[n] for n in names_in]
+        if len({i.ggml_type for i in infos}) != 1:
+            return None
+        if len({i.shape[1] for i in infos}) != 1:
+            return None
+        raw = np.concatenate([reader.tensor_raw(n) for n in names_in], axis=0)
+        out_rows = sum(i.shape[0] for i in infos)
+        return linear.from_gguf(raw, infos[0].ggml_type,
+                                (out_rows, infos[0].shape[1]),
+                                packed=packed, dtype=dtype)
+
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
         layer: dict[str, Any] = {
             "attn_norm": _load_dense(reader, p + "attn_norm.weight"),
-            "wq": _load_tensor(reader, p + "attn_q.weight", packed, dtype),
-            "wk": _load_tensor(reader, p + "attn_k.weight", packed, dtype),
-            "wv": _load_tensor(reader, p + "attn_v.weight", packed, dtype),
             "wo": _load_tensor(reader, p + "attn_output.weight", packed, dtype),
             "ffn_norm": _load_dense(reader, p + "ffn_norm.weight"),
         }
+        qkv = fused([p + "attn_q.weight", p + "attn_k.weight", p + "attn_v.weight"])
+        if qkv is not None:
+            layer["wqkv"] = qkv
+        else:
+            layer["wq"] = _load_tensor(reader, p + "attn_q.weight", packed, dtype)
+            layer["wk"] = _load_tensor(reader, p + "attn_k.weight", packed, dtype)
+            layer["wv"] = _load_tensor(reader, p + "attn_v.weight", packed, dtype)
         for key, tname in (("bq", "attn_q.bias"), ("bk", "attn_k.bias"),
                            ("bv", "attn_v.bias")):
             opt(layer, key, p + tname, "dense")
@@ -80,8 +98,12 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
                 layer[key] = linear.from_gguf(reader.tensor_raw(p + tname),
                                               info.ggml_type, info.shape, packed=False, dtype=dtype)
         else:
-            layer["w_gate"] = _load_tensor(reader, p + "ffn_gate.weight", packed, dtype)
-            layer["w_up"] = _load_tensor(reader, p + "ffn_up.weight", packed, dtype)
+            gu = fused([p + "ffn_gate.weight", p + "ffn_up.weight"])
+            if gu is not None:
+                layer["w_gateup"] = gu
+            else:
+                layer["w_gate"] = _load_tensor(reader, p + "ffn_gate.weight", packed, dtype)
+                layer["w_up"] = _load_tensor(reader, p + "ffn_up.weight", packed, dtype)
             layer["w_down"] = _load_tensor(reader, p + "ffn_down.weight", packed, dtype)
         params["layers"].append(layer)
     return params

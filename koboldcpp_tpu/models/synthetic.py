@@ -104,16 +104,19 @@ def synthetic_params(cfg: ModelConfig, kind: str = "q4_k", seed: int = 0) -> dic
         "output": big(cfg.vocab_size, C),
         "layers": [],
     }
+    fused = kind != "dense"  # match the loader's fused-projection layout
     for _ in range(cfg.n_layers):
-        params["layers"].append({
+        layer = {
             "attn_norm": norm(),
-            "wq": big(qdim, C),
-            "wk": big(kvdim, C),
-            "wv": big(kvdim, C),
             "wo": big(C, qdim),
             "ffn_norm": norm(),
-            "w_gate": big(F, C),
-            "w_up": big(F, C),
             "w_down": big(C, F),
-        })
+        }
+        if fused:
+            layer["wqkv"] = big(qdim + 2 * kvdim, C)
+            layer["w_gateup"] = big(2 * F, C)
+        else:
+            layer.update(wq=big(qdim, C), wk=big(kvdim, C), wv=big(kvdim, C),
+                         w_gate=big(F, C), w_up=big(F, C))
+        params["layers"].append(layer)
     return params

@@ -71,8 +71,8 @@ def _sexp(s, E):
 def _q4k_kernel(xl_ref, xh_ref, xs_ref, qs_ref, slo_ref, shi_ref, m_ref, o_ref):
     qs = qs_ref[:].astype(jnp.int32)
     C2 = qs.shape[1]
-    lo = (qs & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
-    hi = ((qs >> 4) & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
+    lo = (qs & 0xF).astype(jnp.bfloat16)
+    hi = (qs >> 4).astype(jnp.bfloat16)  # u8 source: high nibble needs no mask
     E = _expand_mat(C2 // 32, C2, 32)
     acc = _dot_t(xl_ref[:], lo * _sexp(slo_ref[:], E))
     acc += _dot_t(xh_ref[:], hi * _sexp(shi_ref[:], E))
@@ -91,7 +91,7 @@ def _q6k_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
     qlA, qlB = ql[:, :C4], ql[:, C4:]
 
     def bf(v):
-        return v.astype(jnp.float32).astype(jnp.bfloat16)
+        return v.astype(jnp.bfloat16)
 
     p0 = bf((qlA & 0xF) | ((qh & 3) << 4))
     p1 = bf((qlB & 0xF) | (((qh >> 2) & 3) << 4))
@@ -109,7 +109,7 @@ def _q6k_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
 
 
 def _q8_0_kernel(x_ref, q_ref, s_ref, o_ref):
-    q = q_ref[:].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+    q = q_ref[:].astype(jnp.int32).astype(jnp.bfloat16)
     C = q.shape[1]
     E = _expand_mat(C // 32, C, 32)
     acc = _dot_t(x_ref[:], q * _sexp(s_ref[:], E))

@@ -40,7 +40,8 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None,
 
 
 # which param keys shard which way
-_ROW_SHARDED = {"wq", "wk", "wv", "w_gate", "w_up", "output"}  # out-dim over tp
+_ROW_SHARDED = {"wq", "wk", "wv", "wqkv", "w_gate", "w_up", "w_gateup",
+                "output"}  # out-dim over tp
 _COL_SHARDED = {"wo", "w_down"}  # in-dim over tp (psum on output)
 _REPLICATED = {"attn_norm", "ffn_norm", "output_norm", "tok_embd",
                "bq", "bk", "bv", "ffn_gate_inp",
@@ -64,13 +65,20 @@ def _qt_spec(qt: QTensor, axis: int) -> dict[str, P]:
 
 def _shard_qtensor(qt: QTensor, mesh: Mesh, axis: int | None) -> QTensor:
     data = {}
+    tp = mesh.shape["tp"]
     if axis is None:
         for name, arr in qt.data.items():
             data[name] = jax.device_put(arr, NamedSharding(mesh, P()))
     else:
         specs = _qt_spec(qt, axis)
         for name, arr in qt.data.items():
-            data[name] = jax.device_put(arr, NamedSharding(mesh, specs[name]))
+            spec = specs[name]
+            # replicate arrays whose sharded dim doesn't divide the tp axis
+            # (tiny scale sidecars of small layers)
+            dim = 0 if axis == 0 else arr.ndim - 1
+            if arr.shape[dim] % tp:
+                spec = P()
+            data[name] = jax.device_put(arr, NamedSharding(mesh, spec))
     return QTensor(kind=qt.kind, shape=qt.shape, data=data)
 
 

@@ -140,8 +140,8 @@ def test_packed_forward_matches_dequant_forward(quantized_gguf, t):
     tokens = np.array([[1, 5, 9, 42, 7, 100, 3, 200]], dtype=np.int32)
     a = _run_ours(path, tokens, dtype=jnp.float32, packed=False)
     b = _run_ours(path, tokens, dtype=jnp.float32, packed=True)
-    # packed path stores pre-multiplied bf16 scales; small tolerance
-    np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+    # packed path: bf16 scale storage + bf16 activations in the fused kernels
+    np.testing.assert_allclose(a, b, rtol=4e-2, atol=4e-2)
 
 
 def test_dequant_xla_bit_consistency(quantized_gguf):

@@ -77,8 +77,8 @@ def test_quantized_params_shard(setup):
     params = synthetic_params(cfg_q, kind="q4_k", seed=4)
     mesh = make_mesh(8, dp=1, tp=8)
     sp = shard_params(params, mesh)
-    wq = sp["layers"][0]["wq"]
-    assert wq.kind == "q4_k"
+    wqkv = sp["layers"][0]["wqkv"]
+    assert wqkv.kind == "q4_k"
     # row-sharded: first axis split over tp
-    shard_shape = wq.data["qs"].sharding.shard_shape(wq.data["qs"].shape)
-    assert shard_shape[0] == wq.shape[0] // 8
+    shard_shape = wqkv.data["qs"].sharding.shard_shape(wqkv.data["qs"].shape)
+    assert shard_shape[0] == wqkv.shape[0] // 8
