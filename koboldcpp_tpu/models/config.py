@@ -47,7 +47,14 @@ class ModelConfig:
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     sliding_window: int = 0
+    sliding_window_pattern: int = 0  # gemma2: every Nth layer is global
     tie_word_embeddings: bool = False
+    # arch shape knobs (single parameterized builder, like llama.cpp's
+    # per-arch build_* functions collapsed into flags)
+    act: str = "silu"  # silu | gelu
+    post_norms: bool = False  # gemma2 sandwich norms
+    attn_scale: float = 0.0  # override for head_dim**-0.5 when > 0
+    embedding_scale: float = 0.0  # gemma: hidden**0.5
     extras: dict = field(default_factory=dict)
 
     @property
@@ -72,6 +79,11 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
     vocab = int(_get(md, Keys.VOCAB_SIZE, arch, len(tokens) if tokens is not None else 32000))
     rope_dim = int(_get(md, Keys.ROPE_DIMENSION_COUNT, arch, head_dim) or head_dim)
     scaling = _get(md, Keys.ROPE_SCALING_TYPE, arch, "none") or "none"
+    extras: dict = {}
+    if arch in ("gemma", "gemma2"):
+        extras = dict(act="gelu", post_norms=(arch == "gemma2"),
+                      embedding_scale=float(hidden) ** 0.5,
+                      sliding_window_pattern=2 if arch == "gemma2" else 0)
     return ModelConfig(
         arch=arch,
         name=str(md.get(Keys.General.NAME, "")),
@@ -97,4 +109,5 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
         attn_logit_softcap=float(_get(md, Keys.ATTN_LOGIT_SOFTCAP, arch, 0.0) or 0.0),
         final_logit_softcap=float(_get(md, Keys.FINAL_LOGIT_SOFTCAP, arch, 0.0) or 0.0),
         sliding_window=int(_get(md, Keys.SLIDING_WINDOW, arch, 0) or 0),
+        **extras,
     )

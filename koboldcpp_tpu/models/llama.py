@@ -76,7 +76,7 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, T, H, D).astype(q.dtype)
 
 
-def _ffn(x: jnp.ndarray, layer: Params) -> jnp.ndarray:
+def _ffn(x: jnp.ndarray, layer: Params, act_name: str = "silu") -> jnp.ndarray:
     if "w_gateup" in layer:  # fused gate+up (one kernel launch)
         gu = linear.matmul(x, layer["w_gateup"])
         F = gu.shape[-1] // 2
@@ -84,7 +84,8 @@ def _ffn(x: jnp.ndarray, layer: Params) -> jnp.ndarray:
     else:
         gate = linear.matmul(x, layer["w_gate"])
         up = linear.matmul(x, layer["w_up"])
-    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    actf = jax.nn.silu if act_name == "silu" else partial(jax.nn.gelu, approximate=True)
+    act = actf(gate.astype(jnp.float32)).astype(x.dtype) * up
     return linear.matmul(act, layer["w_down"])
 
 
@@ -137,15 +138,20 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
     emb_w = params["tok_embd"]
     x = emb_w.data["w"][tokens] if isinstance(emb_w, QTensor) else emb_w[tokens]
-    if cfg.arch in ("gemma", "gemma2"):
-        x = x * jnp.asarray(cfg.hidden_size ** 0.5, dtype=x.dtype)
+    if cfg.embedding_scale:
+        x = x * jnp.asarray(cfg.embedding_scale, dtype=x.dtype)
 
     slot_ids = jnp.arange(S)
     mask = slot_ids[None, None, :] <= positions[:, :, None]  # (B, T, S)
+    local_mask = mask
+    if cfg.sliding_window:
+        local_mask = mask & (slot_ids[None, None, :]
+                             > positions[:, :, None] - cfg.sliding_window)
 
     qdim = cfg.n_heads * cfg.head_dim
     kvdim = cfg.n_kv_heads * cfg.head_dim
-    scale = cfg.head_dim ** -0.5 * mscale
+    base_scale = cfg.attn_scale if cfg.attn_scale > 0 else cfg.head_dim ** -0.5
+    scale = base_scale * mscale
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
         if "wqkv" in layer:  # fused projection (one kernel launch)
@@ -167,21 +173,32 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         q = apply_rope(q, positions, freqs, cfg.rope_type, cfg.rope_dim)
         k = apply_rope(k, positions, freqs, cfg.rope_type, cfg.rope_dim)
 
+        # gemma2 alternates local (even) / global (odd) attention layers
+        is_local = bool(cfg.sliding_window) and (
+            cfg.sliding_window_pattern == 0 or li % cfg.sliding_window_pattern == 0)
+        layer_mask = local_mask if is_local else mask
+
         cache = kv_write(cache, li, positions, k, v)
-        if flash_prefill and not cfg.attn_logit_softcap:
+        if flash_prefill and not cfg.attn_logit_softcap and not is_local:
             # prefill-from-zero: chunk == entire context, no cache read needed
             attn_out = flash_prefill_attention(q, k, v, positions, scale)
         else:
-            attn_out = attention(q, cache.k[li], cache.v[li], mask, scale,
+            attn_out = attention(q, cache.k[li], cache.v[li], layer_mask, scale,
                                  cfg.attn_logit_softcap)
         attn_out = attn_out.reshape(B, T, cfg.n_heads * cfg.head_dim)
-        x = x + linear.matmul(attn_out, layer["wo"])
+        attn_out = linear.matmul(attn_out, layer["wo"])
+        if "attn_post_norm" in layer:  # gemma2 sandwich norm
+            attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_norm_eps)
+        x = x + attn_out
 
         h = rms_norm(x, layer["ffn_norm"], cfg.rms_norm_eps)
         if "ffn_gate_inp" in layer:
-            x = x + _moe_ffn(h, layer, cfg)
+            ffn_out = _moe_ffn(h, layer, cfg)
         else:
-            x = x + _ffn(h, layer)
+            ffn_out = _ffn(h, layer, cfg.act)
+        if "ffn_post_norm" in layer:
+            ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_norm_eps)
+        x = x + ffn_out
 
     if last_index is not None:
         x = x[jnp.arange(B), last_index][:, None, :]

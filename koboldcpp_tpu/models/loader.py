@@ -78,13 +78,19 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
             "wo": _load_tensor(reader, p + "attn_output.weight", packed, dtype),
             "ffn_norm": _load_dense(reader, p + "ffn_norm.weight"),
         }
-        qkv = fused([p + "attn_q.weight", p + "attn_k.weight", p + "attn_v.weight"])
-        if qkv is not None:
-            layer["wqkv"] = qkv
+        if p + "attn_qkv.weight" in names:  # phi3-style pre-fused projection
+            layer["wqkv"] = _load_tensor(reader, p + "attn_qkv.weight", packed, dtype)
         else:
-            layer["wq"] = _load_tensor(reader, p + "attn_q.weight", packed, dtype)
-            layer["wk"] = _load_tensor(reader, p + "attn_k.weight", packed, dtype)
-            layer["wv"] = _load_tensor(reader, p + "attn_v.weight", packed, dtype)
+            qkv = fused([p + "attn_q.weight", p + "attn_k.weight", p + "attn_v.weight"])
+            if qkv is not None:
+                layer["wqkv"] = qkv
+            else:
+                layer["wq"] = _load_tensor(reader, p + "attn_q.weight", packed, dtype)
+                layer["wk"] = _load_tensor(reader, p + "attn_k.weight", packed, dtype)
+                layer["wv"] = _load_tensor(reader, p + "attn_v.weight", packed, dtype)
+        for key, tname in (("attn_post_norm", "attn_post_norm.weight"),
+                           ("ffn_post_norm", "ffn_post_norm.weight")):
+            opt(layer, key, p + tname, "dense")
         for key, tname in (("bq", "attn_q.bias"), ("bk", "attn_k.bias"),
                            ("bv", "attn_v.bias")):
             opt(layer, key, p + tname, "dense")
@@ -98,11 +104,20 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
                 layer[key] = linear.from_gguf(reader.tensor_raw(p + tname),
                                               info.ggml_type, info.shape, packed=False, dtype=dtype)
         else:
-            gu = fused([p + "ffn_gate.weight", p + "ffn_up.weight"])
-            if gu is not None:
-                layer["w_gateup"] = gu
+            up_info = reader.tensors.get(p + "ffn_up.weight")
+            if (p + "ffn_gate.weight" not in names and up_info is not None
+                    and up_info.shape[0] == 2 * cfg.intermediate_size):
+                # phi3-style pre-fused [gate; up]
+                layer["w_gateup"] = _load_tensor(reader, p + "ffn_up.weight",
+                                                 packed, dtype)
+            elif p + "ffn_gate.weight" in names:
+                gu = fused([p + "ffn_gate.weight", p + "ffn_up.weight"])
+                if gu is not None:
+                    layer["w_gateup"] = gu
+                else:
+                    layer["w_gate"] = _load_tensor(reader, p + "ffn_gate.weight", packed, dtype)
+                    layer["w_up"] = _load_tensor(reader, p + "ffn_up.weight", packed, dtype)
             else:
-                layer["w_gate"] = _load_tensor(reader, p + "ffn_gate.weight", packed, dtype)
                 layer["w_up"] = _load_tensor(reader, p + "ffn_up.weight", packed, dtype)
             layer["w_down"] = _load_tensor(reader, p + "ffn_down.weight", packed, dtype)
         params["layers"].append(layer)

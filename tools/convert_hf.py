@@ -96,6 +96,91 @@ def convert_llama_state_dict(
     return out_path
 
 
+def convert_arch_state_dict(arch: str, state: dict, config, out_path: str,
+                            tokenizer_md: dict | None = None,
+                            quant_type: GGMLType = GGMLType.F32):
+    """qwen2 / gemma2 / phi3 -> GGUF (all NEOX-rope archs: no q/k permute,
+    matching the reference converter's per-model classes)."""
+    n_head = config.num_attention_heads
+    n_kv = getattr(config, "num_key_value_heads", n_head) or n_head
+    n_layers = config.num_hidden_layers
+    head_dim = getattr(config, "head_dim", None) or config.hidden_size // n_head
+
+    w = GGUFWriter(out_path, architecture=arch)
+    w.add("general.name", f"{arch}-converted")
+    w.add(f"{arch}.context_length", np.uint32(config.max_position_embeddings))
+    w.add(f"{arch}.embedding_length", np.uint32(config.hidden_size))
+    w.add(f"{arch}.block_count", np.uint32(n_layers))
+    w.add(f"{arch}.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add(f"{arch}.attention.head_count", np.uint32(n_head))
+    w.add(f"{arch}.attention.head_count_kv", np.uint32(n_kv))
+    w.add(f"{arch}.attention.key_length", np.uint32(head_dim))
+    w.add(f"{arch}.attention.value_length", np.uint32(head_dim))
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", np.float32(config.rms_norm_eps))
+    w.add(f"{arch}.rope.freq_base", np.float32(getattr(config, "rope_theta", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count", np.uint32(head_dim))
+    w.add(f"{arch}.vocab_size", np.uint32(config.vocab_size))
+    if arch == "gemma2":
+        w.add(f"{arch}.attn_logit_softcapping",
+              np.float32(config.attn_logit_softcapping))
+        w.add(f"{arch}.final_logit_softcapping",
+              np.float32(config.final_logit_softcapping))
+        w.add(f"{arch}.attention.sliding_window", np.uint32(config.sliding_window))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    def norm(name):
+        v = get(name)
+        # gemma RMSNorm is (1 + w); reference converter folds the +1 in
+        return v + 1.0 if arch in ("gemma", "gemma2") else v
+
+    def add(gguf_name, arr, t=None):
+        if t is None:
+            t = quant_type if (arr.ndim == 2 and arr.shape[-1] % 256 == 0) else GGMLType.F32
+        w.add_tensor(gguf_name, arr, t)
+
+    add("token_embd.weight", get("model.embed_tokens.weight"))
+    add("output_norm.weight", norm("model.norm.weight"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        add("output.weight", get("lm_head.weight"))
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        add(gp + "attn_norm.weight", norm(hp + "input_layernorm.weight"), GGMLType.F32)
+        if arch == "phi3":
+            add(gp + "attn_qkv.weight", get(hp + "self_attn.qkv_proj.weight"))
+            add(gp + "ffn_up.weight", get(hp + "mlp.gate_up_proj.weight"))
+            add(gp + "ffn_norm.weight", norm(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+        else:
+            add(gp + "attn_q.weight", get(hp + "self_attn.q_proj.weight"))
+            add(gp + "attn_k.weight", get(hp + "self_attn.k_proj.weight"))
+            add(gp + "attn_v.weight", get(hp + "self_attn.v_proj.weight"))
+            if arch == "qwen2":
+                for b, nm in (("attn_q.bias", "q_proj.bias"),
+                              ("attn_k.bias", "k_proj.bias"),
+                              ("attn_v.bias", "v_proj.bias")):
+                    add(gp + b, get(hp + "self_attn." + nm), GGMLType.F32)
+            if arch == "gemma2":
+                add(gp + "attn_post_norm.weight",
+                    norm(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+                add(gp + "ffn_norm.weight",
+                    norm(hp + "pre_feedforward_layernorm.weight"), GGMLType.F32)
+                add(gp + "ffn_post_norm.weight",
+                    norm(hp + "post_feedforward_layernorm.weight"), GGMLType.F32)
+            else:
+                add(gp + "ffn_norm.weight",
+                    norm(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+            add(gp + "ffn_gate.weight", get(hp + "mlp.gate_proj.weight"))
+            add(gp + "ffn_up.weight", get(hp + "mlp.up_proj.weight"))
+        add(gp + "attn_output.weight", get(hp + "self_attn.o_proj.weight"))
+        add(gp + "ffn_down.weight", get(hp + "mlp.down_proj.weight"))
+    w.write()
+    return out_path
+
+
 def convert_mixtral_state_dict(
     state: dict, config, out_path: str,
     tokenizer_md: dict | None = None,
