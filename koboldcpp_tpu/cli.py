@@ -53,7 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ropeconfig", nargs=2, type=float, default=None,
                    metavar=("SCALE", "BASE"))
     p.add_argument("--sdmodel", default="", help="stable-diffusion model (NYI)")
-    p.add_argument("--whispermodel", default="", help="whisper model (NYI)")
+    p.add_argument("--whispermodel", default="", help="whisper GGUF model")
     p.add_argument("--mmproj", default="", help="LLaVA projector (NYI)")
     p.add_argument("--hordekey", default="")
     p.add_argument("--hordeworkername", default="")
@@ -199,10 +199,18 @@ def main(argv=None):
         with open(args.preloadstory) as f:
             story = json.load(f)
 
+    whisper_model = None
+    if args.whispermodel:
+        from .models.whisper import load_whisper
+
+        print(f"Loading whisper model: {args.whispermodel}")
+        whisper_model = load_whisper(args.whispermodel)
+
     settings = ServerSettings(
         password=args.password, multiuser=args.multiuser,
         model_name=os.path.basename(model_path),
-        chat_adapter=chat_adapter, preloaded_story=story, quiet=args.quiet)
+        chat_adapter=chat_adapter, preloaded_story=story, quiet=args.quiet,
+        whisper_model=whisper_model)
 
     if args.hordekey and args.hordeworkername:
         from .server.horde import start_horde_worker

@@ -37,6 +37,7 @@ class ServerSettings:
     chat_adapter: str | dict | None = None
     preloaded_story: Any = None
     quiet: bool = False
+    whisper_model: Any = None  # models.whisper.WhisperModel
 
 
 @dataclass
@@ -276,7 +277,8 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
     async def get_extra_version(request):
         return _json({"result": "KoboldCpp", "version": KCPP_VERSION,
                       "protected": bool(settings.password),
-                      "txt2img": False, "vision": False, "transcribe": False,
+                      "txt2img": False, "vision": False,
+                      "transcribe": settings.whisper_model is not None,
                       "multiplayer": False})
 
     async def get_max_length(request):
@@ -433,6 +435,39 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
                 "<a href='/noscript'>back</a></body></html>")
         return _cors(web.Response(text=html, content_type="text/html"))
 
+    async def transcribe(request):
+        """Whisper endpoints (/api/extra/transcribe, /v1/audio/transcriptions;
+        reference whisper_generate path)."""
+        if settings.whisper_model is None:
+            return _json({"detail": {"msg": "No whisper model loaded",
+                                     "type": "service_unavailable"}}, status=503)
+        from ..models.whisper import decode_wav_base64
+
+        ct = request.headers.get("Content-Type", "")
+        audio_b64 = None
+        if ct.startswith("multipart/"):  # OpenAI-style file upload
+            reader = await request.multipart()
+            async for part in reader:
+                if part.name == "file":
+                    import base64
+
+                    audio_b64 = base64.b64encode(await part.read()).decode()
+        else:
+            body = await _read_json(request)
+            audio_b64 = body.get("audio_data") or body.get("file")
+        if not audio_b64:
+            return _json({"detail": {"msg": "missing audio_data",
+                                     "type": "bad_request"}}, status=400)
+        try:
+            audio = decode_wav_base64(audio_b64)
+        except Exception as e:
+            return _json({"detail": {"msg": f"bad audio: {e}",
+                                     "type": "bad_request"}}, status=400)
+        loop = asyncio.get_running_loop()
+        text = await loop.run_in_executor(
+            None, lambda: settings.whisper_model.transcribe(audio))
+        return _json({"text": text})
+
     async def not_implemented(request):
         return _json({"detail": {"msg": "Not implemented in this build",
                                  "type": "not_implemented"}}, status=501)
@@ -482,8 +517,8 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
     r.add_post("/sdapi/v1/txt2img", not_implemented)
     r.add_post("/sdapi/v1/img2img", not_implemented)
     r.add_post("/sdapi/v1/interrogate", not_implemented)
-    r.add_post("/api/extra/transcribe", not_implemented)
-    r.add_post("/v1/audio/transcriptions", not_implemented)
+    r.add_post("/api/extra/transcribe", transcribe)
+    r.add_post("/v1/audio/transcriptions", transcribe)
 
     # CORS preflight for everything
     r.add_route("OPTIONS", "/{tail:.*}", options_handler)
