@@ -47,6 +47,7 @@ class GenParams:
     dry_sequence_breakers: list[str] = field(default_factory=list)
     trim_stop: bool = True
     bypass_eos: bool = False
+    images: list[str] = field(default_factory=list)  # base64, LLaVA splice
 
 
 @dataclass
@@ -82,8 +83,9 @@ def _bucket(n: int) -> int:
 
 class Engine:
     def __init__(self, model: Model, max_context: int = 2048,
-                 cache_dtype=jnp.bfloat16, compute_dtype=None):
+                 cache_dtype=jnp.bfloat16, compute_dtype=None, clip_model=None):
         self.model = model
+        self.clip = clip_model  # models.clip.ClipModel for LLaVA requests
         self.cfg = model.cfg
         self.tokenizer = model.tokenizer
         self.max_context = max_context
@@ -139,14 +141,49 @@ class Engine:
                                            positions=pos, cache=self.cache)
         return np.asarray(logits[0, -1])
 
-    def eval_tokens(self, tokens: list[int], start_pos: int) -> np.ndarray:
-        """Chunked prefill (n_batch equivalent); returns logits of last token."""
+    IMG_SENTINEL = -999  # context placeholder for image-patch positions
+
+    def _eval_chunk_embeds(self, tokens: list[int], embeds: np.ndarray,
+                           start_pos: int) -> np.ndarray:
+        """Evaluate a mixed chunk: rows where tokens == IMG_SENTINEL take the
+        corresponding row of `embeds` (B=1). LLaVA image splicing."""
+        n = len(tokens)
+        b = _bucket(n)
+        pad = b - n
+        tok_arr = np.array([[0] * pad + [t if t >= 0 else 0 for t in tokens]],
+                           dtype=np.int32)
+        pos = np.array([[-1] * pad + list(range(start_pos, start_pos + n))],
+                       dtype=np.int32)
+        mask = np.array([[False] * pad + [t == self.IMG_SENTINEL for t in tokens]])
+        emb = np.zeros((1, b, embeds.shape[-1]), dtype=np.float32)
+        emb[0, pad:][mask[0, pad:]] = embeds
+        if not hasattr(self, "_forward_mm"):
+            self._forward_mm = jax.jit(
+                partial(model_llama.forward, cfg=self.cfg, last_only=True),
+                donate_argnames=("cache",))
+        logits, self.cache = self._forward_mm(
+            self.model.params, tokens=jnp.asarray(tok_arr),
+            positions=jnp.asarray(pos), cache=self.cache,
+            input_embeds=jnp.asarray(emb), embed_mask=jnp.asarray(mask))
+        return np.asarray(logits[0, -1])
+
+    def eval_tokens(self, tokens: list[int], start_pos: int,
+                    emb_by_pos: dict[int, np.ndarray] | None = None) -> np.ndarray:
+        """Chunked prefill (n_batch equivalent); returns logits of last token.
+        emb_by_pos maps absolute positions of IMG_SENTINEL tokens to their
+        image-patch embedding rows."""
         logits = None
         pos = start_pos
         i = 0
         while i < len(tokens):
             chunk = tokens[i:i + PREFILL_BUCKETS[-1]]
-            logits = self._eval_chunk(chunk, pos)
+            if emb_by_pos and any(t == self.IMG_SENTINEL for t in chunk):
+                rows = np.stack([emb_by_pos[pos + j]
+                                 for j, t in enumerate(chunk)
+                                 if t == self.IMG_SENTINEL])
+                logits = self._eval_chunk_embeds(chunk, rows, pos)
+            else:
+                logits = self._eval_chunk(chunk, pos)
             pos += len(chunk)
             i += len(chunk)
         return logits
@@ -245,6 +282,22 @@ class Engine:
             prompt_tokens = (prompt_tokens[:keep_first]
                              + prompt_tokens[keep_first + overflow:])
 
+        # LLaVA: splice image-patch embeddings after BOS (reference uses
+        # sentinel segments, gpttype_adapter.cpp:3406-3475)
+        emb_by_pos: dict[int, np.ndarray] | None = None
+        if params.images and self.clip is not None:
+            from ..models.clip import decode_image_base64
+
+            embeds = [np.asarray(self.clip.image_embed(
+                decode_image_base64(b))[0], np.float32)
+                for b in params.images[:4]]
+            all_emb = np.concatenate(embeds, axis=0)
+            bos = prompt_tokens[:1] if tk.vocab.add_bos else []
+            rest = prompt_tokens[len(bos):]
+            prompt_tokens = (bos + [self.IMG_SENTINEL] * len(all_emb) + rest)
+            emb_by_pos = {len(bos) + i: all_emb[i] for i in range(len(all_emb))}
+            self.context_tokens = []  # image requests re-evaluate fully
+
         # context shift, then fast-forward
         self._context_shift(prompt_tokens)
         n_past = self._fast_forward(prompt_tokens)
@@ -269,7 +322,7 @@ class Engine:
         sampler_banned = tuple(banned)
 
         # prefill
-        logits = self.eval_tokens(todo, n_past)
+        logits = self.eval_tokens(todo, n_past, emb_by_pos)
         self.context_tokens.extend(todo)
         t1 = time.perf_counter()
 

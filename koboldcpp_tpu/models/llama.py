@@ -125,7 +125,9 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             positions: jnp.ndarray, cache: KVCache,
             last_only: bool = False,
             flash_prefill: bool = False,
-            last_index: jnp.ndarray | None = None) -> tuple[jnp.ndarray, KVCache]:
+            last_index: jnp.ndarray | None = None,
+            input_embeds: jnp.ndarray | None = None,
+            embed_mask: jnp.ndarray | None = None) -> tuple[jnp.ndarray, KVCache]:
     """tokens, positions: (B, T) int32. Returns (logits f32, updated cache).
 
     Causal mask derives from the slot==position cache invariant:
@@ -140,6 +142,11 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     x = emb_w.data["w"][tokens] if isinstance(emb_w, QTensor) else emb_w[tokens]
     if cfg.embedding_scale:
         x = x * jnp.asarray(cfg.embedding_scale, dtype=x.dtype)
+    if input_embeds is not None:
+        # multimodal splice: rows with embed_mask take pre-computed embeddings
+        # (LLaVA image patches; reference splices via sentinel tokens,
+        # gpttype_adapter.cpp:3406-3475)
+        x = jnp.where(embed_mask[:, :, None], input_embeds.astype(x.dtype), x)
 
     slot_ids = jnp.arange(S)
     mask = slot_ids[None, None, :] <= positions[:, :, None]  # (B, T, S)

@@ -63,6 +63,19 @@ def transform_genparams(genparams: dict, api_format: int,
         elif isinstance(chat_adapter, str) and chat_adapter in ADAPTERS:
             adapter = ADAPTERS[chat_adapter]
         messages = genparams.get("messages", [])
+        # extract image parts (OpenAI image_url -> kobold images list,
+        # reference koboldcpp.py image_url extraction)
+        images = list(genparams.get("images", []))
+        for m in messages:
+            content = m.get("content")
+            if isinstance(content, list):
+                for part in content:
+                    if isinstance(part, dict) and part.get("type") == "image_url":
+                        url = (part.get("image_url") or {}).get("url", "")
+                        if url.startswith("data:"):
+                            images.append(url.split(",", 1)[-1])
+        if images:
+            genparams["images"] = images
         tools = genparams.get("tools") or []
         tool_choice = genparams.get("tool_choice", "auto")
         if tools and tool_choice != "none":
@@ -134,4 +147,5 @@ def genparams_to_engine(genparams: dict) -> GenParams:
         dry_sequence_breakers=[str(s) for s in g("dry_sequence_breakers", [])][:24],
         trim_stop=bool(g("trim_stop", True)),
         bypass_eos=bool(g("bypass_eos", False)),
+        images=[str(i) for i in g("images", [])][:4],
     )
