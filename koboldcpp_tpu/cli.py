@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("SCALE", "BASE"))
     p.add_argument("--sdmodel", default="", help="stable-diffusion model (NYI)")
     p.add_argument("--whispermodel", default="", help="whisper GGUF model")
-    p.add_argument("--mmproj", default="", help="LLaVA projector (NYI)")
+    p.add_argument("--mmproj", default="", help="LLaVA mmproj GGUF (vision)")
     p.add_argument("--hordekey", default="")
     p.add_argument("--hordeworkername", default="")
     p.add_argument("--hordemodelname", default="")
@@ -167,6 +167,12 @@ def main(argv=None):
           f"({model.cfg.arch}, {model.cfg.n_layers} layers, "
           f"vocab {model.cfg.vocab_size})")
     cache_dtype = jnp.bfloat16  # --quantkv 1 (q8 cache) lands with paged KV
+    clip_model = None
+    if args.mmproj:
+        from .models.clip import load_clip
+
+        print(f"Loading mmproj: {args.mmproj}")
+        clip_model = load_clip(args.mmproj)
     if args.multiuser > 1:
         from .engine.batch_engine import BatchedEngine
 
@@ -175,7 +181,7 @@ def main(argv=None):
         print(f"Continuous batching enabled: {args.multiuser} KV slots")
     else:
         engine = Engine(model, max_context=args.contextsize,
-                        cache_dtype=cache_dtype)
+                        cache_dtype=cache_dtype, clip_model=clip_model)
 
     if args.benchmark is not None:
         run_benchmark(engine, args.benchmark)

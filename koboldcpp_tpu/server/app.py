@@ -277,7 +277,8 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
     async def get_extra_version(request):
         return _json({"result": "KoboldCpp", "version": KCPP_VERSION,
                       "protected": bool(settings.password),
-                      "txt2img": False, "vision": False,
+                      "txt2img": False,
+                      "vision": getattr(state.engine, "clip", None) is not None,
                       "transcribe": settings.whisper_model is not None,
                       "multiplayer": False})
 
@@ -516,7 +517,19 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
     r.add_get("/api/extra/generate/check", check)
     r.add_post("/sdapi/v1/txt2img", not_implemented)
     r.add_post("/sdapi/v1/img2img", not_implemented)
-    r.add_post("/sdapi/v1/interrogate", not_implemented)
+    async def interrogate(request):
+        """LLaVA caption (api_format 5; reference koboldcpp.py:1971)."""
+        if getattr(state.engine, "clip", None) is None:
+            return _json({"detail": {"msg": "No vision model loaded",
+                                     "type": "service_unavailable"}}, status=503)
+        body = await _read_json(request)
+        img = body.get("image", "")
+        genparams = transform_genparams({"images": [img]}, 5,
+                                        settings.chat_adapter)
+        result = await _run_generation(state, genparams, 5)
+        return _json(_wrap_response(result, 5, settings.model_name))
+
+    r.add_post("/sdapi/v1/interrogate", interrogate)
     r.add_post("/api/extra/transcribe", transcribe)
     r.add_post("/v1/audio/transcriptions", transcribe)
 
