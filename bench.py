@@ -43,8 +43,12 @@ def main():
     from koboldcpp_tpu.models import llama
     from koboldcpp_tpu.models.synthetic import TINYLLAMA_1_1B, synthetic_params
 
+    from koboldcpp_tpu.models.llama import stack_layers
+
     cfg = TINYLLAMA_1_1B
     params = synthetic_params(cfg, kind="q4_k", seed=0)
+    sparams = stack_layers(params)
+    use_scan = False  # scan compiles ~10x faster but decode is ~30% slower (cache copies)
     max_seq = 1024
     prefill_len = 512
     n_decode = 256
@@ -59,11 +63,12 @@ def main():
         return logits, cache
 
     @jax.jit
-    def decode_n(params, cache, tok0, start_pos):
+    def decode_n(dparams, cache, tok0, start_pos):
         def body(i, carry):
             tok, cache, acc = carry
-            logits, cache = llama.forward(
-                params, cfg, tok, jnp.full((1, 1), start_pos + i, jnp.int32),
+            fwd = llama.forward_stacked if use_scan else llama.forward
+            logits, cache = fwd(
+                dparams, cfg, tok, jnp.full((1, 1), start_pos + i, jnp.int32),
                 cache, last_only=True)
             nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
             return nxt, cache, acc + logits[0, -1, 0]
@@ -92,13 +97,16 @@ def main():
     prefill_tps = (n_pre - 1) * prefill_len / dt
 
     # ---- decode -----------------------------------------------------------
+    dparams = sparams if use_scan else params
     tok0 = jnp.full((1, 1), 7, jnp.int32)
-    tok, cache, acc = decode_n(params, cache, tok0, prefill_len)
+    t0 = time.perf_counter()
+    tok, cache, acc = decode_n(dparams, cache, tok0, prefill_len)
     _ = float(acc)  # compile + run once
+    decode_compile_s = time.perf_counter() - t0
     cache2 = init_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads, cfg.head_dim)
     logits, cache2 = prefill(params, ptoks, ppos, cache2)
     t0 = time.perf_counter()
-    tok, cache2, acc = decode_n(params, cache2, tok0, prefill_len)
+    tok, cache2, acc = decode_n(dparams, cache2, tok0, prefill_len)
     _ = float(acc)
     dt = max(time.perf_counter() - t0 - latency, 1e-6)
     decode_tps = n_decode / dt
@@ -126,6 +134,8 @@ def main():
             "flash_prefill": use_flash,
             "prefill_len": prefill_len,
             "first_call_s": round(prefill_first_s, 2),
+            "decode_compile_s": round(decode_compile_s, 2),
+            "scan_layers": use_scan,
             "tunnel_latency_ms": round(latency * 1e3, 1),
             "device": str(jax.devices()[0]),
         },

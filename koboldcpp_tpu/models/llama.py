@@ -215,3 +215,149 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     logits = linear.matmul(x, params["output"], out_dtype=jnp.float32)
     logits = _softcap(logits, cfg.final_logit_softcap)
     return logits, cache
+
+
+# ---------------------------------------------------------------------------
+# scan-based forward: one compiled layer body for all layers
+# ---------------------------------------------------------------------------
+
+def stack_layers(params: Params) -> Params:
+    """Stack homogeneous per-layer params into leading-axis arrays so the
+    forward pass can lax.scan over layers (one trace instead of n_layers —
+    compile time drops ~n_layers-fold, HLO shrinks likewise).
+
+    Returns a new params dict with "layers_stacked"; falls back (returns the
+    input) when layers aren't homogeneous (e.g. mixed MoE/dense)."""
+    layers = params["layers"]
+    if not layers:
+        return params
+    keys = set(layers[0].keys())
+    if any(set(l.keys()) != keys for l in layers):
+        return params
+
+    def stack_field(k):
+        vals = [l[k] for l in layers]
+        if isinstance(vals[0], QTensor):
+            kinds = {v.kind for v in vals}
+            shapes = {v.shape for v in vals}
+            if len(kinds) != 1 or len(shapes) != 1:
+                return None
+            data = {}
+            for name in vals[0].data:
+                arrs = [v.data[name] for v in vals]
+                if len({a.shape for a in arrs}) != 1:
+                    return None
+                data[name] = jnp.stack(arrs)
+            return QTensor(kind=vals[0].kind, shape=vals[0].shape, data=data)
+        if len({v.shape for v in vals}) != 1:
+            return None
+        return jnp.stack(vals)
+
+    stacked = {}
+    for k in keys:
+        s = stack_field(k)
+        if s is None:
+            return params
+        stacked[k] = s
+    out = dict(params)
+    out.pop("layers")
+    out["layers_stacked"] = stacked
+    return out
+
+
+def _take_layer(stacked: Params, li) -> Params:
+    """Slice layer li out of stacked params (used by scan's xs instead)."""
+    out = {}
+    for k, v in stacked.items():
+        if isinstance(v, QTensor):
+            out[k] = QTensor(kind=v.kind, shape=v.shape,
+                             data={n: a[li] for n, a in v.data.items()})
+        else:
+            out[k] = v[li]
+    return out
+
+
+def forward_stacked(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+                    positions: jnp.ndarray, cache: KVCache,
+                    last_only: bool = False) -> tuple[jnp.ndarray, KVCache]:
+    """forward() over stack_layers() output using lax.scan (text-only path)."""
+    B, T = tokens.shape
+    S = cache.max_seq
+    freqs = rope_frequencies(cfg)
+    mscale = yarn_attn_scale(cfg)
+
+    emb_w = params["tok_embd"]
+    x = emb_w.data["w"][tokens] if isinstance(emb_w, QTensor) else emb_w[tokens]
+    if cfg.embedding_scale:
+        x = x * jnp.asarray(cfg.embedding_scale, dtype=x.dtype)
+
+    slot_ids = jnp.arange(S)
+    mask = slot_ids[None, None, :] <= positions[:, :, None]
+    local_mask = mask
+    if cfg.sliding_window:
+        local_mask = mask & (slot_ids[None, None, :]
+                             > positions[:, :, None] - cfg.sliding_window)
+
+    qdim = cfg.n_heads * cfg.head_dim
+    kvdim = cfg.n_kv_heads * cfg.head_dim
+    base_scale = cfg.attn_scale if cfg.attn_scale > 0 else cfg.head_dim ** -0.5
+    scale = base_scale * mscale
+    stacked = params["layers_stacked"]
+    n_layers = stacked["attn_norm"].shape[0]  # static: from the stacked leaf
+    if cfg.sliding_window and cfg.sliding_window_pattern:
+        local_flags = jnp.arange(n_layers) % cfg.sliding_window_pattern == 0
+    else:
+        local_flags = jnp.full((n_layers,), bool(cfg.sliding_window))
+
+    def body(x, xs):
+        layer, is_local, k_cache, v_cache = xs
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        if "wqkv" in layer:
+            qkv = linear.matmul(h, layer["wqkv"])
+            q, k, v = (qkv[..., :qdim], qkv[..., qdim:qdim + kvdim],
+                       qkv[..., qdim + kvdim:])
+        else:
+            q = linear.matmul(h, layer["wq"])
+            k = linear.matmul(h, layer["wk"])
+            v = linear.matmul(h, layer["wv"])
+        if "bq" in layer:
+            q = q + layer["bq"].astype(q.dtype)
+            k = k + layer["bk"].astype(k.dtype)
+            v = v + layer["bv"].astype(v.dtype)
+        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        q = apply_rope(q, positions, freqs, cfg.rope_type, cfg.rope_dim)
+        k = apply_rope(k, positions, freqs, cfg.rope_type, cfg.rope_dim)
+
+        b_idx = jnp.arange(B)[:, None]
+        k_cache = k_cache.at[b_idx, positions].set(
+            k.astype(k_cache.dtype), mode="drop")
+        v_cache = v_cache.at[b_idx, positions].set(
+            v.astype(v_cache.dtype), mode="drop")
+        layer_mask = jnp.where(is_local, local_mask, mask)
+        attn_out = attention(q, k_cache, v_cache, layer_mask, scale,
+                             cfg.attn_logit_softcap)
+        attn_out = attn_out.reshape(B, T, cfg.n_heads * cfg.head_dim)
+        attn_out = linear.matmul(attn_out, layer["wo"])
+        if "attn_post_norm" in layer:
+            attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_norm_eps)
+        x = x + attn_out
+
+        h = rms_norm(x, layer["ffn_norm"], cfg.rms_norm_eps)
+        ffn_out = _ffn(h, layer, cfg.act)
+        if "ffn_post_norm" in layer:
+            ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_norm_eps)
+        x = x + ffn_out
+        return x, (k_cache, v_cache)
+
+    x, (k_all, v_all) = jax.lax.scan(
+        body, x, (stacked, local_flags, cache.k, cache.v))
+    new_cache = KVCache(k=k_all, v=v_all)
+
+    if last_only:
+        x = x[:, -1:, :]
+    x = rms_norm(x, params["output_norm"], cfg.rms_norm_eps)
+    logits = linear.matmul(x, params["output"], out_dtype=jnp.float32)
+    logits = _softcap(logits, cfg.final_logit_softcap)
+    return logits, new_cache

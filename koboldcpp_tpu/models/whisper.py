@@ -225,10 +225,14 @@ class WhisperModel:
         self._encode = jax.jit(partial(encode, cfg=cfg))
         self._decode = jax.jit(partial(decode, cfg=cfg))
 
+    _BUCKETS = (8, 16, 32, 64, 128, 256, 448)
+
     def transcribe_tokens(self, audio: np.ndarray, max_tokens: int = 224,
                           language_id: int | None = None,
                           translate: bool = False) -> list[int]:
-        """Greedy decode; returns generated token ids (without specials)."""
+        """Greedy decode; returns generated token ids (without specials).
+        The token stream pads to shape buckets so the jitted decoder compiles
+        once per bucket, not once per length."""
         cfg = self.cfg
         mel = pad_or_trim_mel(log_mel_spectrogram(audio, cfg.n_mels))
         enc = self._encode(params=self.params, mel=jnp.asarray(mel[None]))
@@ -238,10 +242,13 @@ class WhisperModel:
         toks = list(prompt)
         out: list[int] = []
         for _ in range(max_tokens):
+            n = len(toks)
+            b = next((x for x in self._BUCKETS if x >= n), self._BUCKETS[-1])
+            padded = toks + [0] * (b - n)
             logits = self._decode(params=self.params,
-                                  tokens=jnp.asarray([toks], dtype=jnp.int32),
+                                  tokens=jnp.asarray([padded], dtype=jnp.int32),
                                   enc_out=enc)
-            nxt = int(np.asarray(logits[0, -1]).argmax())
+            nxt = int(np.asarray(logits[0, n - 1]).argmax())
             if nxt == cfg.eot_id or len(toks) >= cfg.n_text_ctx - 1:
                 break
             toks.append(nxt)
