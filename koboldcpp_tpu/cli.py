@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nofastforward", action="store_true")
     p.add_argument("--ropeconfig", nargs=2, type=float, default=None,
                    metavar=("SCALE", "BASE"))
-    p.add_argument("--sdmodel", default="", help="stable-diffusion model (NYI)")
+    p.add_argument("--sdmodel", default="", help="stable-diffusion GGUF model")
     p.add_argument("--whispermodel", default="", help="whisper GGUF model")
     p.add_argument("--mmproj", default="", help="LLaVA mmproj GGUF (vision)")
     p.add_argument("--hordekey", default="")
@@ -205,6 +205,12 @@ def main(argv=None):
         with open(args.preloadstory) as f:
             story = json.load(f)
 
+    sd_model = None
+    if args.sdmodel:
+        from .models.sd import load_sd
+
+        print(f"Loading SD model: {args.sdmodel}")
+        sd_model = load_sd(args.sdmodel)
     whisper_model = None
     if args.whispermodel:
         from .models.whisper import load_whisper
@@ -216,7 +222,7 @@ def main(argv=None):
         password=args.password, multiuser=args.multiuser,
         model_name=os.path.basename(model_path),
         chat_adapter=chat_adapter, preloaded_story=story, quiet=args.quiet,
-        whisper_model=whisper_model)
+        whisper_model=whisper_model, sd_model=sd_model)
 
     if args.hordekey and args.hordeworkername:
         from .server.horde import start_horde_worker

@@ -38,6 +38,7 @@ class ServerSettings:
     preloaded_story: Any = None
     quiet: bool = False
     whisper_model: Any = None  # models.whisper.WhisperModel
+    sd_model: Any = None  # models.sd.SDModel
 
 
 @dataclass
@@ -277,7 +278,7 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
     async def get_extra_version(request):
         return _json({"result": "KoboldCpp", "version": KCPP_VERSION,
                       "protected": bool(settings.password),
-                      "txt2img": False,
+                      "txt2img": settings.sd_model is not None,
                       "vision": getattr(state.engine, "clip", None) is not None,
                       "transcribe": settings.whisper_model is not None,
                       "multiplayer": False})
@@ -469,6 +470,62 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
             None, lambda: settings.whisper_model.transcribe(audio))
         return _json({"text": text})
 
+    def _png_b64(img) -> str:
+        import base64
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    async def txt2img(request):
+        """A1111 txt2img (reference sd_generate, sdtype_adapter.cpp:276)."""
+        if settings.sd_model is None:
+            return _json({"detail": {"msg": "No SD model loaded",
+                                     "type": "service_unavailable"}}, status=503)
+        body = await _read_json(request)
+        loop = asyncio.get_running_loop()
+        img = await loop.run_in_executor(None, lambda: settings.sd_model.txt2img(
+            str(body.get("prompt", "")),
+            negative_prompt=str(body.get("negative_prompt", "")),
+            width=int(body.get("width", 512)), height=int(body.get("height", 512)),
+            steps=int(body.get("steps", 20)),
+            cfg_scale=float(body.get("cfg_scale", 7.0)),
+            sampler=str(body.get("sampler_name", "Euler a")),
+            seed=int(body.get("seed", -1))))
+        return _json({"images": [_png_b64(img)], "parameters": body, "info": ""})
+
+    async def img2img(request):
+        if settings.sd_model is None:
+            return _json({"detail": {"msg": "No SD model loaded",
+                                     "type": "service_unavailable"}}, status=503)
+        body = await _read_json(request)
+        init = (body.get("init_images") or [""])[0]
+        import base64
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        try:
+            raw = base64.b64decode(init.split(",")[-1])
+            im = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"), np.uint8)
+        except Exception as e:
+            return _json({"detail": {"msg": f"bad init image: {e}",
+                                     "type": "bad_request"}}, status=400)
+        loop = asyncio.get_running_loop()
+        img = await loop.run_in_executor(None, lambda: settings.sd_model.img2img(
+            im, str(body.get("prompt", "")),
+            denoise=float(body.get("denoising_strength", 0.75)),
+            negative_prompt=str(body.get("negative_prompt", "")),
+            steps=int(body.get("steps", 20)),
+            cfg_scale=float(body.get("cfg_scale", 7.0)),
+            sampler=str(body.get("sampler_name", "Euler a")),
+            seed=int(body.get("seed", -1))))
+        return _json({"images": [_png_b64(img)], "parameters": body, "info": ""})
+
     async def not_implemented(request):
         return _json({"detail": {"msg": "Not implemented in this build",
                                  "type": "not_implemented"}}, status=501)
@@ -515,8 +572,8 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
     r.add_post("/api/extra/abort", abort)
     r.add_post("/api/extra/generate/check", check)
     r.add_get("/api/extra/generate/check", check)
-    r.add_post("/sdapi/v1/txt2img", not_implemented)
-    r.add_post("/sdapi/v1/img2img", not_implemented)
+    r.add_post("/sdapi/v1/txt2img", txt2img)
+    r.add_post("/sdapi/v1/img2img", img2img)
     async def interrogate(request):
         """LLaVA caption (api_format 5; reference koboldcpp.py:1971)."""
         if getattr(state.engine, "clip", None) is None:

@@ -1,0 +1,165 @@
+"""Stable Diffusion: text-encoder parity vs HF CLIPTextModel, sampler math vs
+the analytic probability-flow ODE, full pipeline smoke + determinism."""
+import math
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from koboldcpp_tpu.models import sd as jsd
+
+
+TINY = jsd.SDConfig(
+    model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+    attn_levels=(0, 1), n_heads=2, context_dim=32,
+    text_vocab=100, text_ctx=8, text_dim=32, text_layers=2, text_heads=2,
+    vae_ch=16, vae_ch_mult=(1, 2), latent_channels=4)
+
+
+@pytest.fixture(scope="module")
+def tiny_sd():
+    params = jsd.init_random_sd_params(TINY, seed=0)
+    return jsd.SDModel(TINY, params)
+
+
+def test_unet_shapes(tiny_sd):
+    m = tiny_sd
+    x = jnp.zeros((1, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 8, 32))
+    eps = m._unet(params=m.params, latents=x, t=t, context=ctx)
+    assert eps.shape == (1, 8, 8, 4)
+
+
+def test_vae_decoder_shapes(tiny_sd):
+    m = tiny_sd
+    img = m._vae(params=m.params, z=jnp.zeros((1, 8, 8, 4)))
+    assert img.shape == (1, 16, 16, 3)  # 2 levels -> 2x upsample
+
+
+def test_text_encoder_shapes(tiny_sd):
+    m = tiny_sd
+    out = m._text(params=m.params, tokens=jnp.zeros((1, 8), jnp.int32))
+    assert out.shape == (1, 8, 32)
+
+
+def test_clip_text_matches_hf():
+    """Our text tower vs transformers' CLIPTextModel on converted weights."""
+    import torch
+    from transformers import CLIPTextConfig, CLIPTextModel
+
+    torch.manual_seed(17)
+    hcfg = CLIPTextConfig(vocab_size=100, hidden_size=32, intermediate_size=64,
+                          num_hidden_layers=2, num_attention_heads=2,
+                          max_position_embeddings=8, hidden_act="quick_gelu")
+    hf = CLIPTextModel(hcfg).eval().float()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    cfg = jsd.SDConfig(text_vocab=100, text_ctx=8, text_dim=32, text_layers=2,
+                       text_heads=2)
+    T = "text_model."
+    p = {
+        "text.tok_embd": jnp.asarray(sd[T + "embeddings.token_embedding.weight"]),
+        "text.pos_embd": jnp.asarray(sd[T + "embeddings.position_embedding.weight"]),
+        "text.ln_final.weight": jnp.asarray(sd[T + "final_layer_norm.weight"]),
+        "text.ln_final.bias": jnp.asarray(sd[T + "final_layer_norm.bias"]),
+    }
+    for i in range(2):
+        hp = f"{T}encoder.layers.{i}."
+        gp = f"text.{i}."
+        for a, b in (("ln1", "layer_norm1"), ("ln2", "layer_norm2")):
+            p[gp + a + ".weight"] = jnp.asarray(sd[hp + b + ".weight"])
+            p[gp + a + ".bias"] = jnp.asarray(sd[hp + b + ".bias"])
+        for a, b in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                     ("out", "out_proj")):
+            p[gp + a + ".weight"] = jnp.asarray(sd[hp + "self_attn." + b + ".weight"])
+            p[gp + a + ".bias"] = jnp.asarray(sd[hp + "self_attn." + b + ".bias"])
+        for a, b in (("fc1", "mlp.fc1"), ("fc2", "mlp.fc2")):
+            p[gp + a + ".weight"] = jnp.asarray(sd[hp + b + ".weight"])
+            p[gp + a + ".bias"] = jnp.asarray(sd[hp + b + ".bias"])
+
+    toks = np.array([[1, 5, 9, 42, 7, 3, 2, 0]], dtype=np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(toks)).last_hidden_state.numpy()
+    ours = np.asarray(jsd.clip_text_apply(p, cfg, jnp.asarray(toks, jnp.int32)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_euler_sampler_solves_linear_ode():
+    """With eps(x, sigma) = x/sqrt(sigma^2+1) (i.e. x0 = x/(sigma^2+1)), the
+    PF-ODE has a known solution; euler with many steps must approach it."""
+
+    class FakeKD:
+        def denoise(self, x, sigma, cond, uncond, cfg_scale):
+            return x / (sigma ** 2 + 1.0)
+
+    x0 = jnp.ones((1, 2, 2, 1)) * 5.0
+    sig_max, n = 10.0, 400
+    sigmas = np.append(np.linspace(sig_max, 1e-4, n), 0.0).astype(np.float32)
+    out = jsd.sample_euler(FakeKD(), x0, sigmas, None, None, 1.0,
+                           np.random.default_rng(0))
+    # d x/d sigma = (x - x/(s^2+1))/s = x*s/(s^2+1) => x(0) = x(smax)*sqrt(1/(smax^2+1))
+    expect = 5.0 * math.sqrt(1.0 / (sig_max ** 2 + 1.0))
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-2)
+
+
+def test_heun_more_accurate_than_euler():
+    class FakeKD:
+        def denoise(self, x, sigma, cond, uncond, cfg_scale):
+            return x / (sigma ** 2 + 1.0)
+
+    x0 = jnp.ones((1, 2, 2, 1)) * 5.0
+    sig_max = 10.0
+    sigmas = np.append(np.linspace(sig_max, 1e-4, 12), 0.0).astype(np.float32)
+    expect = 5.0 * math.sqrt(1.0 / (sig_max ** 2 + 1.0))
+    rng = np.random.default_rng(0)
+    e = abs(float(jsd.sample_euler(FakeKD(), x0, sigmas, None, None, 1.0, rng)[0, 0, 0, 0]) - expect)
+    h = abs(float(jsd.sample_heun(FakeKD(), x0, sigmas, None, None, 1.0, rng)[0, 0, 0, 0]) - expect)
+    assert h < e
+
+
+def test_txt2img_pipeline_and_determinism(tiny_sd):
+    # tiny VAE has one upsample level: output = latent(16//8=2) * 2 = 4 px
+    img1 = tiny_sd.txt2img("x", width=16, height=16, steps=3, cfg_scale=1.0,
+                           sampler="euler", seed=11)
+    assert img1.shape == (4, 4, 3) and img1.dtype == np.uint8
+    img2 = tiny_sd.txt2img("x", width=16, height=16, steps=3, cfg_scale=1.0,
+                           sampler="euler", seed=11)
+    np.testing.assert_array_equal(img1, img2)
+    img3 = tiny_sd.txt2img("x", width=16, height=16, steps=3, cfg_scale=1.0,
+                           sampler="euler", seed=12)
+    assert (img1 != img3).any()
+
+
+@pytest.mark.parametrize("sampler", ["euler", "euler a", "heun", "dpm++ 2m"])
+def test_all_samplers_run(tiny_sd, sampler):
+    img = tiny_sd.txt2img("x", width=16, height=16, steps=3, cfg_scale=2.0,
+                          sampler=sampler, seed=1)
+    assert img.shape == (4, 4, 3)
+    assert np.isfinite(img.astype(np.float64)).all()
+
+
+def test_gguf_roundtrip(tmp_path, tiny_sd):
+    from koboldcpp_tpu.gguf import GGMLType, GGUFWriter
+
+    path = str(tmp_path / "sd.gguf")
+    w = GGUFWriter(path, architecture="sd")
+    w.add("sd.unet.model_channels", np.uint32(32))
+    w.add("sd.unet.res_blocks", np.uint32(1))
+    w.add("sd.unet.heads", np.uint32(2))
+    w.add("sd.context_dim", np.uint32(32))
+    w.add("sd.text.layers", np.uint32(2))
+    w.add("sd.text.heads", np.uint32(2))
+    w.add("sd.text.dim", np.uint32(32))
+    w.add("sd.vae.ch", np.uint32(16))
+    w.add("sd.unet.channel_mult", np.array([1, 2], np.uint32))
+    w.add("sd.unet.attn_levels", np.array([0, 1], np.uint32))
+    for name, arr in tiny_sd.params.items():
+        w.add_tensor(name, np.asarray(arr, np.float32), GGMLType.F32)
+    w.write()
+    m = jsd.load_sd(path)
+    # vae_ch_mult defaults differ; patch to the tiny shape and run
+    m.cfg.vae_ch_mult = (1, 2)
+    m.cfg.text_vocab = 100
+    m.cfg.text_ctx = 8
+    img = m.txt2img("x", width=16, height=16, steps=2, cfg_scale=1.0, seed=5)
+    assert img.shape == (4, 4, 3)
