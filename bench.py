@@ -46,7 +46,7 @@ def main():
     from koboldcpp_tpu.models.llama import stack_layers
 
     cfg = TINYLLAMA_1_1B
-    params = synthetic_params(cfg, kind="q4_k", seed=0)
+    params = synthetic_params(cfg, kind=os.environ.get("KCPP_BENCH_KIND", "q4_k"), seed=0)
     sparams = stack_layers(params)
     use_scan = False  # scan compiles ~10x faster but decode is ~30% slower (cache copies)
     max_seq = 1024

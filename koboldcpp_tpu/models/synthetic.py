@@ -77,7 +77,19 @@ def _rand_q8_0(rng, out_f: int, in_f: int) -> QTensor:
     })
 
 
-_MAKERS = {"q4_k": _rand_q4k, "q6_k": _rand_q6k, "q8_0": _rand_q8_0}
+def _rand_q4k_i8(rng, out_f: int, in_f: int) -> QTensor:
+    nsb = in_f // QK_K
+    return QTensor(kind="q4_k_i8", shape=(out_f, in_f), data={
+        "q": jnp.asarray(rng.integers(0, 16, size=(out_f, in_f), dtype=np.int8)),
+        "scale": jnp.asarray(
+            (rng.random((out_f, nsb * 8), dtype=np.float32) * 0.004), dtype=jnp.bfloat16),
+        "min": jnp.asarray(
+            (rng.random((out_f, nsb * 8), dtype=np.float32) * 0.004), dtype=jnp.bfloat16),
+    })
+
+
+_MAKERS = {"q4_k": _rand_q4k, "q4_k_i8": _rand_q4k_i8, "q6_k": _rand_q6k,
+           "q8_0": _rand_q8_0}
 
 
 def synthetic_params(cfg: ModelConfig, kind: str = "q4_k", seed: int = 0) -> dict:

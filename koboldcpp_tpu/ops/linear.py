@@ -135,9 +135,42 @@ def pack_q6_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     })
 
 
+def pack_q4_k_i8(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
+    """Q4_K re-laid-out as per-group int8: EXACT same decoded values
+    (q in 0..15 stored as int8; w = q*scale - min as before) at 8.5 bits/weight
+    in HBM instead of 4.75. Trades ~80% more weight traffic for a dequant that
+    is 1 cast + 1 multiply per weight — ~2x faster decode on v5e, where the
+    nibble unpack is VPU-bound (PERF_NOTES.md)."""
+    rows, cols = shape
+    nsb = cols // QK_K
+    blocks = np.ascontiguousarray(raw).reshape(rows, nsb, 144)
+    d = blocks[:, :, 0:2].copy().view(np.float16).astype(np.float32)[..., 0]
+    dmin = blocks[:, :, 2:4].copy().view(np.float16).astype(np.float32)[..., 0]
+    sc, mn = _unpack_k_scales_np(blocks[:, :, 4:16].reshape(-1, 12))
+    scales = (d.reshape(-1, 1) * sc).reshape(rows, nsb * 8)
+    mins = (dmin.reshape(-1, 1) * mn).reshape(rows, nsb * 8)
+    qs = blocks[:, :, 16:].reshape(rows, nsb, 4, 32)
+    lo = (qs & 0xF).astype(np.int8)
+    hi = (qs >> 4).astype(np.int8)
+    q = np.stack([lo, hi], axis=3).reshape(rows, cols)  # logical col order
+    return QTensor(kind="q4_k_i8", shape=shape, data={
+        "q": jnp.asarray(q),
+        "scale": jnp.asarray(scales, dtype=jnp.bfloat16),
+        "min": jnp.asarray(mins, dtype=jnp.bfloat16),
+    })
+
+
+def _q4k_packer(raw, shape):
+    import os
+
+    if os.environ.get("KCPP_Q4K_LAYOUT", "packed") == "i8":
+        return pack_q4_k_i8(raw, shape)
+    return pack_q4_k(raw, shape)
+
+
 _PACKERS = {
     GGMLType.Q8_0: pack_q8_0,
-    GGMLType.Q4_K: pack_q4_k,
+    GGMLType.Q4_K: _q4k_packer,
     GGMLType.Q5_K: pack_q5_k,
     GGMLType.Q6_K: pack_q6_k,
 }
@@ -166,6 +199,11 @@ def dequant_xla(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
         q = qt.data["q"].astype(jnp.float32).reshape(rows, cols // 32, 32)
         s = qt.data["scale"].astype(jnp.float32)[..., None]
         return (q * s).reshape(rows, cols).astype(dtype)
+    if qt.kind == "q4_k_i8":
+        q = qt.data["q"].astype(jnp.float32).reshape(rows, cols // 32, 32)
+        s = qt.data["scale"].astype(jnp.float32)[..., None]
+        m = qt.data["min"].astype(jnp.float32)[..., None]
+        return (q * s - m).reshape(rows, cols).astype(dtype)
     if qt.kind == "q4_k":
         qs = qt.data["qs"].reshape(rows, -1, 32)  # (rows, n32pairs, 32)
         lo = (qs & 0xF).astype(jnp.int8)

@@ -116,6 +116,16 @@ def _q8_0_kernel(x_ref, q_ref, s_ref, o_ref):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
+def _q4k_i8_kernel(x_ref, xs_ref, q_ref, s_ref, m_ref, o_ref):
+    """int8-relaid Q4_K: no nibble ops — cast + scale + dot, min term folded."""
+    q = q_ref[:].astype(jnp.bfloat16)  # i8 -> bf16 direct (Mosaic-supported)
+    C = q.shape[1]
+    E = _expand_mat(C // 32, C, 32)
+    acc = _dot_t(x_ref[:], q * _sexp(s_ref[:], E))
+    acc -= _dot_t(xs_ref[:], m_ref[:])
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
 # ---------------------------------------------------------------------------
 # host-side prep (XLA ops: plane splits + group sums) and dispatch
 # ---------------------------------------------------------------------------
@@ -176,6 +186,12 @@ def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
         x_shapes = (in_f,)
         kernel = _q8_0_kernel
         w_shapes = (in_f, in_f // 32)
+    elif kind == "q4_k_i8":
+        xs = _group_sums(x, in_f, 32)
+        x_args = (x, xs)
+        x_shapes = (in_f, in_f // 32)
+        kernel = _q4k_i8_kernel
+        w_shapes = (in_f, in_f // 32, in_f // 32)
     else:
         raise ValueError(kind)
 
@@ -196,6 +212,7 @@ def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
 
 _FIELD_LISTS = {
     "q4_k": ("qs", "scale_lo", "scale_hi", "min"),
+    "q4_k_i8": ("q", "scale", "min"),
     "q6_k": ("ql2", "qh2", "scale_p"),
     "q8_0": ("q", "scale"),
 }
