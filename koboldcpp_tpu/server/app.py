@@ -359,11 +359,18 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
         return _cors(web.Response(text=html, content_type="text/html"))
 
     async def get_api_docs(request):
-        return _cors(web.Response(
-            text="<html><body><h1>API</h1><p>KoboldAI-compatible API: POST "
-                 "/api/v1/generate, /api/extra/generate/stream, OpenAI: "
-                 "/v1/completions, /v1/chat/completions.</p></body></html>",
-            content_type="text/html"))
+        html = ("<html><head><title>koboldcpp-tpu API</title></head><body>"
+                "<h1>koboldcpp-tpu API</h1>"
+                "<p>OpenAPI spec: <a href='/openapi.json'>/openapi.json</a></p>"
+                "<p>KoboldAI: POST /api/v1/generate, /api/extra/generate/stream; "
+                "OpenAI: /v1/completions, /v1/chat/completions; "
+                "A1111: /sdapi/v1/txt2img.</p></body></html>")
+        return _cors(web.Response(text=html, content_type="text/html"))
+
+    async def get_openapi(request):
+        from .openapi import build_openapi_spec
+
+        return _json(build_openapi_spec(KCPP_VERSION))
 
     # ---- POST endpoints ---------------------------------------------------
     def protected(handler):
@@ -554,6 +561,8 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
     r.add_get("/v1", get_api_docs)
     r.add_get("/api", get_api_docs)
     r.add_get("/docs", get_api_docs)
+    r.add_get("/openapi.json", get_openapi)
+    r.add_get("/api/extra/json/schema", get_openapi)
     r.add_get("/api/tags", get_ollama_tags)
     r.add_get("/sdapi/v1/sd-models", get_sd_models)
     r.add_get("/sdapi/v1/options", get_sd_options)

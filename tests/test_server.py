@@ -154,9 +154,11 @@ async def test_cors_preflight(client):
     assert r.headers["Access-Control-Allow-Origin"] == "*"
 
 
-async def test_not_implemented_modalities(client):
+async def test_modalities_unavailable_without_models(client):
     r = await client.post("/sdapi/v1/txt2img", json={})
-    assert r.status == 501
+    assert r.status == 503  # no SD model loaded in this server
+    r = await client.post("/api/extra/transcribe", json={})
+    assert r.status == 503
 
 
 async def test_detokenize(client, engine):
@@ -164,3 +166,12 @@ async def test_detokenize(client, engine):
     r = await client.post("/api/extra/detokenize", json={"ids": ids})
     j = await r.json()
     assert j["success"] is True and "tok5" in j["result"]
+
+
+async def test_openapi_spec(client):
+    r = await client.get("/openapi.json")
+    assert r.status == 200
+    spec = await r.json()
+    assert spec["openapi"].startswith("3.")
+    assert "/api/v1/generate" in spec["paths"]
+    assert "/v1/chat/completions" in spec["paths"]
