@@ -55,6 +55,11 @@ class ModelConfig:
     post_norms: bool = False  # gemma2 sandwich norms
     attn_scale: float = 0.0  # override for head_dim**-0.5 when > 0
     embedding_scale: float = 0.0  # gemma: hidden**0.5
+    norm_type: str = "rms"  # rms | layer (gpt2/neox)
+    use_rope: bool = True
+    learned_pos: bool = False  # gpt2 absolute position embeddings
+    parallel_residual: bool = False  # neox/gptj: x + attn(ln1 x) + mlp(ln2 x)
+    ffn_gated: bool = True  # False: plain up->act->down (gpt2/neox)
     extras: dict = field(default_factory=dict)
 
     @property
@@ -84,6 +89,16 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
         extras = dict(act="gelu", post_norms=(arch == "gemma2"),
                       embedding_scale=float(hidden) ** 0.5,
                       sliding_window_pattern=2 if arch == "gemma2" else 0)
+    elif arch in ("gpt2", "starcoder"):
+        extras = dict(norm_type="layer", use_rope=False, learned_pos=True,
+                      ffn_gated=False, act="gelu")
+    elif arch == "gptneox":
+        extras = dict(norm_type="layer", ffn_gated=False, act="gelu",
+                      parallel_residual=bool(md.get(
+                          "gptneox.use_parallel_residual", True)))
+    elif arch == "gptj":
+        extras = dict(norm_type="layer", ffn_gated=False, act="gelu",
+                      parallel_residual=True)
     return ModelConfig(
         arch=arch,
         name=str(md.get(Keys.General.NAME, "")),

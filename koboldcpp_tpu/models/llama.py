@@ -17,11 +17,17 @@ import jax.numpy as jnp
 from ..kv.cache import KVCache, write as kv_write
 from ..ops import linear
 from ..ops.linear import QTensor
-from ..ops.norms import rms_norm
+from ..ops.norms import layer_norm, rms_norm
 from ..ops.rope import apply_rope, rope_frequencies, yarn_attn_scale
 from .config import ModelConfig
 
 Params = dict[str, Any]
+
+
+def _norm(x: jnp.ndarray, store: Params, key: str, cfg: ModelConfig) -> jnp.ndarray:
+    if cfg.norm_type == "layer":
+        return layer_norm(x, store[key], store.get(key + "_bias"), cfg.rms_norm_eps)
+    return rms_norm(x, store[key], cfg.rms_norm_eps)
 
 
 def _softcap(x: jnp.ndarray, cap: float) -> jnp.ndarray:
@@ -76,7 +82,18 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, T, H, D).astype(q.dtype)
 
 
-def _ffn(x: jnp.ndarray, layer: Params, act_name: str = "silu") -> jnp.ndarray:
+def _ffn(x: jnp.ndarray, layer: Params, act_name: str = "silu",
+         gated: bool = True) -> jnp.ndarray:
+    actf = jax.nn.silu if act_name == "silu" else partial(jax.nn.gelu, approximate=True)
+    if not gated:  # gpt2/neox-style up -> act -> down (with biases)
+        up = linear.matmul(x, layer["w_up"])
+        if "b_up" in layer:
+            up = up + layer["b_up"].astype(up.dtype)
+        act = actf(up.astype(jnp.float32)).astype(x.dtype)
+        down = linear.matmul(act, layer["w_down"])
+        if "b_down" in layer:
+            down = down + layer["b_down"].astype(down.dtype)
+        return down
     if "w_gateup" in layer:  # fused gate+up (one kernel launch)
         gu = linear.matmul(x, layer["w_gateup"])
         F = gu.shape[-1] // 2
@@ -84,7 +101,6 @@ def _ffn(x: jnp.ndarray, layer: Params, act_name: str = "silu") -> jnp.ndarray:
     else:
         gate = linear.matmul(x, layer["w_gate"])
         up = linear.matmul(x, layer["w_up"])
-    actf = jax.nn.silu if act_name == "silu" else partial(jax.nn.gelu, approximate=True)
     act = actf(gate.astype(jnp.float32)).astype(x.dtype) * up
     return linear.matmul(act, layer["w_down"])
 
@@ -142,6 +158,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     x = emb_w.data["w"][tokens] if isinstance(emb_w, QTensor) else emb_w[tokens]
     if cfg.embedding_scale:
         x = x * jnp.asarray(cfg.embedding_scale, dtype=x.dtype)
+    if cfg.learned_pos and "pos_embd" in params:
+        x = x + params["pos_embd"][jnp.clip(positions, 0)].astype(x.dtype)
     if input_embeds is not None:
         # multimodal splice: rows with embed_mask take pre-computed embeddings
         # (LLaVA image patches; reference splices via sentinel tokens,
@@ -160,9 +178,11 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     base_scale = cfg.attn_scale if cfg.attn_scale > 0 else cfg.head_dim ** -0.5
     scale = base_scale * mscale
     for li, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        h = _norm(x, layer, "attn_norm", cfg)
         if "wqkv" in layer:  # fused projection (one kernel launch)
             qkv = linear.matmul(h, layer["wqkv"])
+            if "bqkv" in layer:
+                qkv = qkv + layer["bqkv"].astype(qkv.dtype)
             q = qkv[..., :qdim]
             k = qkv[..., qdim:qdim + kvdim]
             v = qkv[..., qdim + kvdim:]
@@ -177,8 +197,9 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        q = apply_rope(q, positions, freqs, cfg.rope_type, cfg.rope_dim)
-        k = apply_rope(k, positions, freqs, cfg.rope_type, cfg.rope_dim)
+        if cfg.use_rope:
+            q = apply_rope(q, positions, freqs, cfg.rope_type, cfg.rope_dim)
+            k = apply_rope(k, positions, freqs, cfg.rope_type, cfg.rope_dim)
 
         # gemma2 alternates local (even) / global (odd) attention layers
         is_local = bool(cfg.sliding_window) and (
@@ -194,15 +215,21 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                                  cfg.attn_logit_softcap)
         attn_out = attn_out.reshape(B, T, cfg.n_heads * cfg.head_dim)
         attn_out = linear.matmul(attn_out, layer["wo"])
+        if "bo" in layer:
+            attn_out = attn_out + layer["bo"].astype(attn_out.dtype)
         if "attn_post_norm" in layer:  # gemma2 sandwich norm
             attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_norm_eps)
-        x = x + attn_out
 
-        h = rms_norm(x, layer["ffn_norm"], cfg.rms_norm_eps)
-        if "ffn_gate_inp" in layer:
-            ffn_out = _moe_ffn(h, layer, cfg)
+        if cfg.parallel_residual:  # neox/gptj: both branches read the same x
+            ffn_in = _norm(x, layer, "ffn_norm", cfg)
+            x = x + attn_out
         else:
-            ffn_out = _ffn(h, layer, cfg.act)
+            x = x + attn_out
+            ffn_in = _norm(x, layer, "ffn_norm", cfg)
+        if "ffn_gate_inp" in layer:
+            ffn_out = _moe_ffn(ffn_in, layer, cfg)
+        else:
+            ffn_out = _ffn(ffn_in, layer, cfg.act, cfg.ffn_gated)
         if "ffn_post_norm" in layer:
             ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_norm_eps)
         x = x + ffn_out
@@ -211,7 +238,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         x = x[jnp.arange(B), last_index][:, None, :]
     elif last_only:
         x = x[:, -1:, :]
-    x = rms_norm(x, params["output_norm"], cfg.rms_norm_eps)
+    x = _norm(x, params, "output_norm", cfg)
     logits = linear.matmul(x, params["output"], out_dtype=jnp.float32)
     logits = _softcap(logits, cfg.final_logit_softcap)
     return logits, cache

@@ -52,6 +52,10 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
         "output_norm": _load_dense(reader, "output_norm.weight"),
         "layers": [],
     }
+    if "output_norm.bias" in names:
+        params["output_norm_bias"] = _load_dense(reader, "output_norm.bias")
+    if "position_embd.weight" in names:  # gpt2 learned positions
+        params["pos_embd"] = _load_dense(reader, "position_embd.weight")
     if "output.weight" in names:
         params["output"] = _load_tensor(reader, "output.weight", packed, dtype)
     else:  # tied embeddings
@@ -92,7 +96,11 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
                            ("ffn_post_norm", "ffn_post_norm.weight")):
             opt(layer, key, p + tname, "dense")
         for key, tname in (("bq", "attn_q.bias"), ("bk", "attn_k.bias"),
-                           ("bv", "attn_v.bias")):
+                           ("bv", "attn_v.bias"), ("bqkv", "attn_qkv.bias"),
+                           ("bo", "attn_output.bias"),
+                           ("b_up", "ffn_up.bias"), ("b_down", "ffn_down.bias"),
+                           ("attn_norm_bias", "attn_norm.bias"),
+                           ("ffn_norm_bias", "ffn_norm.bias")):
             opt(layer, key, p + tname, "dense")
         if p + "ffn_gate_inp.weight" in names:  # MoE block
             layer["ffn_gate_inp"] = _load_tensor(reader, p + "ffn_gate_inp.weight", packed, dtype)

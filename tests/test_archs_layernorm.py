@@ -1,0 +1,66 @@
+"""GPT-2 and GPT-NeoX (layernorm family) parity vs transformers."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from koboldcpp_tpu.kv.cache import init_cache
+from koboldcpp_tpu.models import llama as jllama
+from koboldcpp_tpu.models.loader import load_model
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from convert_hf import convert_gpt2_state_dict, convert_gptneox_state_dict  # noqa: E402
+from .test_model_forward import tiny_tokenizer_md  # noqa: E402
+
+TOKENS = np.array([[1, 5, 9, 42, 7, 300]], dtype=np.int32)
+
+
+def run_ours(path, tokens):
+    m = load_model(path, packed=False, dtype=jnp.float32)
+    cache = init_cache(m.cfg.n_layers, 1, 32, m.cfg.n_kv_heads, m.cfg.head_dim,
+                       dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(tokens.shape[1]), tokens.shape).astype(jnp.int32)
+    logits, _ = jllama.forward(m.params, m.cfg, jnp.asarray(tokens), pos, cache)
+    return m, np.asarray(logits)
+
+
+def test_gpt2(tmp_path):
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    torch.manual_seed(6)
+    cfg = GPT2Config(vocab_size=512, n_positions=64, n_embd=64, n_layer=2,
+                     n_head=4)
+    model = GPT2LMHeadModel(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "gpt2.gguf")
+    convert_gpt2_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path, TOKENS)
+    assert m.cfg.norm_type == "layer"
+    assert m.cfg.learned_pos and not m.cfg.use_rope and not m.cfg.ffn_gated
+    with torch.no_grad():
+        ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
+
+
+@pytest.mark.parametrize("parallel", [True, False])
+def test_gptneox(tmp_path, parallel):
+    import torch
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    torch.manual_seed(7)
+    cfg = GPTNeoXConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        max_position_embeddings=64, rotary_pct=0.25,
+                        use_parallel_residual=parallel)
+    model = GPTNeoXForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "neox.gguf")
+    convert_gptneox_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path, TOKENS)
+    assert m.cfg.norm_type == "layer"
+    assert m.cfg.parallel_residual == parallel
+    assert m.cfg.rope_dim == 4  # rotary_pct 0.25 of head_dim 16
+    with torch.no_grad():
+        ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)

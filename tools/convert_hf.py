@@ -181,6 +181,114 @@ def convert_arch_state_dict(arch: str, state: dict, config, out_path: str,
     return out_path
 
 
+def convert_gpt2_state_dict(state: dict, config, out_path: str,
+                            tokenizer_md: dict | None = None,
+                            quant_type: GGMLType = GGMLType.F32):
+    """HF GPT-2 -> GGUF (arch gpt2: layernorm, learned positions, fused QKV).
+    HF Conv1D stores weights transposed (in, out) — transposed here."""
+    n_layers = config.n_layer
+    w = GGUFWriter(out_path, architecture="gpt2")
+    w.add("gpt2.context_length", np.uint32(config.n_positions))
+    w.add("gpt2.embedding_length", np.uint32(config.n_embd))
+    w.add("gpt2.block_count", np.uint32(n_layers))
+    w.add("gpt2.feed_forward_length", np.uint32(4 * config.n_embd))
+    w.add("gpt2.attention.head_count", np.uint32(config.n_head))
+    w.add("gpt2.attention.layer_norm_epsilon", np.float32(config.layer_norm_epsilon))
+    w.add("gpt2.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name, transpose=False):
+        a = np.asarray(state[name], dtype=np.float32)
+        return a.T.copy() if transpose else a
+
+    w.add_tensor("token_embd.weight", get("transformer.wte.weight"), quant_type)
+    w.add_tensor("position_embd.weight", get("transformer.wpe.weight"), GGMLType.F32)
+    w.add_tensor("output_norm.weight", get("transformer.ln_f.weight"), GGMLType.F32)
+    w.add_tensor("output_norm.bias", get("transformer.ln_f.bias"), GGMLType.F32)
+    for i in range(n_layers):
+        hp = f"transformer.h.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "ln_1.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_norm.bias", get(hp + "ln_1.bias"), GGMLType.F32)
+        w.add_tensor(gp + "attn_qkv.weight", get(hp + "attn.c_attn.weight", True), quant_type)
+        w.add_tensor(gp + "attn_qkv.bias", get(hp + "attn.c_attn.bias"), GGMLType.F32)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "attn.c_proj.weight", True), quant_type)
+        w.add_tensor(gp + "attn_output.bias", get(hp + "attn.c_proj.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "ln_2.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.bias", get(hp + "ln_2.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_up.weight", get(hp + "mlp.c_fc.weight", True), quant_type)
+        w.add_tensor(gp + "ffn_up.bias", get(hp + "mlp.c_fc.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.c_proj.weight", True), quant_type)
+        w.add_tensor(gp + "ffn_down.bias", get(hp + "mlp.c_proj.bias"), GGMLType.F32)
+    w.write()
+    return out_path
+
+
+def convert_gptneox_state_dict(state: dict, config, out_path: str,
+                               tokenizer_md: dict | None = None,
+                               quant_type: GGMLType = GGMLType.F32):
+    """HF GPT-NeoX -> GGUF: de-interleaves the (head, [q,k,v], hd) fused QKV
+    into [Q;K;V] row blocks (same transform as the reference converter)."""
+    n_layers = config.num_hidden_layers
+    H = config.num_attention_heads
+    hidden = config.hidden_size
+    hd = hidden // H
+    w = GGUFWriter(out_path, architecture="gptneox")
+    w.add("gptneox.context_length", np.uint32(config.max_position_embeddings))
+    w.add("gptneox.embedding_length", np.uint32(hidden))
+    w.add("gptneox.block_count", np.uint32(n_layers))
+    w.add("gptneox.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("gptneox.attention.head_count", np.uint32(H))
+    w.add("gptneox.attention.layer_norm_epsilon", np.float32(config.layer_norm_eps))
+    w.add("gptneox.rope.dimension_count",
+          np.uint32(int(hd * config.rotary_pct)))
+    w.add("gptneox.rope.freq_base", np.float32(getattr(config, "rotary_emb_base", 10000)))
+    w.add("gptneox.use_parallel_residual", bool(config.use_parallel_residual))
+    w.add("gptneox.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    def deinterleave_w(qkv):  # (3*hidden, hidden) head-interleaved -> [Q;K;V]
+        v = qkv.reshape(H, 3, hd, hidden)
+        return np.concatenate([v[:, 0].reshape(hidden, hidden),
+                               v[:, 1].reshape(hidden, hidden),
+                               v[:, 2].reshape(hidden, hidden)], axis=0)
+
+    def deinterleave_b(b):
+        v = b.reshape(H, 3, hd)
+        return np.concatenate([v[:, 0].reshape(-1), v[:, 1].reshape(-1),
+                               v[:, 2].reshape(-1)])
+
+    w.add_tensor("token_embd.weight", get("gpt_neox.embed_in.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("gpt_neox.final_layer_norm.weight"), GGMLType.F32)
+    w.add_tensor("output_norm.bias", get("gpt_neox.final_layer_norm.bias"), GGMLType.F32)
+    if "embed_out.weight" in state:
+        w.add_tensor("output.weight", get("embed_out.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"gpt_neox.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "input_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_norm.bias", get(hp + "input_layernorm.bias"), GGMLType.F32)
+        w.add_tensor(gp + "attn_qkv.weight",
+                     deinterleave_w(get(hp + "attention.query_key_value.weight")), quant_type)
+        w.add_tensor(gp + "attn_qkv.bias",
+                     deinterleave_b(get(hp + "attention.query_key_value.bias")), GGMLType.F32)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "attention.dense.weight"), quant_type)
+        w.add_tensor(gp + "attn_output.bias", get(hp + "attention.dense.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.bias", get(hp + "post_attention_layernorm.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_up.weight", get(hp + "mlp.dense_h_to_4h.weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.bias", get(hp + "mlp.dense_h_to_4h.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.dense_4h_to_h.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.bias", get(hp + "mlp.dense_4h_to_h.bias"), GGMLType.F32)
+    w.write()
+    return out_path
+
+
 def convert_mixtral_state_dict(
     state: dict, config, out_path: str,
     tokenizer_md: dict | None = None,
