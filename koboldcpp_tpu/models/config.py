@@ -60,6 +60,7 @@ class ModelConfig:
     learned_pos: bool = False  # gpt2 absolute position embeddings
     parallel_residual: bool = False  # neox/gptj: x + attn(ln1 x) + mlp(ln2 x)
     ffn_gated: bool = True  # False: plain up->act->down (gpt2/neox)
+    moe_dense_ep: bool = False  # dense all-experts MoE (expert-parallel shardable)
     extras: dict = field(default_factory=dict)
 
     @property

@@ -106,10 +106,17 @@ def _ffn(x: jnp.ndarray, layer: Params, act_name: str = "silu",
 
 
 def _moe_ffn(x: jnp.ndarray, layer: Params, cfg: ModelConfig) -> jnp.ndarray:
-    """Mixtral-style sparse MoE, dense-gather formulation (EP sharding later).
+    """Mixtral-style sparse MoE.
 
     Counterpart of llm_build_moe_ffn + the CUDA mul_mat_id path
-    (/root/reference/ggml/src/ggml-cuda.cu:2063)."""
+    (/root/reference/ggml/src/ggml-cuda.cu:2063). Two formulations:
+    - gather (default): per-token top-k expert gather — minimal FLOPs/HBM on
+      one device.
+    - dense-EP (cfg.moe_dense_ep): every expert computed for every token with
+      router weights zeroed for unselected pairs; the expert axis shards over
+      the tp mesh axis (parallel/sharding.py) and XLA psums the combine —
+      expert parallelism without ragged all-to-all.
+    """
     B, T, C = x.shape
     xt = x.reshape(-1, C)
     router = linear.matmul(xt, layer["ffn_gate_inp"]).astype(jnp.float32)  # (N, E)
@@ -117,23 +124,29 @@ def _moe_ffn(x: jnp.ndarray, layer: Params, cfg: ModelConfig) -> jnp.ndarray:
     topw, topi = jax.lax.top_k(weights, cfg.n_experts_used)  # (N, k)
     topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
 
-    # dense einsum over gathered expert weights (fine at small scale; EP later)
-    wg = layer["ffn_gate_exps"]  # QTensor stack (E, F, C) dense
-    wu = layer["ffn_up_exps"]
-    wd = layer["ffn_down_exps"]
+    wg = layer["ffn_gate_exps"].data["w"]  # (E, F, C)
+    wu = layer["ffn_up_exps"].data["w"]
+    wd = layer["ffn_down_exps"].data["w"]
 
-    def expert_apply(tok, idx, w):
-        # tok: (N, C); idx: (N, k)
-        g = jnp.einsum("nc,nkfc->nkf", tok, wg.data["w"][idx],
+    if cfg.moe_dense_ep:
+        E = wg.shape[0]
+        # scatter top-k weights back to a dense (N, E) combine matrix
+        dense_w = jnp.zeros((xt.shape[0], E), jnp.float32)
+        dense_w = dense_w.at[jnp.arange(xt.shape[0])[:, None], topi].set(topw)
+        g = jnp.einsum("nc,efc->nef", xt, wg, preferred_element_type=jnp.float32)
+        u = jnp.einsum("nc,efc->nef", xt, wu, preferred_element_type=jnp.float32)
+        a = (jax.nn.silu(g) * u).astype(xt.dtype)
+        d = jnp.einsum("nef,ecf->nec", a, wd, preferred_element_type=jnp.float32)
+        out = jnp.einsum("nec,ne->nc", d, dense_w)
+    else:
+        g = jnp.einsum("nc,nkfc->nkf", xt, wg[topi],
                        preferred_element_type=jnp.float32)
-        u = jnp.einsum("nc,nkfc->nkf", tok, wu.data["w"][idx],
+        u = jnp.einsum("nc,nkfc->nkf", xt, wu[topi],
                        preferred_element_type=jnp.float32)
         a = jax.nn.silu(g) * u
-        d = jnp.einsum("nkf,nkcf->nkc", a.astype(tok.dtype), wd.data["w"][idx],
+        d = jnp.einsum("nkf,nkcf->nkc", a.astype(xt.dtype), wd[topi],
                        preferred_element_type=jnp.float32)
-        return jnp.einsum("nkc,nk->nc", d, w)
-
-    out = expert_apply(xt, topi, topw)
+        out = jnp.einsum("nkc,nk->nc", d, topw)
     return out.reshape(B, T, C).astype(x.dtype)
 
 

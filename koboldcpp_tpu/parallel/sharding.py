@@ -44,8 +44,10 @@ _ROW_SHARDED = {"wq", "wk", "wv", "wqkv", "w_gate", "w_up", "w_gateup",
                 "output"}  # out-dim over tp
 _COL_SHARDED = {"wo", "w_down"}  # in-dim over tp (psum on output)
 _REPLICATED = {"attn_norm", "ffn_norm", "output_norm", "tok_embd",
-               "bq", "bk", "bv", "ffn_gate_inp",
-               "ffn_gate_exps", "ffn_up_exps", "ffn_down_exps"}
+               "bq", "bk", "bv", "ffn_gate_inp"}
+# MoE expert stacks (E, F, C): expert axis over tp — expert parallelism; the
+# dense-EP combine (models/llama.py _moe_ffn) psums across tp automatically
+_EXPERT_SHARDED = {"ffn_gate_exps", "ffn_up_exps", "ffn_down_exps"}
 
 
 def _qt_spec(qt: QTensor, axis: int) -> dict[str, P]:
@@ -86,6 +88,12 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
     """Place a model params pytree onto the mesh with TP shardings."""
     def place(key: str, v: Any) -> Any:
         if isinstance(v, QTensor):
+            if key in _EXPERT_SHARDED:
+                w = v.data.get("w")
+                if w is not None and w.ndim == 3 and w.shape[0] % mesh.shape["tp"] == 0:
+                    return QTensor(kind=v.kind, shape=v.shape, data={
+                        "w": jax.device_put(w, NamedSharding(mesh, P("tp", None, None)))})
+                return _shard_qtensor(v, mesh, None)
             if key in _ROW_SHARDED:
                 return _shard_qtensor(v, mesh, 0)
             if key in _COL_SHARDED:

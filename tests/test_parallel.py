@@ -82,3 +82,49 @@ def test_quantized_params_shard(setup):
     # row-sharded: first axis split over tp
     shard_shape = wqkv.data["qs"].sharding.shard_shape(wqkv.data["qs"].shape)
     assert shard_shape[0] == wqkv.shape[0] // 8
+
+
+def test_moe_dense_ep_sharded_matches_gather():
+    """Dense-EP MoE with experts sharded over tp must equal the single-device
+    gather formulation."""
+    import dataclasses
+    from koboldcpp_tpu.ops.linear import dense as make_dense
+    from koboldcpp_tpu.models import llama
+
+    rng = np.random.default_rng(5)
+    cfg = ModelConfig(arch="llama", vocab_size=256, hidden_size=64, n_layers=1,
+                      n_heads=4, n_kv_heads=2, head_dim=16,
+                      intermediate_size=96, rope_dim=16,
+                      n_experts=4, n_experts_used=2)
+    params = synthetic_params(cfg, kind="dense", seed=9)
+    layer = params["layers"][0]
+    for k in ("w_gate", "w_up", "w_down", "w_gateup"):
+        layer.pop(k, None)
+    layer["ffn_gate_inp"] = make_dense(
+        rng.standard_normal((4, 64)).astype(np.float32) * 0.1, dtype=jnp.float32)
+    layer["ffn_gate_exps"] = make_dense(
+        rng.standard_normal((4, 96, 64)).astype(np.float32) * 0.1, dtype=jnp.float32)
+    layer["ffn_up_exps"] = make_dense(
+        rng.standard_normal((4, 96, 64)).astype(np.float32) * 0.1, dtype=jnp.float32)
+    layer["ffn_down_exps"] = make_dense(
+        rng.standard_normal((4, 64, 96)).astype(np.float32) * 0.1, dtype=jnp.float32)
+
+    tokens = jnp.asarray(rng.integers(0, 256, (1, 4)), dtype=jnp.int32)
+    pos = jnp.arange(4)[None].astype(jnp.int32)
+
+    def run(p, c, dense_ep):
+        cfg2 = dataclasses.replace(cfg, moe_dense_ep=dense_ep)
+        cache = init_cache(1, 1, 8, cfg.n_kv_heads, cfg.head_dim, dtype=jnp.float32)
+        out, _ = jax.jit(lambda p, t, q, cc: llama.forward(p, cfg2, t, q, cc))(
+            p, tokens, pos, cache)
+        return np.asarray(out)
+
+    ref = run(params, cfg, dense_ep=False)
+    dense_same = run(params, cfg, dense_ep=True)
+    np.testing.assert_allclose(dense_same, ref, rtol=2e-3, atol=2e-3)
+
+    mesh = make_mesh(8, dp=2, tp=4)
+    sp = shard_params(params, mesh)
+    with mesh:
+        sharded = run(sp, cfg, dense_ep=True)
+    np.testing.assert_allclose(sharded, ref, rtol=2e-3, atol=2e-3)
