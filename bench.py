@@ -111,6 +111,35 @@ def main():
     dt = max(time.perf_counter() - t0 - latency, 1e-6)
     decode_tps = n_decode / dt
 
+    # ---- batched decode (continuous-batching throughput, 8 slots) ---------
+    B = 8
+
+    @jax.jit
+    def decode_n_batched(dparams, cache, tok0, start_pos):
+        def body(i, carry):
+            tok, cache, acc = carry
+            fwd = llama.forward_stacked if use_scan else llama.forward
+            logits, cache = fwd(
+                dparams, cfg, tok,
+                jnp.full((B, 1), start_pos + i, jnp.int32), cache,
+                last_only=True)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+            return nxt, cache, acc + logits[0, -1, 0]
+        tok, cache, acc = jax.lax.fori_loop(
+            0, n_decode, body, (tok0, cache, jnp.float32(0)))
+        return tok, cache, acc
+
+    bcache = init_cache(cfg.n_layers, B, max_seq, cfg.n_kv_heads, cfg.head_dim)
+    btok = jnp.full((B, 1), 7, jnp.int32)
+    tok, bcache, acc = decode_n_batched(dparams, bcache, btok, 64)
+    _ = float(acc)
+    bcache2 = init_cache(cfg.n_layers, B, max_seq, cfg.n_kv_heads, cfg.head_dim)
+    t0 = time.perf_counter()
+    tok, bcache2, acc = decode_n_batched(dparams, bcache2, btok, 64)
+    _ = float(acc)
+    dt = max(time.perf_counter() - t0 - latency, 1e-6)
+    batched_tps = B * n_decode / dt
+
     # ---- roofline ---------------------------------------------------------
     def nbytes(tree):
         return sum(x.nbytes for x in jax.tree_util.tree_leaves(tree)
@@ -131,6 +160,7 @@ def main():
             "roofline_tps": round(roofline_tps, 1),
             "weight_gb": round(weight_bytes / 1e9, 3),
             "prefill_tps": round(prefill_tps, 1),
+            "batched_decode_tps_8slots": round(batched_tps, 1),
             "flash_prefill": use_flash,
             "prefill_len": prefill_len,
             "first_call_s": round(prefill_first_s, 2),
