@@ -27,6 +27,35 @@ ws ::= [ \t\n]*
 '''
 
 
+def _tools_grammar(tools: list, tool_choice) -> str:
+    """Schema-constrained tool-call grammar: anyOf over each function's
+    {"name": const, "arguments": <parameters schema>}; falls back to the
+    generic JSON grammar if schema conversion fails."""
+    from ..grammar.json_schema import json_schema_to_gbnf
+
+    try:
+        forced_name = None
+        if isinstance(tool_choice, dict):
+            forced_name = (tool_choice.get("function") or {}).get("name")
+        alts = []
+        for t in tools:
+            fn = t.get("function", t)
+            name = fn.get("name", "")
+            if forced_name and name != forced_name:
+                continue
+            params = fn.get("parameters") or {"type": "object"}
+            alts.append({"type": "object",
+                         "properties": {"name": {"const": name},
+                                        "arguments": params},
+                         "required": ["name", "arguments"]})
+        if not alts:
+            return JSON_GBNF
+        schema = alts[0] if len(alts) == 1 else {"anyOf": alts}
+        return json_schema_to_gbnf(schema)
+    except Exception:
+        return JSON_GBNF
+
+
 def transform_genparams(genparams: dict, api_format: int,
                         chat_adapter: str | dict | None = None) -> dict:
     """Normalize a request body into kobold genparams (in place + returned)."""
@@ -79,14 +108,15 @@ def transform_genparams(genparams: dict, api_format: int,
         tools = genparams.get("tools") or []
         tool_choice = genparams.get("tool_choice", "auto")
         if tools and tool_choice != "none":
-            # inject tool specs and force JSON output (reference :1315-1340)
+            # inject tool specs and force JSON output (reference :1315-1340),
+            # schema-constrained per tool when parameters are declared
             tool_text = json.dumps(tools, indent=1)
             instr = ("\nYou have access to the following functions/tools. "
                      "To use one, respond ONLY with a JSON object of the form "
                      '{"name": <function-name>, "arguments": <args-dict>}.\n'
                      f"Available tools:\n{tool_text}\n")
             messages = list(messages) + [{"role": "system", "content": instr}]
-            genparams["grammar"] = JSON_GBNF
+            genparams["grammar"] = _tools_grammar(tools, tool_choice)
             genparams["using_openai_tools"] = True
         genparams["prompt"] = apply_chat_template(messages, adapter)
 
