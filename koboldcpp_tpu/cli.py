@@ -166,6 +166,29 @@ def main(argv=None):
     print(f"Load took {time.time() - t0:.1f}s "
           f"({model.cfg.arch}, {model.cfg.n_layers} layers, "
           f"vocab {model.cfg.vocab_size})")
+
+    # RoPE config: explicit --ropeconfig wins; else NTK-aware auto base when
+    # the requested context exceeds the trained context and the model ships
+    # no scaling of its own (reference decision at gpttype_adapter.cpp:1926)
+    from .ops.rope import gradientai_rope_base
+
+    if args.ropeconfig:
+        scale, base = args.ropeconfig
+        model.cfg.rope_theta = float(base)
+        if scale and scale > 0 and scale != 1.0:
+            model.cfg.rope_scaling_type = "linear"
+            model.cfg.rope_scaling_factor = 1.0 / float(scale)
+        print(f"RoPE override: base={base} scale={scale}")
+    elif (args.contextsize > model.cfg.max_position_embeddings
+          and model.cfg.rope_scaling_type in ("none", "")):
+        new_base = gradientai_rope_base(
+            model.cfg.rope_theta, model.cfg.head_dim, args.contextsize,
+            model.cfg.max_position_embeddings,
+            solar="solar" in (model.cfg.name or "").lower())
+        if new_base != model.cfg.rope_theta:
+            print(f"Auto RoPE (NTK-aware): base {model.cfg.rope_theta:.0f} -> "
+                  f"{new_base:.0f} for context {args.contextsize}")
+            model.cfg.rope_theta = new_base
     cache_dtype = jnp.bfloat16  # --quantkv 1 (q8 cache) lands with paged KV
     clip_model = None
     if args.mmproj:

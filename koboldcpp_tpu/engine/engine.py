@@ -436,6 +436,26 @@ class Engine:
     def reset_context(self):
         self.context_tokens = []
 
+    # -- state save/restore (llama_state_* counterpart, src/llama.cpp:20833;
+    #    the kobold path instead re-evals via context shift, but the API
+    #    exists for slot-save/session semantics) --------------------------
+    def save_state(self, path: str):
+        np.savez_compressed(
+            path,
+            k=np.asarray(self.cache.k), v=np.asarray(self.cache.v),
+            context_tokens=np.asarray(self.context_tokens, dtype=np.int64),
+            max_context=self.max_context)
+
+    def load_state(self, path: str):
+        from ..kv.cache import KVCache
+
+        data = np.load(path)
+        if int(data["max_context"]) != self.max_context:
+            raise ValueError("state was saved with a different context size")
+        self.cache = KVCache(k=jnp.asarray(data["k"], dtype=self.cache_dtype),
+                             v=jnp.asarray(data["v"], dtype=self.cache_dtype))
+        self.context_tokens = [int(t) for t in data["context_tokens"]]
+
 
 def _detok(tk, tokens: list[int]) -> str:
     return b"".join(tk.decode_token_bytes(t, skip_special=False)

@@ -17,6 +17,20 @@ import jax.numpy as jnp
 from ..models.config import ModelConfig
 
 
+def gradientai_rope_base(base: float, head_dim: int, n_ctx_new: int,
+                         n_ctx_train: int, solar: bool = False) -> float:
+    """NTK-aware automatic rope base ("GradientAI formula"), counterpart of
+    CalcGradientAIRopeFreqBase (/root/reference/gpttype_adapter.cpp:1598):
+    base' = base ^ (log(chi_new) / log(chi_train)), chi = ctx / (2*pi)."""
+    if n_ctx_new <= n_ctx_train or n_ctx_train <= 0:
+        return base
+    chi_train = n_ctx_train / (2 * math.pi)
+    chi_new = (n_ctx_new * (8.0 if solar else 1.0)) / (2 * math.pi)
+    if chi_train <= 1.0:
+        return base
+    return float(base ** (math.log(chi_new) / math.log(chi_train)))
+
+
 def rope_frequencies(cfg: ModelConfig) -> jnp.ndarray:
     """Per-pair inverse frequencies, with linear / yarn scaling. Shape (rot/2,)."""
     d = cfg.rope_dim

@@ -16,12 +16,22 @@ SPM_SPACE = "▁"  # ▁
 class SPMTokenizer:
     def __init__(self, vocab: Vocab):
         self.vocab = vocab
+        self._native = None
+        try:  # C++ core for long-prompt hot paths; Python fallback below
+            from ..utils.native import NativeSPM
+
+            self._native = NativeSPM(vocab.tokens, vocab.scores,
+                                     vocab.byte_tokens, vocab.unk_id)
+        except Exception:
+            self._native = None
 
     def encode_fragment(self, text: str) -> list[int]:
         """Tokenize one raw-text fragment (no special-token handling here)."""
         v = self.vocab
         if not text:
             return []
+        if self._native is not None:
+            return self._native.encode(text)
         sym_text = [c for c in text]  # symbols start as single characters
         # linked list over symbols
         prev = list(range(-1, len(sym_text) - 1))

@@ -56,8 +56,56 @@ def get_lib():
     lib.kcpp_find_first_stop.restype = i64
     lib.kcpp_common_prefix.argtypes = [p_i32, i64, p_i32, i64]
     lib.kcpp_common_prefix.restype = i64
+    p_f32 = ctypes.POINTER(ctypes.c_float)
+    lib.kcpp_spm_new.argtypes = [ctypes.c_char_p, p_i64, p_f32, i64, p_i32,
+                                 ctypes.c_int32]
+    lib.kcpp_spm_new.restype = i64
+    lib.kcpp_spm_free.argtypes = [i64]
+    lib.kcpp_spm_free.restype = None
+    lib.kcpp_spm_encode.argtypes = [i64, ctypes.c_char_p, i64, p_i32]
+    lib.kcpp_spm_encode.restype = i64
     _lib = lib
     return lib
+
+
+class NativeSPM:
+    """Handle to a C++ SPM tokenizer instance (native/spm_tokenizer.cpp)."""
+
+    def __init__(self, tokens: list[str], scores, byte_tokens: dict[int, int],
+                 unk_id: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        blobs = [t.encode("utf-8") for t in tokens]
+        offsets = np.zeros(len(blobs) + 1, dtype=np.int64)
+        for i, b in enumerate(blobs):
+            offsets[i + 1] = offsets[i] + len(b)
+        concat = b"".join(blobs)
+        sc = np.ascontiguousarray(scores, dtype=np.float32)
+        byte_ids = np.full(256, -1, dtype=np.int32)
+        for b, tid in byte_tokens.items():
+            byte_ids[b] = tid
+        self._handle = lib.kcpp_spm_new(
+            concat, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(blobs),
+            byte_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), unk_id)
+
+    def encode(self, text: str) -> list[int]:
+        data = text.encode("utf-8")
+        out = np.empty(len(data) + 1, dtype=np.int32)
+        n = self._lib.kcpp_spm_encode(
+            self._handle, data, len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if n < 0:
+            raise RuntimeError("native SPM encode failed")
+        return out[:n].tolist()
+
+    def __del__(self):
+        try:
+            self._lib.kcpp_spm_free(self._handle)
+        except Exception:
+            pass
 
 
 def _as_i32(arr) -> np.ndarray:

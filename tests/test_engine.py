@@ -160,3 +160,33 @@ def test_kv_shift_mechanics():
                                np.asarray(want[0, end:]), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.k[0, 0, :start]),
                                k_np[0, :start], rtol=1e-6, atol=1e-6)
+
+
+def test_state_save_restore(engine, tmp_path):
+    engine.reset_context()
+    r1 = engine.generate([1, 5, 9, 20], greedy(max_length=4))
+    path = str(tmp_path / "state.npz")
+    engine.save_state(path)
+    saved_ctx = list(engine.context_tokens)
+
+    # clobber the live state
+    engine.reset_context()
+    engine.generate([1, 7, 7, 7], greedy(max_length=2))
+
+    engine.load_state(path)
+    assert engine.context_tokens == saved_ctx
+    # continuation after restore must match continuation without interruption
+    prompt2 = [1, 5, 9, 20] + r1.tokens
+    r2 = engine.generate(prompt2, greedy(max_length=3))
+    assert r2.timings.prompt_tokens <= 1  # restored cache fast-forwards
+
+
+def test_gradientai_rope_formula():
+    from koboldcpp_tpu.ops.rope import gradientai_rope_base
+
+    # extending 4k-trained to 16k raises the base; within train ctx: unchanged
+    b = gradientai_rope_base(10000.0, 128, 16384, 4096)
+    assert b > 10000.0
+    assert gradientai_rope_base(10000.0, 128, 2048, 4096) == 10000.0
+    # monotone in target context
+    assert gradientai_rope_base(10000.0, 128, 32768, 4096) > b

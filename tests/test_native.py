@@ -68,3 +68,26 @@ def test_common_prefix():
     assert native.common_prefix([1, 2, 3, 4], [1, 2, 9]) == 2
     assert native.common_prefix([], [1]) == 0
     assert native.common_prefix([5, 6], [5, 6]) == 2
+
+
+def test_native_spm_matches_python():
+    """C++ SPM core must produce identical tokenization to the Python path."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_tokenizer import make_spm_vocab
+    from koboldcpp_tpu.tokenizers.spm import SPMTokenizer, SPM_SPACE
+
+    vocab = make_spm_vocab()
+    tok = SPMTokenizer(vocab)
+    assert tok._native is not None, "native SPM should load"
+
+    texts = ["hello", "▁hello▁world", "hello wörld 漢字 🎉".replace(" ", SPM_SPACE),
+             "", "Z", "▁hello" * 50]
+    for t in texts:
+        native_ids = tok.encode_fragment(t)
+        tok._native = None
+        py_ids = tok.encode_fragment(t)
+        # restore for next round
+        tok2 = SPMTokenizer(vocab)
+        tok._native = tok2._native
+        assert native_ids == py_ids, f"mismatch on {t!r}"
