@@ -145,6 +145,15 @@ def main(argv=None):
         load_kcpps(args.model_param, args)
         model_path = args.model
     if not model_path:
+        if not args.skiplauncher:
+            try:  # reference behavior: no model -> GUI launcher
+                from .gui import show_gui
+
+                argv2 = show_gui()
+                if argv2:
+                    return main(argv2)
+            except Exception:
+                pass
         print("error: no model specified (pass a GGUF path or --model)")
         return 2
     if model_path.startswith(("http://", "https://")):

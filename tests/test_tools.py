@@ -98,3 +98,19 @@ def test_cli_parser_and_kcpps(tmp_path):
     fresh = p.parse_args(["x.gguf"])
     load_kcpps(cfg_path, fresh)
     assert fresh.contextsize == 4096 and fresh.password == "pw"
+
+
+def test_gui_build_argv():
+    from koboldcpp_tpu.gui import build_argv
+
+    argv = build_argv({"model": "m.gguf", "port": 5002, "contextsize": 4096,
+                       "multiuser": 4, "password": "", "benchmark": True})
+    assert argv[0] == "m.gguf"
+    assert "--port" in argv and argv[argv.index("--port") + 1] == "5002"
+    assert "--contextsize" in argv
+    assert "--benchmark" in argv
+    assert "--password" not in argv  # defaults omitted
+
+    from koboldcpp_tpu.cli import build_parser
+    ns = build_parser().parse_args(argv)
+    assert ns.contextsize == 4096 and ns.multiuser == 4
