@@ -213,7 +213,10 @@ def main(argv=None):
         print(f"Continuous batching enabled: {args.multiuser} KV slots")
     else:
         engine = Engine(model, max_context=args.contextsize,
-                        cache_dtype=cache_dtype, clip_model=clip_model)
+                        cache_dtype=cache_dtype, clip_model=clip_model,
+                        quantkv=args.quantkv == 1)
+        if args.quantkv == 1:
+            print("Q8-quantized KV cache enabled")
 
     if args.benchmark is not None:
         run_benchmark(engine, args.benchmark)

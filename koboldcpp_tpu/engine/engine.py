@@ -83,16 +83,18 @@ def _bucket(n: int) -> int:
 
 class Engine:
     def __init__(self, model: Model, max_context: int = 2048,
-                 cache_dtype=jnp.bfloat16, compute_dtype=None, clip_model=None):
+                 cache_dtype=jnp.bfloat16, compute_dtype=None, clip_model=None,
+                 quantkv: bool = False):
         self.model = model
         self.clip = clip_model  # models.clip.ClipModel for LLaVA requests
+        self.quantkv = quantkv
         self.cfg = model.cfg
         self.tokenizer = model.tokenizer
         self.max_context = max_context
         self.cache_dtype = cache_dtype
         self.cache = init_cache(self.cfg.n_layers, 1, max_context,
                                 self.cfg.n_kv_heads, self.cfg.head_dim,
-                                dtype=cache_dtype)
+                                dtype=cache_dtype, quantized=quantkv)
         self.context_tokens: list[int] = []  # tokens currently in the cache
         self.abort_event = threading.Event()
         self.lock = threading.Lock()  # the modelbusy equivalent

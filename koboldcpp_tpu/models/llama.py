@@ -14,7 +14,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..kv.cache import KVCache, write as kv_write
+from ..kv.cache import KVCache, read as kv_read, write as kv_write
 from ..ops import linear
 from ..ops.linear import QTensor
 from ..ops.norms import layer_norm, rms_norm
@@ -224,7 +224,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             # prefill-from-zero: chunk == entire context, no cache read needed
             attn_out = flash_prefill_attention(q, k, v, positions, scale)
         else:
-            attn_out = attention(q, cache.k[li], cache.v[li], layer_mask, scale,
+            ck, cv = kv_read(cache, li)
+            attn_out = attention(q, ck, cv, layer_mask, scale,
                                  cfg.attn_logit_softcap)
         attn_out = attn_out.reshape(B, T, cfg.n_heads * cfg.head_dim)
         attn_out = linear.matmul(attn_out, layer["wo"])

@@ -190,3 +190,36 @@ def test_gradientai_rope_formula():
     assert gradientai_rope_base(10000.0, 128, 2048, 4096) == 10000.0
     # monotone in target context
     assert gradientai_rope_base(10000.0, 128, 32768, 4096) > b
+
+
+def test_quantized_kv_cache(tmp_path_factory):
+    """--quantkv 1: generation runs and stays close to the bf16-cache path."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from convert_hf import convert_llama_state_dict
+    from .test_model_forward import tiny_tokenizer_md
+
+    torch.manual_seed(30)
+    cfg = LlamaConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=256,
+                      tie_word_embeddings=False)
+    hf = LlamaForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    path = str(tmp_path_factory.mktemp("qkv") / "m.gguf")
+    convert_llama_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m = load_model(path, packed=False, dtype=jnp.float32)
+
+    e_bf = Engine(m, max_context=64, cache_dtype=jnp.float32)
+    e_q8 = Engine(m, max_context=64, quantkv=True)
+    from koboldcpp_tpu.kv.cache import QuantKVCache
+    assert isinstance(e_q8.cache, QuantKVCache)
+
+    r_bf = e_bf.generate([1, 5, 9, 20], greedy(max_length=8))
+    r_q8 = e_q8.generate([1, 5, 9, 20], greedy(max_length=8))
+    # int8 KV noise can flip late tokens on a random tiny model, but the
+    # first steps must agree
+    assert r_q8.tokens[:3] == r_bf.tokens[:3]
+    assert len(r_q8.tokens) == 8
