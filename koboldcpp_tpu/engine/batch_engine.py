@@ -78,15 +78,29 @@ class BatchedEngine:
     """Drop-in Engine replacement with cross-request continuous batching."""
 
     def __init__(self, model: Model, max_context: int = 2048, n_slots: int = 4,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16, paged: bool = False,
+                 page_size: int = 64, pool_fraction: float = 1.0,
+                 quantkv: bool = False):
         self.model = model
         self.cfg = model.cfg
         self.tokenizer = model.tokenizer
         self.max_context = max_context
         self.n_slots = n_slots
-        self.cache = init_cache(self.cfg.n_layers, n_slots, max_context,
-                                self.cfg.n_kv_heads, self.cfg.head_dim,
-                                dtype=cache_dtype)
+        self.paged = paged
+        if paged:
+            from ..kv.paged import PageAllocator, init_paged_cache
+
+            max_pages = -(-max_context // page_size)
+            n_pages = max(1, int(n_slots * max_pages * pool_fraction))
+            self.page_size = page_size
+            self.allocator = PageAllocator(n_pages, page_size, max_pages)
+            self.cache = init_paged_cache(
+                self.cfg.n_layers, n_pages, page_size, self.cfg.n_kv_heads,
+                self.cfg.head_dim, quantized=quantkv)
+        else:
+            self.cache = init_cache(self.cfg.n_layers, n_slots, max_context,
+                                    self.cfg.n_kv_heads, self.cfg.head_dim,
+                                    dtype=cache_dtype)
         self.slots = [_Slot(idx=i) for i in range(n_slots)]
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.abort_event = threading.Event()  # abort-all (compat)
@@ -97,9 +111,15 @@ class BatchedEngine:
         self._shutdown = False
         self._wake = threading.Event()
 
-        def fwd(params, tokens, positions, cache):
-            return model_llama.forward(params, self.cfg, tokens, positions,
-                                       cache, last_only=True)
+        if paged:
+            def fwd(params, tokens, positions, cache, page_table):
+                return model_llama.forward_paged(
+                    params, self.cfg, tokens, positions, cache, page_table,
+                    last_only=True)
+        else:
+            def fwd(params, tokens, positions, cache, page_table=None):
+                return model_llama.forward(params, self.cfg, tokens, positions,
+                                           cache, last_only=True)
 
         self._forward = jax.jit(fwd, donate_argnames=("cache",))
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -193,6 +213,8 @@ class BatchedEngine:
         slot.context = slot.context[:n]
         todo = prompt[n:]
         slot.prompt_len = len(todo)
+        if self.paged:
+            self.allocator.trim(slot.idx, n)
 
         state = make_state(params.sampler.seed)
         if params.sampler.dry_multiplier > 0:
@@ -218,6 +240,17 @@ class BatchedEngine:
         slot.t_prefill_done = time.perf_counter()
         self._sample_and_emit(slot, logits)
 
+    def _table(self) -> jnp.ndarray:
+        rows = np.stack([self.allocator.table(i) for i in range(self.n_slots)])
+        return jnp.asarray(rows.astype(np.int32))
+
+    def _run_forward(self, tok: np.ndarray, ppos: np.ndarray):
+        if self.paged:
+            return self._forward(self.model.params, jnp.asarray(tok),
+                                 jnp.asarray(ppos), self.cache, self._table())
+        return self._forward(self.model.params, jnp.asarray(tok),
+                             jnp.asarray(ppos), self.cache)
+
     def _prefill(self, slot: _Slot, tokens: list[int], start_pos: int) -> np.ndarray:
         logits = None
         pos = start_pos
@@ -230,8 +263,9 @@ class BatchedEngine:
             ppos = np.full((self.n_slots, b), -1, dtype=np.int32)
             tok[slot.idx, pad:] = chunk
             ppos[slot.idx, pad:] = np.arange(pos, pos + len(chunk))
-            lg, self.cache = self._forward(self.model.params, jnp.asarray(tok),
-                                           jnp.asarray(ppos), self.cache)
+            if self.paged:
+                self.allocator.ensure(slot.idx, pos + len(chunk))
+            lg, self.cache = self._run_forward(tok, ppos)
             logits = np.asarray(lg[slot.idx, -1])
             pos += len(chunk)
             i += len(chunk)
@@ -244,8 +278,9 @@ class BatchedEngine:
             if s.active and s.out_tokens:
                 tok[s.idx, 0] = s.out_tokens[-1]
                 pos[s.idx, 0] = len(s.context)
-        lg, self.cache = self._forward(self.model.params, jnp.asarray(tok),
-                                       jnp.asarray(pos), self.cache)
+                if self.paged:
+                    self.allocator.ensure(s.idx, len(s.context) + 1)
+        lg, self.cache = self._run_forward(tok, pos)
         lg = np.asarray(lg)
         for s in self.slots:
             if not s.active:

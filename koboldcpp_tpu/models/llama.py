@@ -258,6 +258,74 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     return logits, cache
 
 
+def forward_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+                  positions: jnp.ndarray, pcache, page_table: jnp.ndarray,
+                  last_only: bool = False):
+    """forward() over a paged KV pool (kv/paged.py): writes route through the
+    per-slot page table; attention reads the gathered pages. Virtual slot
+    index == absolute position, so the same causal mask applies.
+
+    tokens/positions: (B, T); page_table: (B, MP) int32 global page ids.
+    """
+    from ..kv import paged
+
+    B, T = tokens.shape
+    S = page_table.shape[1] * pcache.page_size
+    freqs = rope_frequencies(cfg)
+    mscale = yarn_attn_scale(cfg)
+
+    emb_w = params["tok_embd"]
+    x = emb_w.data["w"][tokens] if isinstance(emb_w, QTensor) else emb_w[tokens]
+    if cfg.embedding_scale:
+        x = x * jnp.asarray(cfg.embedding_scale, dtype=x.dtype)
+
+    slot_ids = jnp.arange(S)
+    mask = slot_ids[None, None, :] <= positions[:, :, None]
+    qdim = cfg.n_heads * cfg.head_dim
+    kvdim = cfg.n_kv_heads * cfg.head_dim
+    base_scale = cfg.attn_scale if cfg.attn_scale > 0 else cfg.head_dim ** -0.5
+    scale = base_scale * mscale
+    for li, layer in enumerate(params["layers"]):
+        h = _norm(x, layer, "attn_norm", cfg)
+        if "wqkv" in layer:
+            qkv = linear.matmul(h, layer["wqkv"])
+            q = qkv[..., :qdim]
+            k = qkv[..., qdim:qdim + kvdim]
+            v = qkv[..., qdim + kvdim:]
+        else:
+            q = linear.matmul(h, layer["wq"])
+            k = linear.matmul(h, layer["wk"])
+            v = linear.matmul(h, layer["wv"])
+        if "bq" in layer:
+            q = q + layer["bq"].astype(q.dtype)
+            k = k + layer["bk"].astype(k.dtype)
+            v = v + layer["bv"].astype(v.dtype)
+        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        if cfg.use_rope:
+            q = apply_rope(q, positions, freqs, cfg.rope_type, cfg.rope_dim)
+            k = apply_rope(k, positions, freqs, cfg.rope_type, cfg.rope_dim)
+        pcache = paged.write(pcache, li, page_table, positions, k, v)
+        ck, cv = paged.gather(pcache, li, page_table)
+        attn_out = attention(q, ck.astype(x.dtype), cv.astype(x.dtype),
+                             mask, scale, cfg.attn_logit_softcap)
+        attn_out = attn_out.reshape(B, T, qdim)
+        x = x + linear.matmul(attn_out, layer["wo"])
+        h = _norm(x, layer, "ffn_norm", cfg)
+        if "ffn_gate_inp" in layer:
+            x = x + _moe_ffn(h, layer, cfg)
+        else:
+            x = x + _ffn(h, layer, cfg.act, cfg.ffn_gated)
+
+    if last_only:
+        x = x[:, -1:, :]
+    x = _norm(x, params, "output_norm", cfg)
+    logits = linear.matmul(x, params["output"], out_dtype=jnp.float32)
+    logits = _softcap(logits, cfg.final_logit_softcap)
+    return logits, pcache
+
+
 # ---------------------------------------------------------------------------
 # scan-based forward: one compiled layer body for all layers
 # ---------------------------------------------------------------------------

@@ -121,3 +121,47 @@ def test_abort_by_genkey(batched):
     req = batched.submit([1, 5], greedy(50), on_token=cb, genkey="KEY1")
     assert req.done.wait(timeout=120)
     assert req.result.stop_reason == "abort"
+
+
+@pytest.fixture(scope="module")
+def paged_engine(model):
+    eng = BatchedEngine(model, max_context=128, n_slots=3,
+                        cache_dtype=jnp.float32, paged=True, page_size=16)
+    yield eng
+    eng.shutdown()
+
+
+def test_paged_matches_contiguous(batched, paged_engine):
+    prompts = [[1, 5, 9], [1, 42, 7, 100], [1, 300]]
+    batched.reset_context()
+    want = [batched.generate(p, greedy()).tokens for p in prompts]
+    got = [paged_engine.generate(p, greedy()).tokens for p in prompts]
+    assert got == want
+
+
+def test_paged_page_accounting(paged_engine):
+    a = paged_engine.allocator
+    free_before = a.n_free
+    r = paged_engine.generate([1, 5, 9] + [7] * 30, greedy(4))
+    assert len(r.tokens) == 4
+    # pages stay allocated for fast-forward reuse; under the pool limit
+    assert a.n_free < free_before or free_before == a.n_free
+
+
+def test_paged_concurrent(paged_engine):
+    import threading
+
+    prompts = [[1, 5, 9], [1, 42, 7], [1, 300, 11]]
+    results = [None] * 3
+
+    def run(i):
+        results[i] = paged_engine.generate(prompts[i], greedy(6))
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=180)
+    assert all(r is not None and len(r.tokens) == 6 for r in results)
+    serial = [paged_engine.generate(p, greedy(6)).tokens for p in prompts]
+    assert [r.tokens for r in results] == serial
