@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(flag, nargs="?", const=True, default=None,
                        help=argparse.SUPPRESS)
     p.add_argument("--mesh", default="", help="dp,tp mesh shape e.g. 1,8")
+    p.add_argument("--paged", action="store_true",
+                   help="paged KV pool for the continuous-batching engine")
+    p.add_argument("--pagesize", type=int, default=64)
     p.add_argument("--skiplauncher", action="store_true", help=argparse.SUPPRESS)
     return p
 
@@ -209,8 +212,12 @@ def main(argv=None):
         from .engine.batch_engine import BatchedEngine
 
         engine = BatchedEngine(model, max_context=args.contextsize,
-                               n_slots=args.multiuser, cache_dtype=cache_dtype)
-        print(f"Continuous batching enabled: {args.multiuser} KV slots")
+                               n_slots=args.multiuser, cache_dtype=cache_dtype,
+                               paged=args.paged or args.quantkv == 1,
+                               page_size=args.pagesize,
+                               quantkv=args.quantkv == 1)
+        print(f"Continuous batching enabled: {args.multiuser} KV slots"
+              + (" (paged)" if args.paged or args.quantkv == 1 else ""))
     else:
         engine = Engine(model, max_context=args.contextsize,
                         cache_dtype=cache_dtype, clip_model=clip_model,

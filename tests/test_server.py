@@ -175,3 +175,25 @@ async def test_openapi_spec(client):
     assert spec["openapi"].startswith("3.")
     assert "/api/v1/generate" in spec["paths"]
     assert "/v1/chat/completions" in spec["paths"]
+
+
+async def test_batched_engine_server(engine, aiohttp_client):
+    """Server over the continuous-batching engine: concurrent requests."""
+    import asyncio
+    from koboldcpp_tpu.engine.batch_engine import BatchedEngine
+
+    be = BatchedEngine(engine.model, max_context=128, n_slots=2,
+                       cache_dtype=jnp.float32)
+    try:
+        app = make_app(be, ServerSettings(model_name="batched/tiny", multiuser=2))
+        c = await aiohttp_client(app)
+        bodies = [{"prompt": f"tok{i} tok9", "max_length": 4, "temperature": 0,
+                   "rep_pen": 1.0, "bypass_eos": True} for i in range(3)]
+        results = await asyncio.gather(
+            *[c.post("/api/v1/generate", json=b) for b in bodies])
+        for r in results:
+            assert r.status == 200
+            j = await r.json()
+            assert len(j["results"][0]["text"]) > 0
+    finally:
+        be.shutdown()
