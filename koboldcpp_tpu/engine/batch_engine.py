@@ -337,6 +337,10 @@ class BatchedEngine:
 
     def _finish(self, slot: _Slot, reason: str):
         req = slot.request
+        if slot.pending_bytes:  # flush trailing partial UTF-8 (lossy, like
+            slot.out_text += slot.pending_bytes.decode("utf-8", errors="replace")
+            slot.pending_bytes = b""  # the reference's final detok)
+            req.text_so_far = slot.out_text
         now = time.perf_counter()
         t = Timings(
             prompt_tokens=slot.prompt_len,

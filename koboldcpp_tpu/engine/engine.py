@@ -395,6 +395,9 @@ class Engine:
             logits = self._eval_chunk([tok], len(self.context_tokens))
             self.context_tokens.append(tok)
 
+        if pending_bytes:  # flush trailing partial UTF-8
+            out_text += pending_bytes.decode("utf-8", errors="replace")
+
         t2 = time.perf_counter()
         self.last_timings = Timings(
             prompt_tokens=len(todo), gen_tokens=len(out_tokens),
