@@ -100,6 +100,9 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
     elif arch == "gptj":
         extras = dict(norm_type="layer", ffn_gated=False, act="gelu",
                       parallel_residual=True)
+    elif arch == "falcon":
+        extras = dict(norm_type="layer", ffn_gated=False, act="gelu",
+                      parallel_residual=True)
     return ModelConfig(
         arch=arch,
         name=str(md.get(Keys.General.NAME, "")),

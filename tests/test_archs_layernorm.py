@@ -64,3 +64,25 @@ def test_gptneox(tmp_path, parallel):
     with torch.no_grad():
         ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
     np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
+
+
+def test_falcon(tmp_path):
+    import torch
+    from transformers import FalconConfig, FalconForCausalLM
+    from convert_hf import convert_falcon_state_dict
+
+    torch.manual_seed(8)
+    cfg = FalconConfig(vocab_size=512, hidden_size=64, num_hidden_layers=2,
+                       num_attention_heads=4, multi_query=True,
+                       parallel_attn=True, new_decoder_architecture=False,
+                       bias=False, max_position_embeddings=64, alibi=False)
+    model = FalconForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "falcon.gguf")
+    convert_falcon_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path, TOKENS)
+    assert m.cfg.parallel_residual and m.cfg.n_kv_heads == 1
+    import torch as _t
+    with _t.no_grad():
+        ref = model(_t.tensor(TOKENS, dtype=_t.long)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)

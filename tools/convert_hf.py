@@ -370,3 +370,59 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def convert_falcon_state_dict(state: dict, config, out_path: str,
+                              tokenizer_md: dict | None = None,
+                              quant_type: GGMLType = GGMLType.F32):
+    """HF Falcon (7b-style: multi_query, parallel_attn, shared input LN) ->
+    GGUF. The fused query_key_value is already [Q-heads | K | V] in
+    multi-query layout; the shared layernorm is written as both attn_norm and
+    ffn_norm (parallel residual reads the same tensor, like build_falcon)."""
+    n_layers = config.num_hidden_layers
+    H = config.num_attention_heads
+    hidden = config.hidden_size
+    hd = hidden // H
+    n_kv = config.num_kv_heads if getattr(config, "new_decoder_architecture", False) else 1
+    w = GGUFWriter(out_path, architecture="falcon")
+    w.add("falcon.context_length", np.uint32(getattr(config, "max_position_embeddings", 2048)))
+    w.add("falcon.embedding_length", np.uint32(hidden))
+    w.add("falcon.block_count", np.uint32(n_layers))
+    w.add("falcon.feed_forward_length", np.uint32(getattr(config, "ffn_hidden_size", 4 * hidden)))
+    w.add("falcon.attention.head_count", np.uint32(H))
+    w.add("falcon.attention.head_count_kv", np.uint32(n_kv))
+    w.add("falcon.attention.layer_norm_epsilon",
+          np.float32(getattr(config, "layer_norm_epsilon", 1e-5)))
+    w.add("falcon.rope.dimension_count", np.uint32(hd))
+    w.add("falcon.rope.freq_base", np.float32(getattr(config, "rope_theta", 10000.0)))
+    w.add("falcon.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("transformer.word_embeddings.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("transformer.ln_f.weight"), GGMLType.F32)
+    w.add_tensor("output_norm.bias", get("transformer.ln_f.bias"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"transformer.h.{i}."
+        gp = f"blk.{i}."
+        ln_w = get(hp + "input_layernorm.weight")
+        ln_b = get(hp + "input_layernorm.bias")
+        w.add_tensor(gp + "attn_norm.weight", ln_w, GGMLType.F32)
+        w.add_tensor(gp + "attn_norm.bias", ln_b, GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", ln_w, GGMLType.F32)  # shared LN
+        w.add_tensor(gp + "ffn_norm.bias", ln_b, GGMLType.F32)
+        w.add_tensor(gp + "attn_qkv.weight",
+                     get(hp + "self_attention.query_key_value.weight"), quant_type)
+        w.add_tensor(gp + "attn_output.weight",
+                     get(hp + "self_attention.dense.weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.weight",
+                     get(hp + "mlp.dense_h_to_4h.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.weight",
+                     get(hp + "mlp.dense_4h_to_h.weight"), quant_type)
+    w.write()
+    return out_path
