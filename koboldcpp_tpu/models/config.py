@@ -103,6 +103,8 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
     elif arch == "falcon":
         extras = dict(norm_type="layer", ffn_gated=False, act="gelu",
                       parallel_residual=True)
+    elif arch == "stablelm":
+        extras = dict(norm_type="layer")  # layernorm + partial rotary + silu-gated FFN
     return ModelConfig(
         arch=arch,
         name=str(md.get(Keys.General.NAME, "")),

@@ -86,3 +86,25 @@ def test_falcon(tmp_path):
     with _t.no_grad():
         ref = model(_t.tensor(TOKENS, dtype=_t.long)).logits.numpy()
     np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
+
+
+def test_stablelm(tmp_path):
+    import torch
+    from transformers import StableLmConfig, StableLmForCausalLM
+    from convert_hf import convert_stablelm_state_dict
+
+    torch.manual_seed(9)
+    cfg = StableLmConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, max_position_embeddings=64,
+                         partial_rotary_factor=0.25)
+    model = StableLmForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "stablelm.gguf")
+    convert_stablelm_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path, TOKENS)
+    assert m.cfg.norm_type == "layer" and m.cfg.ffn_gated
+    assert m.cfg.rope_dim == 4
+    with torch.no_grad():
+        ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)

@@ -426,3 +426,54 @@ def convert_falcon_state_dict(state: dict, config, out_path: str,
                      get(hp + "mlp.dense_4h_to_h.weight"), quant_type)
     w.write()
     return out_path
+
+
+def convert_stablelm_state_dict(state: dict, config, out_path: str,
+                                tokenizer_md: dict | None = None,
+                                quant_type: GGMLType = GGMLType.F32):
+    """HF StableLM -> GGUF: LayerNorm (with bias) + partial NEOX rotary +
+    silu-gated FFN."""
+    n_head = config.num_attention_heads
+    n_kv = getattr(config, "num_key_value_heads", n_head) or n_head
+    n_layers = config.num_hidden_layers
+    hd = config.hidden_size // n_head
+    w = GGUFWriter(out_path, architecture="stablelm")
+    w.add("stablelm.context_length", np.uint32(config.max_position_embeddings))
+    w.add("stablelm.embedding_length", np.uint32(config.hidden_size))
+    w.add("stablelm.block_count", np.uint32(n_layers))
+    w.add("stablelm.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("stablelm.attention.head_count", np.uint32(n_head))
+    w.add("stablelm.attention.head_count_kv", np.uint32(n_kv))
+    w.add("stablelm.attention.layer_norm_epsilon",
+          np.float32(config.layer_norm_eps))
+    w.add("stablelm.rope.dimension_count",
+          np.uint32(int(hd * config.partial_rotary_factor)))
+    w.add("stablelm.rope.freq_base", np.float32(config.rope_theta))
+    w.add("stablelm.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("model.norm.weight"), GGMLType.F32)
+    w.add_tensor("output_norm.bias", get("model.norm.bias"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "input_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_norm.bias", get(hp + "input_layernorm.bias"), GGMLType.F32)
+        w.add_tensor(gp + "attn_q.weight", get(hp + "self_attn.q_proj.weight"), quant_type)
+        w.add_tensor(gp + "attn_k.weight", get(hp + "self_attn.k_proj.weight"), quant_type)
+        w.add_tensor(gp + "attn_v.weight", get(hp + "self_attn.v_proj.weight"), quant_type)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "self_attn.o_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.bias", get(hp + "post_attention_layernorm.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_gate.weight", get(hp + "mlp.gate_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.weight", get(hp + "mlp.up_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.down_proj.weight"), quant_type)
+    w.write()
+    return out_path
