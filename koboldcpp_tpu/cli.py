@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for compat; attention is always fused on TPU")
     p.add_argument("--nocontextshift", action="store_true")
     p.add_argument("--noshift", action="store_true")
+    p.add_argument("--smartcontext", action="store_true",
+                   help="legacy smart-context (halve-and-buffer) instead of "
+                        "context shift")
     p.add_argument("--nofastforward", action="store_true")
     p.add_argument("--ropeconfig", nargs=2, type=float, default=None,
                    metavar=("SCALE", "BASE"))
@@ -221,7 +224,10 @@ def main(argv=None):
     else:
         engine = Engine(model, max_context=args.contextsize,
                         cache_dtype=cache_dtype, clip_model=clip_model,
-                        quantkv=args.quantkv == 1)
+                        quantkv=args.quantkv == 1,
+                        use_smartcontext=args.smartcontext,
+                        use_contextshift=not (args.noshift
+                                              or args.nocontextshift))
         if args.quantkv == 1:
             print("Q8-quantized KV cache enabled")
 

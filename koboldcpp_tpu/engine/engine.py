@@ -84,10 +84,14 @@ def _bucket(n: int) -> int:
 class Engine:
     def __init__(self, model: Model, max_context: int = 2048,
                  cache_dtype=jnp.bfloat16, compute_dtype=None, clip_model=None,
-                 quantkv: bool = False):
+                 quantkv: bool = False, use_smartcontext: bool = False,
+                 use_contextshift: bool = True):
         self.model = model
         self.clip = clip_model  # models.clip.ClipModel for LLaVA requests
         self.quantkv = quantkv
+        self.use_smartcontext = use_smartcontext
+        self.use_contextshift = use_contextshift and not use_smartcontext
+        self.smartcontext: list[int] = []  # saved halved-prompt buffer
         self.cfg = model.cfg
         self.tokenizer = model.tokenizer
         self.max_context = max_context
@@ -232,6 +236,49 @@ class Engine:
         self.context_tokens = ctx[:p0] + ctx[p0 + ci:]
         return prompt
 
+    def _smart_context(self, prompt: list[int]) -> list[int]:
+        """Legacy smart context (ContextFastForward, model_adapter.cpp:424-558).
+
+        When the cache is nearly full and the incoming prompt diverges far from
+        it, chop the un-reusable half of the prompt off and remember the kept
+        tail (`smartcontext`); later prompts that still contain that tail are
+        trimmed to it, so only genuinely-new text is evaluated. Positions are
+        deliberately discontinuous (the reference accepts the same lossiness).
+        Returns the (possibly trimmed) prompt to feed the normal
+        fast-forward path.
+        """
+        nctx = self.max_context
+        ctx_thresh = int(nctx * 0.8)     # SCCtxLenThreshold
+        inp_thresh = int(nctx * 0.6)     # SCInpLenThreshold
+        past_thresh = int(nctx * 0.5)    # SCPastLenThreshold
+        tok_thresh = 32 + int(nctx * 0.05)  # SCTokThreshold
+
+        n_past = self._fast_forward(prompt)
+        rem = prompt[n_past:]
+        reused = False
+        if self.smartcontext and len(rem) >= inp_thresh:
+            # reuse: the remembered buffer must reappear (prefix-anchored run)
+            blen, ci, pi = _longest_common_run(self.smartcontext, rem)
+            if blen > tok_thresh and ci == 0:
+                rem = rem[pi:]
+                reused = True
+            else:
+                self.smartcontext = []
+        else:
+            self.smartcontext = []
+        if (not reused and not self.smartcontext
+                and len(self.context_tokens) >= ctx_thresh
+                and len(rem) >= inp_thresh
+                and len(self.context_tokens) - n_past > past_thresh):
+            # trigger: keep the tail half, remember it as the anchor
+            shift = int(len(rem) * 0.5)  # SCTruncationRatio
+            self.smartcontext = rem[shift:]
+            rem = self.smartcontext
+        # composed prompt: reused prefix + trimmed remainder; the ordinary
+        # fast-forward then also reuses any of rem already evaluated last time
+        # (the reference's offset_fix continuation loop, model_adapter.cpp:508)
+        return prompt[:n_past] + rem
+
     def _kv_remove_shift(self, start: int, end: int):
         """Delete cache slots [start, end) and slide later slots down,
         re-rotating K by the position delta (the reference's kv_seq_rm +
@@ -300,8 +347,12 @@ class Engine:
             emb_by_pos = {len(bos) + i: all_emb[i] for i in range(len(all_emb))}
             self.context_tokens = []  # image requests re-evaluate fully
 
-        # context shift, then fast-forward
-        self._context_shift(prompt_tokens)
+        # context reuse: smart context (legacy) OR context shift, then
+        # fast-forward
+        if self.use_smartcontext:
+            prompt_tokens = self._smart_context(prompt_tokens)
+        elif self.use_contextshift:
+            self._context_shift(prompt_tokens)
         n_past = self._fast_forward(prompt_tokens)
         self.context_tokens = self.context_tokens[:n_past]
         todo = prompt_tokens[n_past:]

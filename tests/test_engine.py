@@ -223,3 +223,23 @@ def test_quantized_kv_cache(tmp_path_factory):
     # first steps must agree
     assert r_q8.tokens[:3] == r_bf.tokens[:3]
     assert len(r_q8.tokens) == 8
+
+
+def test_smart_context(engine):
+    """Legacy smart-context: halve-and-buffer on divergent full context, then
+    reuse of the buffered tail (model_adapter.cpp:424-558 semantics)."""
+    e = Engine(engine.model, max_context=128, cache_dtype=jnp.float32,
+               use_smartcontext=True)
+    base = [1, 5] + [(7 * i) % 500 + 2 for i in range(110)]
+    e.generate(base, greedy(max_length=4))
+    assert not e.smartcontext
+    # long prompt diverging early (history scrolled): triggers the halving
+    b = [1, 5] + [(11 * i) % 500 + 2 for i in range(110)]
+    r2 = e.generate(b, greedy(max_length=4))
+    assert e.smartcontext
+    assert e.last_timings.prompt_tokens < len(b) * 0.6  # only ~half evaluated
+    # continuation containing the buffered tail: trims to it, evals only new
+    c = b + r2.tokens + [(13 * i) % 500 + 2 for i in range(6)]
+    e.generate(c, greedy(max_length=4))
+    assert e.smartcontext
+    assert e.last_timings.prompt_tokens <= 8
