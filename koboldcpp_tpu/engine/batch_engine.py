@@ -13,6 +13,7 @@ per-slot lengths (slot==position invariant per row). The page-table layout
 """
 from __future__ import annotations
 
+import codecs
 import queue
 import threading
 import time
@@ -59,7 +60,7 @@ class _Slot:
     context: list[int] = field(default_factory=list)  # tokens in cache
     out_tokens: list[int] = field(default_factory=list)
     out_text: str = ""
-    pending_bytes: bytes = b""
+    utf8: object = None  # incremental UTF-8 decoder (set on _start_request)
     sampler_state: object = None
     sampler_params: SamplerParams | None = None
     grammar: TokenFilter | None = None
@@ -201,7 +202,7 @@ class BatchedEngine:
         slot.request = req
         slot.out_tokens = []
         slot.out_text = ""
-        slot.pending_bytes = b""
+        slot.utf8 = codecs.getincrementaldecoder("utf-8")(errors="replace")
         slot.t_start = time.perf_counter()
 
         # per-slot context fast-forward
@@ -309,13 +310,10 @@ class BatchedEngine:
             except ValueError:
                 pass
         slot.out_tokens.append(tok)
-        piece_bytes = self.tokenizer.decode_token_bytes(tok, skip_special=False)
-        slot.pending_bytes += piece_bytes
-        try:
-            piece = slot.pending_bytes.decode("utf-8")
-            slot.pending_bytes = b""
-        except UnicodeDecodeError:
-            piece = ""
+        # incremental: holds genuine partials, emits U+FFFD for invalid bytes
+        # (buffer-until-valid deadlocks after one bad byte)
+        piece = slot.utf8.decode(
+            self.tokenizer.decode_token_bytes(tok, skip_special=False))
         if piece:
             slot.out_text += piece
             req.text_so_far = slot.out_text
@@ -337,9 +335,9 @@ class BatchedEngine:
 
     def _finish(self, slot: _Slot, reason: str):
         req = slot.request
-        if slot.pending_bytes:  # flush trailing partial UTF-8 (lossy, like
-            slot.out_text += slot.pending_bytes.decode("utf-8", errors="replace")
-            slot.pending_bytes = b""  # the reference's final detok)
+        tail = slot.utf8.decode(b"", final=True) if slot.utf8 else ""
+        if tail:  # flush trailing partial UTF-8 (lossy, like reference detok)
+            slot.out_text += tail
             req.text_so_far = slot.out_text
         now = time.perf_counter()
         t = Timings(

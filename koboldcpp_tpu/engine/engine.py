@@ -12,6 +12,7 @@ the continuous-batching scheduler builds on the same jitted step functions.
 """
 from __future__ import annotations
 
+import codecs
 import threading
 import time
 from dataclasses import dataclass, field
@@ -382,10 +383,26 @@ class Engine:
         # decode loop
         out_tokens: list[int] = []
         out_text = ""
-        pending_bytes = b""
+        # incremental UTF-8: holds back genuinely-partial sequences but emits
+        # U+FFFD immediately for invalid bytes (a plain buffer-until-valid
+        # scheme deadlocks on the first invalid byte)
+        utf8 = codecs.getincrementaldecoder("utf-8")(errors="replace")
         stop_reason = "length"
         sp = SamplerParams(**{**sampler.__dict__, "banned_tokens": sampler_banned})
         max_len = min(params.max_length, self.max_context - len(self.context_tokens))
+        # anti-slop bans are per-POSITION (antislop_banned_token_ids,
+        # gpttype_adapter.cpp:128,3219): rewinding to a spot bans the offending
+        # token only when resampling that spot, not globally.
+        antislop_bans: dict[int, set[int]] = {}
+        # streaming hold-back (delayed_generated_tokens,
+        # gpttype_adapter.cpp:127,2538): with phrase bans active, emission
+        # lags by the longest phrase's token count so rewound text is never
+        # streamed to the client.
+        stream_delay = 0
+        if params.banned_phrases:
+            stream_delay = 3 + max(
+                (len(tk.encode(p)) for p in params.banned_phrases), default=0)
+        stream_q: list[tuple[int, int, str]] = []  # (token_index, tok, piece)
 
         for _ in range(max_len):
             if self.abort_event.is_set():
@@ -394,8 +411,12 @@ class Engine:
             gmask = None
             if grammar is not None:
                 gmask = grammar.mask()
+            pos_bans = antislop_bans.get(len(self.context_tokens))
+            sp_step = sp if not pos_bans else SamplerParams(
+                **{**sp.__dict__,
+                   "banned_tokens": sp.banned_tokens + tuple(pos_bans)})
             tok = sample_logits(logits, self.context_tokens, self.max_context,
-                                sp, state, grammar_mask=gmask)
+                                sp_step, state, grammar_mask=gmask)
             if grammar is not None:
                 try:
                     grammar.accept(tok)
@@ -403,18 +424,15 @@ class Engine:
                     pass
             out_tokens.append(tok)
 
-            piece_bytes = tk.decode_token_bytes(tok, skip_special=False)
-            pending_bytes += piece_bytes
-            try:
-                piece = pending_bytes.decode("utf-8")
-                pending_bytes = b""
-            except UnicodeDecodeError:
-                piece = ""
+            piece = utf8.decode(tk.decode_token_bytes(tok, skip_special=False))
             if piece:
                 out_text += piece
-                self.stream_tokens.append(piece)
-                if on_token:
-                    on_token(tok, piece)
+                if stream_delay:
+                    stream_q.append((len(out_tokens), tok, piece))
+                else:
+                    self.stream_tokens.append(piece)
+                    if on_token:
+                        on_token(tok, piece)
 
             if not params.bypass_eos and tok in eos_ids:
                 stop_reason = "eos"
@@ -435,19 +453,37 @@ class Engine:
                 if rew is not None:
                     n_rewind, ban_tok = rew
                     out_tokens = out_tokens[:-n_rewind]
-                    out_text = _detok(tk, out_tokens)
-                    self.context_tokens = self.context_tokens[:len(self.context_tokens) - n_rewind]
-                    sp = SamplerParams(**{**sp.__dict__,
-                                          "banned_tokens": sp.banned_tokens + (ban_tok,)})
+                    # resync the incremental decoder with the rewound stream
+                    utf8 = codecs.getincrementaldecoder("utf-8")(errors="replace")
+                    out_text = utf8.decode(b"".join(
+                        tk.decode_token_bytes(t, skip_special=False)
+                        for t in out_tokens))
+                    # the just-sampled token is not in context yet, so the
+                    # cache rewinds one fewer slot than the output does
+                    self.context_tokens = self.context_tokens[
+                        :len(self.context_tokens) - (n_rewind - 1)]
+                    antislop_bans.setdefault(
+                        len(self.context_tokens), set()).add(ban_tok)
+                    stream_q = [e for e in stream_q if e[0] <= len(out_tokens)]
                     logits = self._replay_logits()
                     continue
+
+            # emit pieces that are now beyond rewind reach
+            while stream_q and stream_q[0][0] <= len(out_tokens) - stream_delay:
+                _, qt, qp = stream_q.pop(0)
+                self.stream_tokens.append(qp)
+                if on_token:
+                    on_token(qt, qp)
 
             # feed the token back
             logits = self._eval_chunk([tok], len(self.context_tokens))
             self.context_tokens.append(tok)
 
-        if pending_bytes:  # flush trailing partial UTF-8
-            out_text += pending_bytes.decode("utf-8", errors="replace")
+        for _, qt, qp in stream_q:  # flush held-back pieces
+            self.stream_tokens.append(qp)
+            if on_token:
+                on_token(qt, qp)
+        out_text += utf8.decode(b"", final=True)  # flush trailing partial
 
         t2 = time.perf_counter()
         self.last_timings = Timings(
@@ -469,20 +505,21 @@ class Engine:
 
     def _antislop_check(self, text: str, phrases: list[str],
                         out_tokens: list[int]) -> tuple[int, int] | None:
+        """Walk generated tokens from the END, accumulating text, until the
+        banned phrase is covered; rewind that many tokens and ban the first
+        (gpttype_adapter.cpp:3306-3330 backwards scan)."""
         low = text.lower()
+        tk = self.tokenizer
         for ph in phrases:
-            i = low.rfind(ph.lower())
-            if i < 0:
+            pl = ph.lower()
+            if pl not in low:
                 continue
-            # find how many generated tokens to rewind to reach offset i
-            tk = self.tokenizer
-            acc = ""
-            for n, tok in enumerate(out_tokens):
-                nxt = acc + tk.token_str(tok)
-                if len(nxt) > i:
-                    n_rewind = len(out_tokens) - n
-                    return n_rewind, out_tokens[n]
-                acc = nxt
+            tail = b""
+            for n in range(len(out_tokens) - 1, -1, -1):
+                tail = tk.decode_token_bytes(out_tokens[n],
+                                             skip_special=False) + tail
+                if pl in tail.decode("utf-8", errors="ignore").lower():
+                    return len(out_tokens) - n, out_tokens[n]
         return None
 
     # -- utility API -------------------------------------------------------

@@ -243,3 +243,29 @@ def test_smart_context(engine):
     e.generate(c, greedy(max_length=4))
     assert e.smartcontext
     assert e.last_timings.prompt_tokens <= 8
+
+
+def test_antislop_phrase_ban(engine):
+    """Anti-slop: rewind-and-ban is per-position, cache bookkeeping stays
+    consistent, and streaming is held back past rewind reach."""
+    engine.reset_context()
+    r1 = engine.generate([1, 5, 9], greedy(max_length=8))
+    assert len(r1.tokens) == 8
+    tk = engine.tokenizer
+    phrase = "".join(tk.token_str(t) for t in r1.tokens[2:4])
+    engine.reset_context()
+    pieces = []
+    r2 = engine.generate([1, 5, 9],
+                         greedy(max_length=8, banned_phrases=[phrase]),
+                         on_token=lambda t, s: pieces.append(s))
+    assert phrase.lower() not in r2.text.lower()
+    assert r2.tokens != r1.tokens
+    if r2.stop_reason == "length":
+        # context/cache and output agree after the rewind
+        assert engine.context_tokens == [1, 5, 9] + r2.tokens
+        # held-back streaming flushes to exactly the final text
+        assert "".join(pieces) == r2.text
+    # deterministic under rewind
+    engine.reset_context()
+    r3 = engine.generate([1, 5, 9], greedy(max_length=8, banned_phrases=[phrase]))
+    assert r3.tokens == r2.tokens
