@@ -25,6 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("port_param", nargs="?", default="",
                    help="port (positional compat)")
     p.add_argument("--model", default="", help="GGUF model file or URL")
+    p.add_argument("--lora", nargs="+", default=None, metavar="FILE",
+                   help="GGUF LoRA adapter(s) to merge into the model at load")
+    p.add_argument("--loramult", type=float, default=1.0,
+                   help="LoRA strength multiplier")
     p.add_argument("--port", type=int, default=5001)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--password", default="", help="API key (Bearer auth)")
@@ -177,7 +181,10 @@ def main(argv=None):
 
     print(f"Loading model: {model_path}")
     t0 = time.time()
-    model = load_model(model_path)
+    loras = [(lp, args.loramult) for lp in (args.lora or [])]
+    if loras:
+        print(f"Applying {len(loras)} LoRA adapter(s), multiplier {args.loramult}")
+    model = load_model(model_path, loras=loras or None)
     print(f"Load took {time.time() - t0:.1f}s "
           f"({model.cfg.arch}, {model.cfg.n_layers} layers, "
           f"vocab {model.cfg.vocab_size})")

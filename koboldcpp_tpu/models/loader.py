@@ -31,14 +31,82 @@ def _load_dense(reader: GGUFReader, name: str, dtype=jnp.float32) -> jnp.ndarray
     return jnp.asarray(reader.tensor_data(name), dtype=dtype)
 
 
+class LoraAdapter:
+    """GGUF LoRA adapter (llama_lora_adapter_init_internal,
+    /root/reference/src/llama.cpp:18740-18882): general.type=="adapter",
+    adapter.type=="lora", tensor pairs `<base>.lora_a` (r, in) /
+    `<base>.lora_b` (out, r), merged as W + mult * (alpha/r) * B @ A.
+    The reference applies A/B at eval time; on TPU we merge at load so the
+    hot path stays a single fused matmul (affected tensors become dense)."""
+
+    def __init__(self, path: str, multiplier: float = 1.0):
+        self.multiplier = multiplier
+        self.pairs: dict[str, dict[str, np.ndarray]] = {}
+        with GGUFReader(path) as r:
+            md = r.metadata
+            gtype = str(md.get("general.type", ""))
+            if gtype != "adapter":
+                raise ValueError(f"expected general.type 'adapter', got {gtype!r}")
+            atype = str(md.get("adapter.type", ""))
+            if atype != "lora":
+                raise ValueError(f"expected adapter.type 'lora', got {atype!r}")
+            a = md.get("adapter.lora.alpha", 0.0)
+            self.alpha = float(a.item() if hasattr(a, "item") else a or 0.0)
+            for name in r.tensors:
+                if name.endswith(".lora_a"):
+                    self.pairs.setdefault(name[:-7], {})["a"] = np.asarray(
+                        r.tensor_data(name), np.float32)
+                elif name.endswith(".lora_b"):
+                    self.pairs.setdefault(name[:-7], {})["b"] = np.asarray(
+                        r.tensor_data(name), np.float32)
+                else:
+                    raise ValueError(f"LoRA tensor {name!r} has unexpected suffix")
+        for base, p in self.pairs.items():
+            if "a" not in p or "b" not in p:
+                raise ValueError(f"LoRA pair for {base!r} missing a component")
+
+    def delta(self, name: str) -> np.ndarray | None:
+        p = self.pairs.get(name)
+        if p is None:
+            return None
+        a, b = p["a"], p["b"]  # (r, in), (out, r)
+        rank = a.shape[0]
+        scale = self.multiplier * (self.alpha / rank if self.alpha else 1.0)
+        return scale * (b @ a)
+
+
 def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
-                dtype=jnp.bfloat16) -> Params:
+                dtype=jnp.bfloat16,
+                loras: list[LoraAdapter] | None = None) -> Params:
     names = set(reader.tensors)
+    lora_names = set()
+    for ad in loras or ():
+        lora_names |= set(ad.pairs)
+
+    def _merged_dense(tensor_name: str):
+        """Dequantized base weight + all adapter deltas, as a dense QTensor."""
+        info = reader.tensors[tensor_name]
+        w = np.asarray(linear.from_gguf(
+            reader.tensor_raw(tensor_name), info.ggml_type, info.shape,
+            packed=False, dtype=jnp.float32).data["w"], np.float32)
+        for ad in loras or ():
+            d = ad.delta(tensor_name)
+            if d is not None:
+                if d.shape != w.shape:
+                    raise ValueError(
+                        f"LoRA delta shape {d.shape} != {w.shape} for {tensor_name}")
+                w = w + d
+        return linear.dense(w, dtype=dtype)
+
+    def qt(tensor_name: str):
+        if tensor_name in lora_names:
+            return _merged_dense(tensor_name)
+        return _load_tensor(reader, tensor_name, packed, dtype)
 
     def opt(layer: dict, key: str, tensor_name: str, kind: str):
         if tensor_name in names:
             if kind == "qt":
-                layer[key] = _load_tensor(reader, tensor_name, packed, dtype)
+                layer[key] = qt(tensor_name)
             else:
                 layer[key] = _load_dense(reader, tensor_name)
 
@@ -57,7 +125,7 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
     if "position_embd.weight" in names:  # gpt2 learned positions
         params["pos_embd"] = _load_dense(reader, "position_embd.weight")
     if "output.weight" in names:
-        params["output"] = _load_tensor(reader, "output.weight", packed, dtype)
+        params["output"] = qt("output.weight")
     else:  # tied embeddings
         params["output"] = tok_embd
 
@@ -69,6 +137,10 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
             return None
         if len({i.shape[1] for i in infos}) != 1:
             return None
+        if any(n in lora_names for n in names_in):
+            return linear.dense(np.concatenate(
+                [np.asarray(_merged_dense(n).data["w"], np.float32)
+                 for n in names_in], axis=0), dtype=dtype)
         raw = np.concatenate([reader.tensor_raw(n) for n in names_in], axis=0)
         out_rows = sum(i.shape[0] for i in infos)
         return linear.from_gguf(raw, infos[0].ggml_type,
@@ -79,19 +151,19 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
         p = f"blk.{i}."
         layer: dict[str, Any] = {
             "attn_norm": _load_dense(reader, p + "attn_norm.weight"),
-            "wo": _load_tensor(reader, p + "attn_output.weight", packed, dtype),
+            "wo": qt(p + "attn_output.weight"),
             "ffn_norm": _load_dense(reader, p + "ffn_norm.weight"),
         }
         if p + "attn_qkv.weight" in names:  # phi3-style pre-fused projection
-            layer["wqkv"] = _load_tensor(reader, p + "attn_qkv.weight", packed, dtype)
+            layer["wqkv"] = qt(p + "attn_qkv.weight")
         else:
             qkv = fused([p + "attn_q.weight", p + "attn_k.weight", p + "attn_v.weight"])
             if qkv is not None:
                 layer["wqkv"] = qkv
             else:
-                layer["wq"] = _load_tensor(reader, p + "attn_q.weight", packed, dtype)
-                layer["wk"] = _load_tensor(reader, p + "attn_k.weight", packed, dtype)
-                layer["wv"] = _load_tensor(reader, p + "attn_v.weight", packed, dtype)
+                layer["wq"] = qt(p + "attn_q.weight")
+                layer["wk"] = qt(p + "attn_k.weight")
+                layer["wv"] = qt(p + "attn_v.weight")
         for key, tname in (("attn_post_norm", "attn_post_norm.weight"),
                            ("ffn_post_norm", "ffn_post_norm.weight")):
             opt(layer, key, p + tname, "dense")
@@ -103,7 +175,7 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
                            ("ffn_norm_bias", "ffn_norm.bias")):
             opt(layer, key, p + tname, "dense")
         if p + "ffn_gate_inp.weight" in names:  # MoE block
-            layer["ffn_gate_inp"] = _load_tensor(reader, p + "ffn_gate_inp.weight", packed, dtype)
+            layer["ffn_gate_inp"] = qt(p + "ffn_gate_inp.weight")
             for key, tname in (("ffn_gate_exps", "ffn_gate_exps.weight"),
                                ("ffn_up_exps", "ffn_up_exps.weight"),
                                ("ffn_down_exps", "ffn_down_exps.weight")):
@@ -116,18 +188,17 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
             if (p + "ffn_gate.weight" not in names and up_info is not None
                     and up_info.shape[0] == 2 * cfg.intermediate_size):
                 # phi3-style pre-fused [gate; up]
-                layer["w_gateup"] = _load_tensor(reader, p + "ffn_up.weight",
-                                                 packed, dtype)
+                layer["w_gateup"] = qt(p + "ffn_up.weight")
             elif p + "ffn_gate.weight" in names:
                 gu = fused([p + "ffn_gate.weight", p + "ffn_up.weight"])
                 if gu is not None:
                     layer["w_gateup"] = gu
                 else:
-                    layer["w_gate"] = _load_tensor(reader, p + "ffn_gate.weight", packed, dtype)
-                    layer["w_up"] = _load_tensor(reader, p + "ffn_up.weight", packed, dtype)
+                    layer["w_gate"] = qt(p + "ffn_gate.weight")
+                    layer["w_up"] = qt(p + "ffn_up.weight")
             else:
-                layer["w_up"] = _load_tensor(reader, p + "ffn_up.weight", packed, dtype)
-            layer["w_down"] = _load_tensor(reader, p + "ffn_down.weight", packed, dtype)
+                layer["w_up"] = qt(p + "ffn_up.weight")
+            layer["w_down"] = qt(p + "ffn_down.weight")
         params["layers"].append(layer)
     return params
 
@@ -141,9 +212,14 @@ class Model:
         self.tokenizer = tokenizer
 
 
-def load_model(path: str, packed: bool = True, dtype=jnp.bfloat16) -> Model:
+def load_model(path: str, packed: bool = True, dtype=jnp.bfloat16,
+               loras: list[tuple[str, float]] | None = None) -> Model:
+    """loras: [(adapter_gguf_path, multiplier), ...] merged into the base
+    weights at load (lora_filename/lora_multiplier, expose.h:132-133)."""
+    adapters = [LoraAdapter(lp, mult) for lp, mult in (loras or [])]
     with GGUFReader(path) as r:
         cfg = config_from_metadata(r.metadata)
         tokenizer = Tokenizer.from_metadata(r.metadata)
-        params = load_params(r, cfg, packed=packed, dtype=dtype)
+        params = load_params(r, cfg, packed=packed, dtype=dtype,
+                             loras=adapters or None)
     return Model(cfg, params, tokenizer)
