@@ -105,6 +105,11 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
                       parallel_residual=True)
     elif arch == "stablelm":
         extras = dict(norm_type="layer")  # layernorm + partial rotary + silu-gated FFN
+    elif arch == "phi2":
+        extras = dict(norm_type="layer", ffn_gated=False, act="gelu",
+                      parallel_residual=True)
+    elif arch == "olmo":
+        extras = dict(norm_type="layer")  # non-parametric LN (identity affine)
     return ModelConfig(
         arch=arch,
         name=str(md.get(Keys.General.NAME, "")),

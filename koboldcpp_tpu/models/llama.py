@@ -254,6 +254,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         x = x[:, -1:, :]
     x = _norm(x, params, "output_norm", cfg)
     logits = linear.matmul(x, params["output"], out_dtype=jnp.float32)
+    if "output_bias" in params:  # phi2 lm_head bias
+        logits = logits + params["output_bias"]
     logits = _softcap(logits, cfg.final_logit_softcap)
     return logits, cache
 
@@ -322,6 +324,8 @@ def forward_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         x = x[:, -1:, :]
     x = _norm(x, params, "output_norm", cfg)
     logits = linear.matmul(x, params["output"], out_dtype=jnp.float32)
+    if "output_bias" in params:  # phi2 lm_head bias
+        logits = logits + params["output_bias"]
     logits = _softcap(logits, cfg.final_logit_softcap)
     return logits, pcache
 
@@ -468,5 +472,7 @@ def forward_stacked(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         x = x[:, -1:, :]
     x = rms_norm(x, params["output_norm"], cfg.rms_norm_eps)
     logits = linear.matmul(x, params["output"], out_dtype=jnp.float32)
+    if "output_bias" in params:  # phi2 lm_head bias
+        logits = logits + params["output_bias"]
     logits = _softcap(logits, cfg.final_logit_softcap)
     return logits, new_cache

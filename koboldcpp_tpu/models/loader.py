@@ -126,6 +126,8 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
         params["pos_embd"] = _load_dense(reader, "position_embd.weight")
     if "output.weight" in names:
         params["output"] = qt("output.weight")
+        if "output.bias" in names:  # phi2 lm_head bias
+            params["output_bias"] = _load_dense(reader, "output.bias")
     else:  # tied embeddings
         params["output"] = tok_embd
 

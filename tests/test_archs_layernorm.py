@@ -108,3 +108,46 @@ def test_stablelm(tmp_path):
     with torch.no_grad():
         ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
     np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
+
+
+def test_phi2(tmp_path):
+    import torch
+    from transformers import PhiConfig, PhiForCausalLM
+    from convert_hf import convert_phi2_state_dict
+
+    torch.manual_seed(10)
+    cfg = PhiConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    num_key_value_heads=4, max_position_embeddings=64,
+                    partial_rotary_factor=0.5)
+    model = PhiForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "phi2.gguf")
+    convert_phi2_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path, TOKENS)
+    assert m.cfg.norm_type == "layer" and m.cfg.parallel_residual
+    assert m.cfg.rope_dim == 8 and not m.cfg.ffn_gated
+    with torch.no_grad():
+        ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
+
+
+def test_olmo(tmp_path):
+    import torch
+    from transformers import OlmoConfig, OlmoForCausalLM
+    from convert_hf import convert_olmo_state_dict
+
+    torch.manual_seed(11)
+    cfg = OlmoConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=2, max_position_embeddings=64,
+                     tie_word_embeddings=False)
+    model = OlmoForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "olmo.gguf")
+    convert_olmo_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path, TOKENS)
+    assert m.cfg.norm_type == "layer" and m.cfg.ffn_gated
+    with torch.no_grad():
+        ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)

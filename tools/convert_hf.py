@@ -477,3 +477,95 @@ def convert_stablelm_state_dict(state: dict, config, out_path: str,
         w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.down_proj.weight"), quant_type)
     w.write()
     return out_path
+
+
+def convert_phi2_state_dict(state: dict, config, out_path: str,
+                            tokenizer_md: dict | None = None,
+                            quant_type: GGMLType = GGMLType.F32):
+    """HF Phi (phi-2) -> GGUF: shared LayerNorm feeding parallel attn+MLP,
+    partial NEOX rotary, biases everywhere incl. lm_head."""
+    n_head = config.num_attention_heads
+    n_kv = getattr(config, "num_key_value_heads", n_head) or n_head
+    n_layers = config.num_hidden_layers
+    hd = config.hidden_size // n_head
+    w = GGUFWriter(out_path, architecture="phi2")
+    w.add("phi2.context_length", np.uint32(config.max_position_embeddings))
+    w.add("phi2.embedding_length", np.uint32(config.hidden_size))
+    w.add("phi2.block_count", np.uint32(n_layers))
+    w.add("phi2.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("phi2.attention.head_count", np.uint32(n_head))
+    w.add("phi2.attention.head_count_kv", np.uint32(n_kv))
+    w.add("phi2.attention.layer_norm_epsilon", np.float32(config.layer_norm_eps))
+    w.add("phi2.rope.dimension_count",
+          np.uint32(int(hd * config.partial_rotary_factor)))
+    w.add("phi2.rope.freq_base", np.float32(config.rope_theta))
+    w.add("phi2.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("model.final_layernorm.weight"), GGMLType.F32)
+    w.add_tensor("output_norm.bias", get("model.final_layernorm.bias"), GGMLType.F32)
+    w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    w.add_tensor("output.bias", get("lm_head.bias"), GGMLType.F32)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        # one shared LayerNorm feeds both branches; written under both names
+        for tgt in ("attn_norm", "ffn_norm"):
+            w.add_tensor(gp + tgt + ".weight", get(hp + "input_layernorm.weight"), GGMLType.F32)
+            w.add_tensor(gp + tgt + ".bias", get(hp + "input_layernorm.bias"), GGMLType.F32)
+        for gn, hn in (("attn_q", "self_attn.q_proj"), ("attn_k", "self_attn.k_proj"),
+                       ("attn_v", "self_attn.v_proj"), ("attn_output", "self_attn.dense"),
+                       ("ffn_up", "mlp.fc1"), ("ffn_down", "mlp.fc2")):
+            w.add_tensor(gp + gn + ".weight", get(hp + hn + ".weight"), quant_type)
+            w.add_tensor(gp + gn + ".bias", get(hp + hn + ".bias"), GGMLType.F32)
+    w.write()
+    return out_path
+
+
+def convert_olmo_state_dict(state: dict, config, out_path: str,
+                            tokenizer_md: dict | None = None,
+                            quant_type: GGMLType = GGMLType.F32):
+    """HF OLMo -> GGUF: non-parametric LayerNorm (written as identity affine:
+    weight=1, bias=0), full NEOX rotary, silu-gated FFN, no biases."""
+    n_head = config.num_attention_heads
+    n_kv = getattr(config, "num_key_value_heads", n_head) or n_head
+    n_layers = config.num_hidden_layers
+    H = config.hidden_size
+    w = GGUFWriter(out_path, architecture="olmo")
+    w.add("olmo.context_length", np.uint32(config.max_position_embeddings))
+    w.add("olmo.embedding_length", np.uint32(H))
+    w.add("olmo.block_count", np.uint32(n_layers))
+    w.add("olmo.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("olmo.attention.head_count", np.uint32(n_head))
+    w.add("olmo.attention.head_count_kv", np.uint32(n_kv))
+    w.add("olmo.attention.layer_norm_epsilon", np.float32(1e-5))
+    w.add("olmo.rope.freq_base", np.float32(config.rope_theta))
+    w.add("olmo.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    ones = np.ones(H, np.float32)
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), quant_type)
+    w.add_tensor("output_norm.weight", ones, GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", ones, GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", ones, GGMLType.F32)
+        for gn, hn in (("attn_q", "self_attn.q_proj"), ("attn_k", "self_attn.k_proj"),
+                       ("attn_v", "self_attn.v_proj"), ("attn_output", "self_attn.o_proj"),
+                       ("ffn_gate", "mlp.gate_proj"), ("ffn_up", "mlp.up_proj"),
+                       ("ffn_down", "mlp.down_proj")):
+            w.add_tensor(gp + gn + ".weight", get(hp + hn + ".weight"), quant_type)
+    w.write()
+    return out_path
