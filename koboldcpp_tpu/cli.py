@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="legacy smart-context (halve-and-buffer) instead of "
                         "context shift")
     p.add_argument("--nofastforward", action="store_true")
+    p.add_argument("--remotetunnel", action="store_true",
+                   help="create a trycloudflare tunnel for remote access")
     p.add_argument("--ropeconfig", nargs=2, type=float, default=None,
                    metavar=("SCALE", "BASE"))
     p.add_argument("--sdmodel", default="", help="stable-diffusion GGUF model")
@@ -285,7 +287,17 @@ def main(argv=None):
         start_horde_worker(args, settings)
 
     print(f"Starting server on {args.host}:{args.port}")
-    run_server(engine, host=args.host, port=args.port, settings=settings)
+    tunnel = None
+    if args.remotetunnel:
+        from .server.tunnel import Tunnel
+
+        tunnel = Tunnel(args.port)
+        tunnel.start()
+    try:
+        run_server(engine, host=args.host, port=args.port, settings=settings)
+    finally:
+        if tunnel is not None:
+            tunnel.stop()
     return 0
 
 

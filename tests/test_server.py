@@ -197,3 +197,21 @@ async def test_batched_engine_server(engine, aiohttp_client):
             assert len(j["results"][0]["text"]) > 0
     finally:
         be.shutdown()
+
+
+def test_tunnel_url_scrape(tmp_path):
+    """Tunnel URL scraping from cloudflared stderr, using a fake binary."""
+    import stat
+    from koboldcpp_tpu.server.tunnel import Tunnel
+
+    fake = tmp_path / "fake_cloudflared"
+    fake.write_text("#!/bin/sh\n"
+                    "echo 'INF +--------------------+' 1>&2\n"
+                    "echo 'INF https://abc-def-demo.trycloudflare.com' 1>&2\n"
+                    "sleep 30\n")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    t = Tunnel(5001, binary=str(fake))
+    url = t.start(timeout=10)
+    assert url == "https://abc-def-demo.trycloudflare.com"
+    t.stop()
+    assert t.proc is None
