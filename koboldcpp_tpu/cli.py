@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ropeconfig", nargs=2, type=float, default=None,
                    metavar=("SCALE", "BASE"))
     p.add_argument("--sdmodel", default="", help="stable-diffusion GGUF model")
+    p.add_argument("--sdvaeauto", action="store_true",
+                   help="use TAESD instead of the VAE (needs --sdtaesd weights)")
+    p.add_argument("--sdtaesd", default="", help="TAESD weights (.safetensors/.pt)")
     p.add_argument("--whispermodel", default="", help="whisper GGUF model")
     p.add_argument("--mmproj", default="", help="LLaVA mmproj GGUF (vision)")
     p.add_argument("--hordekey", default="")
@@ -268,6 +271,11 @@ def main(argv=None):
 
         print(f"Loading SD model: {args.sdmodel}")
         sd_model = load_sd(args.sdmodel)
+        if args.sdtaesd:
+            print(f"Loading TAESD: {args.sdtaesd}")
+            sd_model.set_taesd(args.sdtaesd)
+        elif args.sdvaeauto:
+            print("--sdvaeauto requires --sdtaesd <weights>; using full VAE")
     whisper_model = None
     if args.whispermodel:
         from .models.whisper import load_whisper

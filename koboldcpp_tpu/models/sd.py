@@ -406,6 +406,14 @@ class SDModel:
         self._vae = jax.jit(partial(vae_decode, cfg=cfg))
         self._vae_enc = jax.jit(partial(vae_encode, cfg=cfg))
         self.alphas_cum = linear_beta_schedule()
+        self.taesd = None  # fast VAE replacement (--sdvaeauto, tae.hpp)
+
+    def set_taesd(self, path_or_state):
+        """Replace VAE decode with TAESD (reference sdvaeauto flag)."""
+        from .taesd import decoder_apply, load_taesd
+
+        self.taesd = load_taesd(path_or_state)
+        self._taesd_dec = jax.jit(decoder_apply)
 
     def encode_prompt(self, prompt: str) -> jnp.ndarray:
         if self.tokenizer is not None:
@@ -449,6 +457,9 @@ class SDModel:
 
         sampler_fn = SAMPLERS.get(sampler.lower(), SAMPLERS["euler a"])
         x = sampler_fn(kd, x, sigmas, cond, uncond, cfg_scale, rng)
+        if self.taesd is not None and "decoder.1.weight" in self.taesd:
+            img = np.asarray(self._taesd_dec(self.taesd, x)[0])  # [0,1]
+            return np.clip(img * 255.0, 0, 255).astype(np.uint8)
         img = self._vae(params=self.params, z=x)
         img = np.asarray(img[0])
         return np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
