@@ -10,6 +10,7 @@ from typing import Iterable
 from .bpe import BPETokenizer
 from .spm import SPMTokenizer, SPM_SPACE
 from .vocab import Vocab, vocab_from_metadata
+from .wpm import WPMTokenizer
 
 
 class Tokenizer:
@@ -19,6 +20,8 @@ class Tokenizer:
             self.core = SPMTokenizer(vocab)
         elif vocab.model in ("gpt2", "bpe"):
             self.core = BPETokenizer(vocab)
+        elif vocab.model == "bert":
+            self.core = WPMTokenizer(vocab)
         elif vocab.model == "no_vocab":
             self.core = None
         else:
@@ -73,9 +76,14 @@ class Tokenizer:
             return []
         add_bos = v.add_bos if add_bos is None else add_bos
         add_eos = v.add_eos if add_eos is None else add_eos
+        # WPM (BERT): CLS/SEP play the bos/eos roles (llama-vocab.cpp wpm)
+        bos = v.cls_id if (isinstance(self.core, WPMTokenizer)
+                           and v.cls_id >= 0) else v.bos_id
+        eos = v.sep_id if (isinstance(self.core, WPMTokenizer)
+                           and v.sep_id >= 0) else v.eos_id
         out: list[int] = []
-        if add_bos and v.bos_id >= 0:
-            out.append(v.bos_id)
+        if add_bos and bos >= 0:
+            out.append(bos)
         is_spm = isinstance(self.core, SPMTokenizer)
         prev_special = True
         for is_special, frag in self._partition(text, parse_special):
@@ -90,8 +98,8 @@ class Tokenizer:
                     raw = raw.replace(" ", SPM_SPACE)
                 out.extend(self.core.encode_fragment(raw))
                 prev_special = False
-        if add_eos and v.eos_id >= 0:
-            out.append(v.eos_id)
+        if add_eos and eos >= 0:
+            out.append(eos)
         return out
 
     # -- decode ------------------------------------------------------------

@@ -27,6 +27,7 @@ class Vocab:
     eom_id: int = -1
     unk_id: int = 0
     sep_id: int = -1
+    cls_id: int = -1
     pad_id: int = -1
     add_bos: bool = True
     add_eos: bool = False
@@ -97,6 +98,7 @@ def vocab_from_metadata(md: Mapping[str, Any]) -> Vocab:
         eom_id=int(_get(md, T.EOM_ID, -1)),
         unk_id=int(_get(md, T.UNK_ID, 0)),
         sep_id=int(_get(md, T.SEP_ID, -1)),
+        cls_id=int(_get(md, T.CLS_ID, -1)),
         pad_id=int(_get(md, T.PAD_ID, -1)),
         add_bos=bool(_get(md, T.ADD_BOS, model == "llama")),
         add_eos=bool(_get(md, T.ADD_EOS, False)),
