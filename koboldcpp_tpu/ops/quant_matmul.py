@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .linear import QTensor
 
-ROW_TILE = 256  # output-feature tile (8 superblocks)
+ROW_TILE = int(__import__("os").environ.get("KCPP_ROW_TILE", "256"))  # output-feature tile
 T_TILE = 256    # token tile for prefill
 
 
