@@ -65,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sdvaeauto", action="store_true",
                    help="use TAESD instead of the VAE (needs --sdtaesd weights)")
     p.add_argument("--sdtaesd", default="", help="TAESD weights (.safetensors/.pt)")
+    p.add_argument("--sdclamped", type=int, nargs="?", const=512, default=0,
+                   help="clamp SD resolution/steps for shared hosting")
     p.add_argument("--whispermodel", default="", help="whisper GGUF model")
     p.add_argument("--mmproj", default="", help="LLaVA mmproj GGUF (vision)")
     p.add_argument("--hordekey", default="")
@@ -287,7 +289,8 @@ def main(argv=None):
         password=args.password, multiuser=args.multiuser,
         model_name=os.path.basename(model_path),
         chat_adapter=chat_adapter, preloaded_story=story, quiet=args.quiet,
-        whisper_model=whisper_model, sd_model=sd_model)
+        whisper_model=whisper_model, sd_model=sd_model,
+        sd_clamped=args.sdclamped)
 
     if args.hordekey and args.hordeworkername:
         from .server.horde import start_horde_worker

@@ -39,6 +39,7 @@ class ServerSettings:
     quiet: bool = False
     whisper_model: Any = None  # models.whisper.WhisperModel
     sd_model: Any = None  # models.sd.SDModel
+    sd_clamped: int = 0  # clamp SD res/steps for shared hosting (--sdclamped)
 
 
 @dataclass
@@ -487,18 +488,36 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
         Image.fromarray(img).save(buf, format="PNG")
         return base64.b64encode(buf.getvalue()).decode()
 
+    def _clamp_sd(width: int, height: int, steps: int) -> tuple[int, int, int]:
+        """Resolution/step clamps (reference koboldcpp.py:1120-1138; --sdclamped
+        shrinks proportionally to a 64-multiple for shared hosting)."""
+        steps = max(1, min(80, steps))
+        width, height = max(64, width), max(64, height)
+        reslimit = 1024
+        if settings.sd_clamped:
+            steps = min(40, steps)
+            reslimit = max(512, int(settings.sd_clamped))
+        biggest = max(width, height)
+        if biggest > reslimit:
+            scaler = biggest / reslimit
+            width = int(width / scaler) // 64 * 64
+            height = int(height / scaler) // 64 * 64
+        return width, height, steps
+
     async def txt2img(request):
         """A1111 txt2img (reference sd_generate, sdtype_adapter.cpp:276)."""
         if settings.sd_model is None:
             return _json({"detail": {"msg": "No SD model loaded",
                                      "type": "service_unavailable"}}, status=503)
         body = await _read_json(request)
+        width, height, steps = _clamp_sd(int(body.get("width", 512)),
+                                         int(body.get("height", 512)),
+                                         int(body.get("steps", 20)))
         loop = asyncio.get_running_loop()
         img = await loop.run_in_executor(None, lambda: settings.sd_model.txt2img(
             str(body.get("prompt", "")),
             negative_prompt=str(body.get("negative_prompt", "")),
-            width=int(body.get("width", 512)), height=int(body.get("height", 512)),
-            steps=int(body.get("steps", 20)),
+            width=width, height=height, steps=steps,
             cfg_scale=float(body.get("cfg_scale", 7.0)),
             sampler=str(body.get("sampler_name", "Euler a")),
             seed=int(body.get("seed", -1))))

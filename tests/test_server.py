@@ -215,3 +215,25 @@ def test_tunnel_url_scrape(tmp_path):
     assert url == "https://abc-def-demo.trycloudflare.com"
     t.stop()
     assert t.proc is None
+
+
+async def test_sdclamped(engine, aiohttp_client):
+    """--sdclamped shrinks oversized requests to a 64-multiple."""
+    from koboldcpp_tpu.server.app import ServerSettings, make_app
+
+    seen = {}
+
+    class FakeSD:
+        def txt2img(self, prompt, **kw):
+            seen.update(kw)
+            import numpy as np
+            return np.zeros((kw["height"], kw["width"], 3), np.uint8)
+
+    app = make_app(engine, ServerSettings(sd_model=FakeSD(), sd_clamped=512))
+    client = await aiohttp_client(app)
+    resp = await client.post("/sdapi/v1/txt2img", json={
+        "prompt": "x", "width": 1024, "height": 2048, "steps": 60})
+    assert resp.status == 200
+    # proportional shrink, aspect kept, 64-multiples (reference :1132-1138)
+    assert seen["width"] == 256 and seen["height"] == 512
+    assert seen["steps"] == 40
