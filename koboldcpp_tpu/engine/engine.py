@@ -122,7 +122,8 @@ class Engine:
         )
         # flash prefill: TPU-only pallas kernel, needs block-sized chunks
         self.use_flash_prefill = (jax.default_backend() not in ("cpu",)
-                                  and self.cfg.head_dim in (64, 128, 256))
+                                  and self.cfg.head_dim in (64, 128, 256)
+                                  and not self.cfg.use_alibi)
 
     # -- low-level steps ---------------------------------------------------
     def _eval_chunk(self, tokens: list[int], start_pos: int) -> np.ndarray:

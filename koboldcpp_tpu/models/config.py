@@ -57,6 +57,9 @@ class ModelConfig:
     embedding_scale: float = 0.0  # gemma: hidden**0.5
     norm_type: str = "rms"  # rms | layer (gpt2/neox)
     use_rope: bool = True
+    use_alibi: bool = False  # mpt: ALiBi attention bias instead of rope
+    alibi_bias_max: float = 8.0
+    clamp_kqv: float = 0.0  # mpt: clamp qkv activations to +-this when > 0
     learned_pos: bool = False  # gpt2 absolute position embeddings
     parallel_residual: bool = False  # neox/gptj: x + attn(ln1 x) + mlp(ln2 x)
     ffn_gated: bool = True  # False: plain up->act->down (gpt2/neox)
@@ -110,6 +113,13 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
                       parallel_residual=True)
     elif arch == "olmo":
         extras = dict(norm_type="layer")  # non-parametric LN (identity affine)
+    elif arch == "mpt":
+        extras = dict(norm_type="layer", ffn_gated=False, act="gelu_exact",
+                      use_rope=False, use_alibi=True,
+                      alibi_bias_max=float(_get(
+                          md, "{arch}.attention.max_alibi_bias", arch, 8.0) or 8.0),
+                      clamp_kqv=float(_get(
+                          md, "{arch}.attention.clamp_kqv", arch, 0.0) or 0.0))
     return ModelConfig(
         arch=arch,
         name=str(md.get(Keys.General.NAME, "")),

@@ -64,9 +64,11 @@ def flash_prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-              mask: jnp.ndarray, scale: float, softcap: float = 0.0) -> jnp.ndarray:
+              mask: jnp.ndarray, scale: float, softcap: float = 0.0,
+              bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """q: (B, T, H, D); k/v: (B, S, Hkv, D); mask: (B, T, S) bool.
-    GQA via head-group reshape. Returns (B, T, H, D)."""
+    GQA via head-group reshape. bias: optional additive (B, H, T, S) scores
+    bias (ALiBi). Returns (B, T, H, D)."""
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv
@@ -74,6 +76,8 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, k,
                         preferred_element_type=jnp.float32) * scale
     scores = _softcap(scores, softcap)
+    if bias is not None:
+        scores = scores + bias.reshape(B, Hkv, G, T, S)
     neg = jnp.finfo(jnp.float32).min
     scores = jnp.where(mask[:, None, None, :, :], scores, neg)
     p = jax.nn.softmax(scores, axis=-1)
@@ -82,9 +86,24 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, T, H, D).astype(q.dtype)
 
 
+def alibi_slopes(n_heads: int, bias_max: float = 8.0) -> jnp.ndarray:
+    """Per-head ALiBi slopes, HF MPT build_mpt_alibi_tensor semantics (matches
+    llama.cpp soft_max_ext max_bias form for power-of-2 head counts)."""
+    import math
+
+    n2 = 2 ** math.ceil(math.log2(n_heads))
+    base = jnp.arange(1, n2 + 1, dtype=jnp.float32) * (bias_max / n2)
+    slopes = 1.0 / jnp.exp2(base)
+    if n2 != n_heads:
+        slopes = jnp.concatenate([slopes[1::2], slopes[::2]])[:n_heads]
+    return slopes
+
+
 def _ffn(x: jnp.ndarray, layer: Params, act_name: str = "silu",
          gated: bool = True) -> jnp.ndarray:
-    actf = jax.nn.silu if act_name == "silu" else partial(jax.nn.gelu, approximate=True)
+    actf = {"silu": jax.nn.silu,
+            "gelu_exact": partial(jax.nn.gelu, approximate=False)}.get(
+        act_name, partial(jax.nn.gelu, approximate=True))
     if not gated:  # gpt2/neox-style up -> act -> down (with biases)
         up = linear.matmul(x, layer["w_up"])
         if "b_up" in layer:
@@ -190,6 +209,12 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     kvdim = cfg.n_kv_heads * cfg.head_dim
     base_scale = cfg.attn_scale if cfg.attn_scale > 0 else cfg.head_dim ** -0.5
     scale = base_scale * mscale
+    alibi = None
+    if cfg.use_alibi:  # slope * (k_pos - q_pos): row-affine, so equals the
+        # HF last-row formulation up to a softmax-invariant per-row constant
+        dist = (slot_ids[None, None, :] - positions[:, :, None]).astype(jnp.float32)
+        alibi = (alibi_slopes(cfg.n_heads, cfg.alibi_bias_max)[None, :, None, None]
+                 * dist[:, None, :, :])  # (B, H, T, S)
     for li, layer in enumerate(params["layers"]):
         h = _norm(x, layer, "attn_norm", cfg)
         if "wqkv" in layer:  # fused projection (one kernel launch)
@@ -207,6 +232,9 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             q = q + layer["bq"].astype(q.dtype)
             k = k + layer["bk"].astype(k.dtype)
             v = v + layer["bv"].astype(v.dtype)
+        if cfg.clamp_kqv > 0:  # mpt clip_qkv
+            c = cfg.clamp_kqv
+            q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
         q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
@@ -220,13 +248,14 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         layer_mask = local_mask if is_local else mask
 
         cache = kv_write(cache, li, positions, k, v)
-        if flash_prefill and not cfg.attn_logit_softcap and not is_local:
+        if (flash_prefill and not cfg.attn_logit_softcap and not is_local
+                and alibi is None):
             # prefill-from-zero: chunk == entire context, no cache read needed
             attn_out = flash_prefill_attention(q, k, v, positions, scale)
         else:
             ck, cv = kv_read(cache, li)
             attn_out = attention(q, ck, cv, layer_mask, scale,
-                                 cfg.attn_logit_softcap)
+                                 cfg.attn_logit_softcap, bias=alibi)
         attn_out = attn_out.reshape(B, T, cfg.n_heads * cfg.head_dim)
         attn_out = linear.matmul(attn_out, layer["wo"])
         if "bo" in layer:
@@ -287,6 +316,12 @@ def forward_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     kvdim = cfg.n_kv_heads * cfg.head_dim
     base_scale = cfg.attn_scale if cfg.attn_scale > 0 else cfg.head_dim ** -0.5
     scale = base_scale * mscale
+    alibi = None
+    if cfg.use_alibi:  # slope * (k_pos - q_pos): row-affine, so equals the
+        # HF last-row formulation up to a softmax-invariant per-row constant
+        dist = (slot_ids[None, None, :] - positions[:, :, None]).astype(jnp.float32)
+        alibi = (alibi_slopes(cfg.n_heads, cfg.alibi_bias_max)[None, :, None, None]
+                 * dist[:, None, :, :])  # (B, H, T, S)
     for li, layer in enumerate(params["layers"]):
         h = _norm(x, layer, "attn_norm", cfg)
         if "wqkv" in layer:

@@ -151,3 +151,23 @@ def test_olmo(tmp_path):
     with torch.no_grad():
         ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
     np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
+
+
+def test_mpt_alibi(tmp_path):
+    import torch
+    from transformers import MptConfig, MptForCausalLM
+    from convert_hf import convert_mpt_state_dict
+
+    torch.manual_seed(13)
+    cfg = MptConfig(vocab_size=512, d_model=64, n_heads=4, n_layers=2,
+                    max_seq_len=64, expansion_ratio=2)
+    model = MptForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "mpt.gguf")
+    convert_mpt_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path, TOKENS)
+    assert m.cfg.use_alibi and not m.cfg.use_rope
+    assert m.cfg.norm_type == "layer" and not m.cfg.ffn_gated
+    with torch.no_grad():
+        ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)

@@ -569,3 +569,52 @@ def convert_olmo_state_dict(state: dict, config, out_path: str,
             w.add_tensor(gp + gn + ".weight", get(hp + hn + ".weight"), quant_type)
     w.write()
     return out_path
+
+
+def convert_mpt_state_dict(state: dict, config, out_path: str,
+                           tokenizer_md: dict | None = None,
+                           quant_type: GGMLType = GGMLType.F32):
+    """HF MPT -> GGUF: ALiBi (no positions), fused Wqkv, bias-free LayerNorm
+    and projections, exact (non-tanh) GELU."""
+    n_head = config.n_heads
+    n_layers = config.n_layers
+    H = config.d_model
+    attn_cfg = getattr(config, "attn_config", None)
+    alibi_max = 8.0
+    clip_qkv = 0.0
+    if attn_cfg is not None:
+        alibi_max = float(getattr(attn_cfg, "alibi_bias_max", 8.0) or 8.0)
+        clip_qkv = float(getattr(attn_cfg, "clip_qkv", 0.0) or 0.0)
+    w = GGUFWriter(out_path, architecture="mpt")
+    w.add("mpt.context_length", np.uint32(config.max_seq_len))
+    w.add("mpt.embedding_length", np.uint32(H))
+    w.add("mpt.block_count", np.uint32(n_layers))
+    d_ff = int(state["transformer.blocks.0.ffn.up_proj.weight"].shape[0])
+    w.add("mpt.feed_forward_length", np.uint32(d_ff))
+    w.add("mpt.attention.head_count", np.uint32(n_head))
+    w.add("mpt.attention.layer_norm_epsilon", np.float32(
+        getattr(config, "layer_norm_epsilon", 1e-5)))
+    w.add("mpt.attention.max_alibi_bias", np.float32(alibi_max))
+    if clip_qkv:
+        w.add("mpt.attention.clamp_kqv", np.float32(clip_qkv))
+    w.add("mpt.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    ones = np.ones(H, np.float32)
+    w.add_tensor("token_embd.weight", get("transformer.wte.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("transformer.norm_f.weight"), GGMLType.F32)
+    for i in range(n_layers):
+        hp = f"transformer.blocks.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "norm_1.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "norm_2.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_qkv.weight", get(hp + "attn.Wqkv.weight"), quant_type)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "attn.out_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.weight", get(hp + "ffn.up_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "ffn.down_proj.weight"), quant_type)
+    w.write()
+    return out_path
