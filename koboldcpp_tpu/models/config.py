@@ -46,6 +46,7 @@ class ModelConfig:
     # logit softcapping (gemma2)
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
+    logit_scale: float = 0.0  # command-r: multiply final logits when > 0
     sliding_window: int = 0
     sliding_window_pattern: int = 0  # gemma2: every Nth layer is global
     tie_word_embeddings: bool = False
@@ -113,6 +114,10 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
                       parallel_residual=True)
     elif arch == "olmo":
         extras = dict(norm_type="layer")  # non-parametric LN (identity affine)
+    elif arch == "command-r":
+        extras = dict(norm_type="layer", parallel_residual=True,
+                      logit_scale=float(_get(
+                          md, "{arch}.logit_scale", arch, 0.0) or 0.0))
     elif arch == "mpt":
         extras = dict(norm_type="layer", ffn_gated=False, act="gelu_exact",
                       use_rope=False, use_alibi=True,

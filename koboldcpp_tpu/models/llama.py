@@ -285,6 +285,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     logits = linear.matmul(x, params["output"], out_dtype=jnp.float32)
     if "output_bias" in params:  # phi2 lm_head bias
         logits = logits + params["output_bias"]
+    if cfg.logit_scale:  # command-r
+        logits = logits * cfg.logit_scale
     logits = _softcap(logits, cfg.final_logit_softcap)
     return logits, cache
 
@@ -361,6 +363,8 @@ def forward_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     logits = linear.matmul(x, params["output"], out_dtype=jnp.float32)
     if "output_bias" in params:  # phi2 lm_head bias
         logits = logits + params["output_bias"]
+    if cfg.logit_scale:  # command-r
+        logits = logits * cfg.logit_scale
     logits = _softcap(logits, cfg.final_logit_softcap)
     return logits, pcache
 
@@ -509,5 +513,7 @@ def forward_stacked(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     logits = linear.matmul(x, params["output"], out_dtype=jnp.float32)
     if "output_bias" in params:  # phi2 lm_head bias
         logits = logits + params["output_bias"]
+    if cfg.logit_scale:  # command-r
+        logits = logits * cfg.logit_scale
     logits = _softcap(logits, cfg.final_logit_softcap)
     return logits, new_cache

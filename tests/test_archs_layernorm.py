@@ -171,3 +171,26 @@ def test_mpt_alibi(tmp_path):
     with torch.no_grad():
         ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
     np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
+
+
+def test_commandr(tmp_path):
+    import torch
+    from transformers import CohereConfig, CohereForCausalLM
+    from convert_hf import convert_commandr_state_dict
+
+    torch.manual_seed(14)
+    cfg = CohereConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, max_position_embeddings=64,
+                       logit_scale=0.25, use_qk_norm=False,
+                       tie_word_embeddings=True)
+    model = CohereForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "commandr.gguf")
+    convert_commandr_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path, TOKENS)
+    assert m.cfg.parallel_residual and m.cfg.logit_scale == 0.25
+    assert m.cfg.rope_type == "norm"
+    with torch.no_grad():
+        ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)

@@ -618,3 +618,46 @@ def convert_mpt_state_dict(state: dict, config, out_path: str,
         w.add_tensor(gp + "ffn_down.weight", get(hp + "ffn.down_proj.weight"), quant_type)
     w.write()
     return out_path
+
+
+def convert_commandr_state_dict(state: dict, config, out_path: str,
+                                tokenizer_md: dict | None = None,
+                                quant_type: GGMLType = GGMLType.F32):
+    """HF Cohere (Command-R) -> GGUF: shared bias-free LayerNorm feeding
+    parallel attn+FFN, adjacent-pair rope (no permute needed: HF Cohere uses
+    repeat_interleave rotary), tied embeddings with logit_scale."""
+    n_head = config.num_attention_heads
+    n_kv = getattr(config, "num_key_value_heads", n_head) or n_head
+    n_layers = config.num_hidden_layers
+    w = GGUFWriter(out_path, architecture="command-r")
+    w.add("command-r.context_length", np.uint32(config.max_position_embeddings))
+    w.add("command-r.embedding_length", np.uint32(config.hidden_size))
+    w.add("command-r.block_count", np.uint32(n_layers))
+    w.add("command-r.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("command-r.attention.head_count", np.uint32(n_head))
+    w.add("command-r.attention.head_count_kv", np.uint32(n_kv))
+    w.add("command-r.attention.layer_norm_epsilon",
+          np.float32(config.layer_norm_eps))
+    w.add("command-r.rope.freq_base", np.float32(config.rope_theta))
+    w.add("command-r.logit_scale", np.float32(config.logit_scale))
+    w.add("command-r.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("model.norm.weight"), GGMLType.F32)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        for tgt in ("attn_norm", "ffn_norm"):  # one shared LN, both branches
+            w.add_tensor(gp + tgt + ".weight", get(hp + "input_layernorm.weight"), GGMLType.F32)
+        for gn, hn in (("attn_q", "self_attn.q_proj"), ("attn_k", "self_attn.k_proj"),
+                       ("attn_v", "self_attn.v_proj"), ("attn_output", "self_attn.o_proj"),
+                       ("ffn_gate", "mlp.gate_proj"), ("ffn_up", "mlp.up_proj"),
+                       ("ffn_down", "mlp.down_proj")):
+            w.add_tensor(gp + gn + ".weight", get(hp + hn + ".weight"), quant_type)
+    w.write()
+    return out_path
