@@ -40,7 +40,9 @@ async def test_txt2img_endpoint(sd_model, aiohttp_client):
     from PIL import Image
 
     im = Image.open(io.BytesIO(img_bytes))
-    assert im.size == (4, 4)  # tiny VAE: one upsample level
+    # the server clamps to the reference 64px minimum (koboldcpp.py:1123);
+    # 64px -> 8x8 latents -> 16px from the tiny one-upsample VAE
+    assert im.size == (16, 16)
 
     r = await c.get("/api/extra/version")
     assert (await r.json())["txt2img"] is True
