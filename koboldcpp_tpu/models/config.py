@@ -65,6 +65,7 @@ class ModelConfig:
     parallel_residual: bool = False  # neox/gptj: x + attn(ln1 x) + mlp(ln2 x)
     ffn_gated: bool = True  # False: plain up->act->down (gpt2/neox)
     moe_dense_ep: bool = False  # dense all-experts MoE (expert-parallel shardable)
+    moe_norm_topk: bool = True  # renormalize top-k router weights (mixtral yes, qwen2moe no)
     extras: dict = field(default_factory=dict)
 
     @property
@@ -114,6 +115,10 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
                       parallel_residual=True)
     elif arch == "olmo":
         extras = dict(norm_type="layer")  # non-parametric LN (identity affine)
+    elif arch == "qwen2moe":
+        extras = dict(moe_norm_topk=False)
+    elif arch == "starcoder2":
+        extras = dict(norm_type="layer", ffn_gated=False, act="gelu")
     elif arch == "command-r":
         extras = dict(norm_type="layer", parallel_residual=True,
                       logit_scale=float(_get(

@@ -141,7 +141,8 @@ def _moe_ffn(x: jnp.ndarray, layer: Params, cfg: ModelConfig) -> jnp.ndarray:
     router = linear.matmul(xt, layer["ffn_gate_inp"]).astype(jnp.float32)  # (N, E)
     weights = jax.nn.softmax(router, axis=-1)
     topw, topi = jax.lax.top_k(weights, cfg.n_experts_used)  # (N, k)
-    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    if cfg.moe_norm_topk:  # mixtral renormalizes; qwen2moe does not
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
 
     wg = layer["ffn_gate_exps"].data["w"]  # (E, F, C)
     wu = layer["ffn_up_exps"].data["w"]
@@ -166,6 +167,14 @@ def _moe_ffn(x: jnp.ndarray, layer: Params, cfg: ModelConfig) -> jnp.ndarray:
         d = jnp.einsum("nkf,nkcf->nkc", a.astype(xt.dtype), wd[topi],
                        preferred_element_type=jnp.float32)
         out = jnp.einsum("nkc,nk->nc", d, topw)
+    if "ffn_up_shexp" in layer:  # qwen2moe shared expert, sigmoid-gated
+        sg = jax.nn.silu(linear.matmul(xt, layer["ffn_gate_shexp"])
+                         .astype(jnp.float32))
+        su = linear.matmul(xt, layer["ffn_up_shexp"]).astype(jnp.float32)
+        sd = linear.matmul((sg * su).astype(xt.dtype), layer["ffn_down_shexp"])
+        gate = jax.nn.sigmoid(
+            linear.matmul(xt, layer["ffn_gate_inp_shexp"]).astype(jnp.float32))
+        out = out + sd.astype(jnp.float32) * gate
     return out.reshape(B, T, C).astype(x.dtype)
 
 

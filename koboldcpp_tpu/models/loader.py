@@ -178,6 +178,12 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
             opt(layer, key, p + tname, "dense")
         if p + "ffn_gate_inp.weight" in names:  # MoE block
             layer["ffn_gate_inp"] = qt(p + "ffn_gate_inp.weight")
+            # qwen2moe shared expert (always-on, sigmoid-gated)
+            for key, tname in (("ffn_gate_shexp", "ffn_gate_shexp.weight"),
+                               ("ffn_up_shexp", "ffn_up_shexp.weight"),
+                               ("ffn_down_shexp", "ffn_down_shexp.weight"),
+                               ("ffn_gate_inp_shexp", "ffn_gate_inp_shexp.weight")):
+                opt(layer, key, p + tname, "qt")
             for key, tname in (("ffn_gate_exps", "ffn_gate_exps.weight"),
                                ("ffn_up_exps", "ffn_up_exps.weight"),
                                ("ffn_down_exps", "ffn_down_exps.weight")):

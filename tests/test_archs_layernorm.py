@@ -194,3 +194,25 @@ def test_commandr(tmp_path):
     with torch.no_grad():
         ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
     np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
+
+
+def test_starcoder2(tmp_path):
+    import torch
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+    from convert_hf import convert_starcoder2_state_dict
+
+    torch.manual_seed(15)
+    cfg = Starcoder2Config(vocab_size=512, hidden_size=64, intermediate_size=128,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           num_key_value_heads=2, max_position_embeddings=64,
+                           use_bias=True, tie_word_embeddings=False)
+    model = Starcoder2ForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "sc2.gguf")
+    convert_starcoder2_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path, TOKENS)
+    assert m.cfg.norm_type == "layer" and not m.cfg.ffn_gated
+    assert m.cfg.rope_type == "neox"
+    with torch.no_grad():
+        ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)

@@ -661,3 +661,109 @@ def convert_commandr_state_dict(state: dict, config, out_path: str,
             w.add_tensor(gp + gn + ".weight", get(hp + hn + ".weight"), quant_type)
     w.write()
     return out_path
+
+
+def convert_starcoder2_state_dict(state: dict, config, out_path: str,
+                                  tokenizer_md: dict | None = None,
+                                  quant_type: GGMLType = GGMLType.F32):
+    """HF StarCoder2 -> GGUF: LayerNorm+bias, full NEOX rotary, biased
+    projections, non-gated tanh-GELU FFN (c_fc/c_proj)."""
+    n_head = config.num_attention_heads
+    n_kv = getattr(config, "num_key_value_heads", n_head) or n_head
+    n_layers = config.num_hidden_layers
+    w = GGUFWriter(out_path, architecture="starcoder2")
+    w.add("starcoder2.context_length", np.uint32(config.max_position_embeddings))
+    w.add("starcoder2.embedding_length", np.uint32(config.hidden_size))
+    w.add("starcoder2.block_count", np.uint32(n_layers))
+    w.add("starcoder2.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("starcoder2.attention.head_count", np.uint32(n_head))
+    w.add("starcoder2.attention.head_count_kv", np.uint32(n_kv))
+    w.add("starcoder2.attention.layer_norm_epsilon",
+          np.float32(config.norm_epsilon))
+    w.add("starcoder2.rope.freq_base", np.float32(config.rope_theta))
+    w.add("starcoder2.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("model.norm.weight"), GGMLType.F32)
+    w.add_tensor("output_norm.bias", get("model.norm.bias"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        for gn, hn in (("attn_norm", "input_layernorm"),
+                       ("ffn_norm", "post_attention_layernorm")):
+            w.add_tensor(gp + gn + ".weight", get(hp + hn + ".weight"), GGMLType.F32)
+            w.add_tensor(gp + gn + ".bias", get(hp + hn + ".bias"), GGMLType.F32)
+        for gn, hn in (("attn_q", "self_attn.q_proj"), ("attn_k", "self_attn.k_proj"),
+                       ("attn_v", "self_attn.v_proj"), ("attn_output", "self_attn.o_proj"),
+                       ("ffn_up", "mlp.c_fc"), ("ffn_down", "mlp.c_proj")):
+            w.add_tensor(gp + gn + ".weight", get(hp + hn + ".weight"), quant_type)
+            w.add_tensor(gp + gn + ".bias", get(hp + hn + ".bias"), GGMLType.F32)
+    w.write()
+    return out_path
+
+
+def convert_qwen2moe_state_dict(state: dict, config, out_path: str,
+                                tokenizer_md: dict | None = None,
+                                quant_type: GGMLType = GGMLType.F32):
+    """HF Qwen2MoE -> GGUF: qwen2 attention (QKV bias) + sparse MoE with
+    always-on sigmoid-gated shared expert; top-k router weights NOT
+    renormalized (norm_topk_prob=False)."""
+    n_head = config.num_attention_heads
+    n_kv = getattr(config, "num_key_value_heads", n_head) or n_head
+    n_layers = config.num_hidden_layers
+    E = config.num_experts
+    w = GGUFWriter(out_path, architecture="qwen2moe")
+    w.add("qwen2moe.context_length", np.uint32(config.max_position_embeddings))
+    w.add("qwen2moe.embedding_length", np.uint32(config.hidden_size))
+    w.add("qwen2moe.block_count", np.uint32(n_layers))
+    w.add("qwen2moe.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("qwen2moe.attention.head_count", np.uint32(n_head))
+    w.add("qwen2moe.attention.head_count_kv", np.uint32(n_kv))
+    w.add("qwen2moe.attention.layer_norm_rms_epsilon",
+          np.float32(config.rms_norm_eps))
+    w.add("qwen2moe.rope.freq_base", np.float32(config.rope_theta))
+    w.add("qwen2moe.expert_count", np.uint32(E))
+    w.add("qwen2moe.expert_used_count", np.uint32(config.num_experts_per_tok))
+    w.add("qwen2moe.expert_feed_forward_length",
+          np.uint32(config.moe_intermediate_size))
+    w.add("qwen2moe.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("model.norm.weight"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "input_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+        for gn, hn in (("attn_q", "self_attn.q_proj"), ("attn_k", "self_attn.k_proj"),
+                       ("attn_v", "self_attn.v_proj")):
+            w.add_tensor(gp + gn + ".weight", get(hp + hn + ".weight"), quant_type)
+            w.add_tensor(gp + gn + ".bias", get(hp + hn + ".bias"), GGMLType.F32)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "self_attn.o_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_gate_inp.weight", get(hp + "mlp.gate.weight"), GGMLType.F32)
+        for gn, hn in (("ffn_gate_exps", "gate_proj"), ("ffn_up_exps", "up_proj"),
+                       ("ffn_down_exps", "down_proj")):
+            stack = np.stack([get(f"{hp}mlp.experts.{e}.{hn}.weight")
+                              for e in range(E)])
+            w.add_tensor(gp + gn + ".weight", stack, GGMLType.F32)
+        for gn, hn in (("ffn_gate_shexp", "shared_expert.gate_proj"),
+                       ("ffn_up_shexp", "shared_expert.up_proj"),
+                       ("ffn_down_shexp", "shared_expert.down_proj"),
+                       ("ffn_gate_inp_shexp", "shared_expert_gate")):
+            w.add_tensor(gp + gn + ".weight", get(hp + "mlp." + hn + ".weight"), quant_type)
+    w.write()
+    return out_path
