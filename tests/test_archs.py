@@ -92,3 +92,22 @@ def test_phi3(tmp_path):
     assert "wqkv" in m.params["layers"][0]
     assert "w_gateup" in m.params["layers"][0]
     np.testing.assert_allclose(ours, hf_logits(model, TOKENS), rtol=4e-3, atol=4e-3)
+
+
+def test_gemma1(tmp_path):
+    import torch
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    torch.manual_seed(18)
+    cfg = GemmaConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=16,
+                      max_position_embeddings=128)
+    model = GemmaForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "gemma1.gguf")
+    convert_arch_state_dict("gemma", state, cfg, path,
+                            tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path, TOKENS)
+    assert m.cfg.embedding_scale == 8.0 and not m.cfg.post_norms
+    np.testing.assert_allclose(ours, hf_logits(model, TOKENS), rtol=5e-3, atol=5e-3)

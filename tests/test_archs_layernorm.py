@@ -216,3 +216,23 @@ def test_starcoder2(tmp_path):
     with torch.no_grad():
         ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
     np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
+
+
+def test_gptj(tmp_path):
+    import torch
+    from transformers import GPTJConfig, GPTJForCausalLM
+    from convert_hf import convert_gptj_state_dict
+
+    torch.manual_seed(17)
+    cfg = GPTJConfig(vocab_size=512, n_positions=64, n_embd=64, n_layer=2,
+                     n_head=4, rotary_dim=8)
+    model = GPTJForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "gptj.gguf")
+    convert_gptj_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path, TOKENS)
+    assert m.cfg.parallel_residual and m.cfg.rope_type == "norm"
+    assert m.cfg.rope_dim == 8
+    with torch.no_grad():
+        ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)

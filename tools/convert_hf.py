@@ -767,3 +767,52 @@ def convert_qwen2moe_state_dict(state: dict, config, out_path: str,
             w.add_tensor(gp + gn + ".weight", get(hp + "mlp." + hn + ".weight"), quant_type)
     w.write()
     return out_path
+
+
+def convert_gptj_state_dict(state: dict, config, out_path: str,
+                            tokenizer_md: dict | None = None,
+                            quant_type: GGMLType = GGMLType.F32):
+    """HF GPT-J -> GGUF: shared ln_1 feeding parallel attn+MLP, partial
+    adjacent-pair rotary (rotate_every_two == GGUF 'norm', no permute),
+    biased MLP and lm_head."""
+    n_head = config.n_head
+    n_layers = config.n_layer
+    w = GGUFWriter(out_path, architecture="gptj")
+    w.add("gptj.context_length", np.uint32(config.n_positions))
+    w.add("gptj.embedding_length", np.uint32(config.n_embd))
+    w.add("gptj.block_count", np.uint32(n_layers))
+    w.add("gptj.feed_forward_length", np.uint32(
+        getattr(config, "n_inner", None) or 4 * config.n_embd))
+    w.add("gptj.attention.head_count", np.uint32(n_head))
+    w.add("gptj.attention.head_count_kv", np.uint32(n_head))
+    w.add("gptj.attention.layer_norm_epsilon",
+          np.float32(config.layer_norm_epsilon))
+    w.add("gptj.rope.dimension_count", np.uint32(config.rotary_dim))
+    w.add("gptj.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("transformer.wte.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("transformer.ln_f.weight"), GGMLType.F32)
+    w.add_tensor("output_norm.bias", get("transformer.ln_f.bias"), GGMLType.F32)
+    w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    if "lm_head.bias" in state:
+        w.add_tensor("output.bias", get("lm_head.bias"), GGMLType.F32)
+    for i in range(n_layers):
+        hp = f"transformer.h.{i}."
+        gp = f"blk.{i}."
+        for tgt in ("attn_norm", "ffn_norm"):  # shared ln_1, both branches
+            w.add_tensor(gp + tgt + ".weight", get(hp + "ln_1.weight"), GGMLType.F32)
+            w.add_tensor(gp + tgt + ".bias", get(hp + "ln_1.bias"), GGMLType.F32)
+        for gn, hn in (("attn_q", "attn.q_proj"), ("attn_k", "attn.k_proj"),
+                       ("attn_v", "attn.v_proj"), ("attn_output", "attn.out_proj")):
+            w.add_tensor(gp + gn + ".weight", get(hp + hn + ".weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.weight", get(hp + "mlp.fc_in.weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.bias", get(hp + "mlp.fc_in.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.fc_out.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.bias", get(hp + "mlp.fc_out.bias"), GGMLType.F32)
+    w.write()
+    return out_path
