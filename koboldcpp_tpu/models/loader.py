@@ -224,6 +224,9 @@ def load_model(path: str, packed: bool = True, dtype=jnp.bfloat16,
                loras: list[tuple[str, float]] | None = None) -> Model:
     """loras: [(adapter_gguf_path, multiplier), ...] merged into the base
     weights at load (lora_filename/lora_multiplier, expose.h:132-133)."""
+    from ..gguf.sniff import describe_or_raise
+
+    describe_or_raise(path)  # precise error for legacy pre-GGUF containers
     adapters = [LoraAdapter(lp, mult) for lp, mult in (loras or [])]
     with GGUFReader(path) as r:
         cfg = config_from_metadata(r.metadata)
