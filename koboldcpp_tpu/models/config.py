@@ -77,6 +77,7 @@ class ModelConfig:
 _NEOX_ROPE_ARCHS = {
     "falcon", "gptneox", "qwen", "qwen2", "qwen2moe", "phi2", "phi3", "stablelm",
     "gemma", "gemma2", "starcoder2", "olmo", "olmoe", "minicpm3", "deepseek2",
+    "dbrx",
 }
 
 
@@ -115,6 +116,10 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
                       parallel_residual=True)
     elif arch == "olmo":
         extras = dict(norm_type="layer")  # non-parametric LN (identity affine)
+    elif arch == "dbrx":
+        extras = dict(norm_type="layer",
+                      clamp_kqv=float(_get(
+                          md, "{arch}.attention.clamp_kqv", arch, 0.0) or 0.0))
     elif arch == "qwen2moe":
         extras = dict(moe_norm_topk=False)
     elif arch == "starcoder2":

@@ -41,3 +41,35 @@ def test_qwen2moe_parity(tmp_path):
     with torch.no_grad():
         ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=4e-3, atol=4e-3)
+
+
+def test_dbrx_parity(tmp_path):
+    import torch
+    from transformers import DbrxConfig, DbrxForCausalLM
+    from transformers.models.dbrx.configuration_dbrx import (
+        DbrxAttentionConfig, DbrxFFNConfig)
+    from convert_hf import convert_dbrx_state_dict
+
+    torch.manual_seed(19)
+    cfg = DbrxConfig(
+        d_model=64, n_heads=4, n_layers=2, max_seq_len=64, vocab_size=512,
+        attn_config=DbrxAttentionConfig(kv_n_heads=2, clip_qkv=8.0,
+                                        rope_theta=10000.0),
+        ffn_config=DbrxFFNConfig(ffn_hidden_size=32, moe_num_experts=4,
+                                 moe_top_k=2,
+                                 moe_normalize_expert_weights=1.0))
+    model = DbrxForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "dbrx.gguf")
+    convert_dbrx_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m = load_model(path, packed=False, dtype=jnp.float32)
+    assert m.cfg.norm_type == "layer" and m.cfg.clamp_kqv == 8.0
+    assert m.cfg.n_experts == 4 and m.cfg.moe_norm_topk
+    cache = init_cache(m.cfg.n_layers, 1, 32, m.cfg.n_kv_heads, m.cfg.head_dim,
+                       dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(TOKENS.shape[1]),
+                           TOKENS.shape).astype(jnp.int32)
+    ours, _ = jllama.forward(m.params, m.cfg, jnp.asarray(TOKENS), pos, cache)
+    with torch.no_grad():
+        ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=4e-3, atol=4e-3)

@@ -816,3 +816,61 @@ def convert_gptj_state_dict(state: dict, config, out_path: str,
         w.add_tensor(gp + "ffn_down.bias", get(hp + "mlp.fc_out.bias"), GGMLType.F32)
     w.write()
     return out_path
+
+
+def convert_dbrx_state_dict(state: dict, config, out_path: str,
+                            tokenizer_md: dict | None = None,
+                            quant_type: GGMLType = GGMLType.F32):
+    """HF DBRX -> GGUF: bias-free LayerNorm pair, fused clipped Wqkv, MoE with
+    L1-renormalized top-k; experts stored flattened (E*F, H) in w1/v1/w2."""
+    n_head = config.n_heads
+    n_kv = config.attn_config.kv_n_heads
+    n_layers = config.n_layers
+    H = config.d_model
+    E = config.ffn_config.moe_num_experts
+    F = config.ffn_config.ffn_hidden_size
+    w = GGUFWriter(out_path, architecture="dbrx")
+    w.add("dbrx.context_length", np.uint32(config.max_seq_len))
+    w.add("dbrx.embedding_length", np.uint32(H))
+    w.add("dbrx.block_count", np.uint32(n_layers))
+    w.add("dbrx.feed_forward_length", np.uint32(F))
+    w.add("dbrx.attention.head_count", np.uint32(n_head))
+    w.add("dbrx.attention.head_count_kv", np.uint32(n_kv))
+    w.add("dbrx.attention.layer_norm_epsilon", np.float32(1e-5))
+    w.add("dbrx.rope.freq_base", np.float32(config.attn_config.rope_theta))
+    w.add("dbrx.attention.clamp_kqv",
+          np.float32(config.attn_config.clip_qkv or 0.0))
+    w.add("dbrx.expert_count", np.uint32(E))
+    w.add("dbrx.expert_used_count", np.uint32(config.ffn_config.moe_top_k))
+    w.add("dbrx.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("transformer.wte.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("transformer.norm_f.weight"), GGMLType.F32)
+    w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"transformer.blocks.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight",
+                     get(hp + "norm_attn_norm.norm_1.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight",
+                     get(hp + "norm_attn_norm.norm_2.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_qkv.weight",
+                     get(hp + "norm_attn_norm.attn.Wqkv.weight"), quant_type)
+        w.add_tensor(gp + "attn_output.weight",
+                     get(hp + "norm_attn_norm.attn.out_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_gate_inp.weight",
+                     get(hp + "ffn.router.layer.weight"), GGMLType.F32)
+        w1 = get(hp + "ffn.experts.mlp.w1").reshape(E, F, H)   # gate
+        v1 = get(hp + "ffn.experts.mlp.v1").reshape(E, F, H)   # up
+        w2 = get(hp + "ffn.experts.mlp.w2").reshape(E, F, H)   # down (F,H): y = a @ w2_e
+        w.add_tensor(gp + "ffn_gate_exps.weight", w1, GGMLType.F32)
+        w.add_tensor(gp + "ffn_up_exps.weight", v1, GGMLType.F32)
+        w.add_tensor(gp + "ffn_down_exps.weight",
+                     np.ascontiguousarray(w2.transpose(0, 2, 1)), GGMLType.F32)
+    w.write()
+    return out_path
