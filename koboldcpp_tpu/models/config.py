@@ -46,7 +46,8 @@ class ModelConfig:
     # logit softcapping (gemma2)
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
-    logit_scale: float = 0.0  # command-r: multiply final logits when > 0
+    logit_scale: float = 0.0  # command-r/granite: multiply final logits when > 0
+    residual_scale: float = 0.0  # granite: scale residual branch adds when > 0
     sliding_window: int = 0
     sliding_window_pattern: int = 0  # gemma2: every Nth layer is global
     tie_word_embeddings: bool = False
@@ -116,6 +117,13 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
                       parallel_residual=True)
     elif arch == "olmo":
         extras = dict(norm_type="layer")  # non-parametric LN (identity affine)
+    elif arch in ("granite", "granitemoe"):
+        ls = float(_get(md, "{arch}.logit_scale", arch, 0.0) or 0.0)
+        extras = dict(
+            embedding_scale=float(_get(md, "{arch}.embedding_scale", arch, 0.0) or 0.0),
+            attn_scale=float(_get(md, "{arch}.attention.scale", arch, 0.0) or 0.0),
+            residual_scale=float(_get(md, "{arch}.residual_scale", arch, 0.0) or 0.0),
+            logit_scale=1.0 / ls if ls else 0.0)  # llama.cpp divides by it
     elif arch == "dbrx":
         extras = dict(norm_type="layer",
                       clamp_kqv=float(_get(

@@ -272,11 +272,12 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         if "attn_post_norm" in layer:  # gemma2 sandwich norm
             attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_norm_eps)
 
+        res_s = cfg.residual_scale or 1.0  # granite scales branch adds
         if cfg.parallel_residual:  # neox/gptj: both branches read the same x
             ffn_in = _norm(x, layer, "ffn_norm", cfg)
-            x = x + attn_out
+            x = x + res_s * attn_out
         else:
-            x = x + attn_out
+            x = x + res_s * attn_out
             ffn_in = _norm(x, layer, "ffn_norm", cfg)
         if "ffn_gate_inp" in layer:
             ffn_out = _moe_ffn(ffn_in, layer, cfg)
@@ -284,7 +285,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             ffn_out = _ffn(ffn_in, layer, cfg.act, cfg.ffn_gated)
         if "ffn_post_norm" in layer:
             ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_norm_eps)
-        x = x + ffn_out
+        x = x + res_s * ffn_out
 
     if last_index is not None:
         x = x[jnp.arange(B), last_index][:, None, :]

@@ -111,3 +111,26 @@ def test_gemma1(tmp_path):
     m, ours = run_ours(path, TOKENS)
     assert m.cfg.embedding_scale == 8.0 and not m.cfg.post_norms
     np.testing.assert_allclose(ours, hf_logits(model, TOKENS), rtol=5e-3, atol=5e-3)
+
+
+def test_granite(tmp_path):
+    import torch
+    from transformers import GraniteConfig, GraniteForCausalLM
+    from convert_hf import convert_granite_state_dict
+
+    torch.manual_seed(20)
+    cfg = GraniteConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, max_position_embeddings=64,
+                        embedding_multiplier=6.0, attention_multiplier=0.08,
+                        residual_multiplier=0.5, logits_scaling=4.0,
+                        tie_word_embeddings=False)
+    model = GraniteForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "granite.gguf")
+    convert_granite_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path, TOKENS)
+    assert m.cfg.embedding_scale == 6.0
+    assert abs(m.cfg.attn_scale - 0.08) < 1e-6
+    assert m.cfg.residual_scale == 0.5 and m.cfg.logit_scale == 0.25
+    np.testing.assert_allclose(ours, hf_logits(model, TOKENS), rtol=5e-3, atol=5e-3)

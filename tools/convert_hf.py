@@ -874,3 +874,56 @@ def convert_dbrx_state_dict(state: dict, config, out_path: str,
                      np.ascontiguousarray(w2.transpose(0, 2, 1)), GGMLType.F32)
     w.write()
     return out_path
+
+
+def convert_granite_state_dict(state: dict, config, out_path: str,
+                               tokenizer_md: dict | None = None,
+                               quant_type: GGMLType = GGMLType.F32):
+    """HF Granite -> GGUF: llama layout (incl. the q/k rope permute) plus the
+    four scale knobs (embedding/attention/residual/logits)."""
+    n_head = config.num_attention_heads
+    n_kv = getattr(config, "num_key_value_heads", n_head) or n_head
+    n_layers = config.num_hidden_layers
+    head_dim = config.hidden_size // n_head
+    w = GGUFWriter(out_path, architecture="granite")
+    w.add("granite.context_length", np.uint32(config.max_position_embeddings))
+    w.add("granite.embedding_length", np.uint32(config.hidden_size))
+    w.add("granite.block_count", np.uint32(n_layers))
+    w.add("granite.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("granite.attention.head_count", np.uint32(n_head))
+    w.add("granite.attention.head_count_kv", np.uint32(n_kv))
+    w.add("granite.attention.layer_norm_rms_epsilon",
+          np.float32(config.rms_norm_eps))
+    w.add("granite.rope.freq_base", np.float32(config.rope_theta))
+    w.add("granite.rope.dimension_count", np.uint32(head_dim))
+    w.add("granite.embedding_scale", np.float32(config.embedding_multiplier))
+    w.add("granite.attention.scale", np.float32(config.attention_multiplier))
+    w.add("granite.residual_scale", np.float32(config.residual_multiplier))
+    w.add("granite.logit_scale", np.float32(config.logits_scaling))
+    w.add("granite.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("model.norm.weight"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "input_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_q.weight",
+                     permute_qk(get(hp + "self_attn.q_proj.weight"), n_head), quant_type)
+        w.add_tensor(gp + "attn_k.weight",
+                     permute_qk(get(hp + "self_attn.k_proj.weight"), n_kv), quant_type)
+        w.add_tensor(gp + "attn_v.weight", get(hp + "self_attn.v_proj.weight"), quant_type)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "self_attn.o_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_gate.weight", get(hp + "mlp.gate_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.weight", get(hp + "mlp.up_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.down_proj.weight"), quant_type)
+    w.write()
+    return out_path
