@@ -128,7 +128,7 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
         extras = dict(norm_type="layer",
                       clamp_kqv=float(_get(
                           md, "{arch}.attention.clamp_kqv", arch, 0.0) or 0.0))
-    elif arch == "qwen2moe":
+    elif arch in ("qwen2moe", "olmoe"):
         extras = dict(moe_norm_topk=False)
     elif arch == "starcoder2":
         extras = dict(norm_type="layer", ffn_gated=False, act="gelu")

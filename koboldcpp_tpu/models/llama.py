@@ -244,6 +244,9 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         if cfg.clamp_kqv > 0:  # mpt clip_qkv
             c = cfg.clamp_kqv
             q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
+        if "attn_q_norm" in layer:  # olmoe flat-projection QK RMSNorm
+            q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, layer["attn_k_norm"], cfg.rms_norm_eps)
         q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)

@@ -167,7 +167,9 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
                 layer["wk"] = qt(p + "attn_k.weight")
                 layer["wv"] = qt(p + "attn_v.weight")
         for key, tname in (("attn_post_norm", "attn_post_norm.weight"),
-                           ("ffn_post_norm", "ffn_post_norm.weight")):
+                           ("ffn_post_norm", "ffn_post_norm.weight"),
+                           ("attn_q_norm", "attn_q_norm.weight"),
+                           ("attn_k_norm", "attn_k_norm.weight")):
             opt(layer, key, p + tname, "dense")
         for key, tname in (("bq", "attn_q.bias"), ("bk", "attn_k.bias"),
                            ("bv", "attn_v.bias"), ("bqkv", "attn_qkv.bias"),

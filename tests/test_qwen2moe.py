@@ -73,3 +73,30 @@ def test_dbrx_parity(tmp_path):
     with torch.no_grad():
         ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=4e-3, atol=4e-3)
+
+
+def test_olmoe_parity(tmp_path):
+    import torch
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+    from convert_hf import convert_olmoe_state_dict
+
+    torch.manual_seed(21)
+    cfg = OlmoeConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=64,
+                      num_experts=4, num_experts_per_tok=2,
+                      norm_topk_prob=False, tie_word_embeddings=False)
+    model = OlmoeForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "olmoe.gguf")
+    convert_olmoe_state_dict(state, cfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m = load_model(path, packed=False, dtype=jnp.float32)
+    assert not m.cfg.moe_norm_topk and "attn_q_norm" in m.params["layers"][0]
+    cache = init_cache(m.cfg.n_layers, 1, 32, m.cfg.n_kv_heads, m.cfg.head_dim,
+                       dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(TOKENS.shape[1]),
+                           TOKENS.shape).astype(jnp.int32)
+    ours, _ = jllama.forward(m.params, m.cfg, jnp.asarray(TOKENS), pos, cache)
+    with torch.no_grad():
+        ref = model(torch.tensor(TOKENS, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=4e-3, atol=4e-3)

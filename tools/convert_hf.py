@@ -927,3 +927,54 @@ def convert_granite_state_dict(state: dict, config, out_path: str,
         w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.down_proj.weight"), quant_type)
     w.write()
     return out_path
+
+
+def convert_olmoe_state_dict(state: dict, config, out_path: str,
+                             tokenizer_md: dict | None = None,
+                             quant_type: GGMLType = GGMLType.F32):
+    """HF OLMoE -> GGUF: flat-projection QK RMSNorm, full NEOX rotary, MoE
+    with un-normalized top-k routing."""
+    n_head = config.num_attention_heads
+    n_kv = getattr(config, "num_key_value_heads", n_head) or n_head
+    n_layers = config.num_hidden_layers
+    E = config.num_experts
+    w = GGUFWriter(out_path, architecture="olmoe")
+    w.add("olmoe.context_length", np.uint32(config.max_position_embeddings))
+    w.add("olmoe.embedding_length", np.uint32(config.hidden_size))
+    w.add("olmoe.block_count", np.uint32(n_layers))
+    w.add("olmoe.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("olmoe.attention.head_count", np.uint32(n_head))
+    w.add("olmoe.attention.head_count_kv", np.uint32(n_kv))
+    w.add("olmoe.attention.layer_norm_rms_epsilon", np.float32(config.rms_norm_eps))
+    w.add("olmoe.rope.freq_base", np.float32(config.rope_theta))
+    w.add("olmoe.expert_count", np.uint32(E))
+    w.add("olmoe.expert_used_count", np.uint32(config.num_experts_per_tok))
+    w.add("olmoe.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("model.norm.weight"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "input_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_q_norm.weight", get(hp + "self_attn.q_norm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_k_norm.weight", get(hp + "self_attn.k_norm.weight"), GGMLType.F32)
+        for gn, hn in (("attn_q", "self_attn.q_proj"), ("attn_k", "self_attn.k_proj"),
+                       ("attn_v", "self_attn.v_proj"), ("attn_output", "self_attn.o_proj")):
+            w.add_tensor(gp + gn + ".weight", get(hp + hn + ".weight"), quant_type)
+        w.add_tensor(gp + "ffn_gate_inp.weight", get(hp + "mlp.gate.weight"), GGMLType.F32)
+        for gn, hn in (("ffn_gate_exps", "gate_proj"), ("ffn_up_exps", "up_proj"),
+                       ("ffn_down_exps", "down_proj")):
+            stack = np.stack([get(f"{hp}mlp.experts.{e}.{hn}.weight")
+                              for e in range(E)])
+            w.add_tensor(gp + gn + ".weight", stack, GGMLType.F32)
+    w.write()
+    return out_path
