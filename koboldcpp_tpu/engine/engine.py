@@ -97,9 +97,19 @@ class Engine:
         self.tokenizer = model.tokenizer
         self.max_context = max_context
         self.cache_dtype = cache_dtype
-        self.cache = init_cache(self.cfg.n_layers, 1, max_context,
-                                self.cfg.n_kv_heads, self.cfg.head_dim,
-                                dtype=cache_dtype, quantized=quantkv)
+        # recurrent archs (mamba/rwkv6) keep fixed-shape states, not a KV ring;
+        # context shift / smart context / rewind don't apply (reference
+        # requires full-prefix match for recurrent, model_adapter.cpp:424)
+        self.recurrent = self.cfg.is_recurrent
+        if self.recurrent:
+            self.use_contextshift = False
+            self.use_smartcontext = False
+            self._model_mod = self._recurrent_mod()
+            self.cache = self._model_mod.init_state(self.cfg, 1)
+        else:
+            self.cache = init_cache(self.cfg.n_layers, 1, max_context,
+                                    self.cfg.n_kv_heads, self.cfg.head_dim,
+                                    dtype=cache_dtype, quantized=quantkv)
         self.context_tokens: list[int] = []  # tokens currently in the cache
         self.abort_event = threading.Event()
         self.lock = threading.Lock()  # the modelbusy equivalent
@@ -110,20 +120,36 @@ class Engine:
         self.stream_tokens: list[str] = []
         self.generation_finished = True
 
-        self._forward = jax.jit(
-            partial(model_llama.forward, cfg=self.cfg, last_only=True),
-            static_argnames=(),
-            donate_argnames=("cache",),
-        )
-        self._forward_flash = jax.jit(
-            partial(model_llama.forward, cfg=self.cfg, flash_prefill=True),
-            static_argnames=(),
-            donate_argnames=("cache",),
-        )
-        # flash prefill: TPU-only pallas kernel, needs block-sized chunks
-        self.use_flash_prefill = (jax.default_backend() not in ("cpu",)
-                                  and self.cfg.head_dim in (64, 128, 256)
-                                  and not self.cfg.use_alibi)
+        if self.recurrent:
+            self._forward = jax.jit(
+                partial(self._model_mod.forward, cfg=self.cfg),
+                donate_argnames=("cache",))
+            self.use_flash_prefill = False
+        else:
+            self._forward = jax.jit(
+                partial(model_llama.forward, cfg=self.cfg, last_only=True),
+                static_argnames=(),
+                donate_argnames=("cache",),
+            )
+            self._forward_flash = jax.jit(
+                partial(model_llama.forward, cfg=self.cfg, flash_prefill=True),
+                static_argnames=(),
+                donate_argnames=("cache",),
+            )
+            # flash prefill: TPU-only pallas kernel, needs block-sized chunks
+            self.use_flash_prefill = (jax.default_backend() not in ("cpu",)
+                                      and self.cfg.head_dim in (64, 128, 256)
+                                      and not self.cfg.use_alibi)
+
+    def _recurrent_mod(self):
+        if self.cfg.arch == "mamba":
+            from ..models import mamba
+            return mamba
+        from ..models import rwkv6
+        return rwkv6
+
+    def _reset_recurrent_state(self):
+        self.cache = self._model_mod.init_state(self.cfg, 1)
 
     # -- low-level steps ---------------------------------------------------
     def _eval_chunk(self, tokens: list[int], start_pos: int) -> np.ndarray:
@@ -131,6 +157,17 @@ class Engine:
         n = len(tokens)
         b = _bucket(n)
         pad = b - n
+        if self.recurrent:
+            # right-pad: state updates are gated on position >= 0, and the
+            # conv/scan must see real tokens contiguously from the state
+            tok = jnp.asarray(np.array([tokens + [0] * pad], dtype=np.int32))
+            pos = jnp.asarray(np.array(
+                [list(range(start_pos, start_pos + n)) + [-1] * pad],
+                dtype=np.int32))
+            logits, self.cache = self._forward(
+                self.model.params, tokens=tok, positions=pos, cache=self.cache,
+                last_index=jnp.array([n - 1], dtype=jnp.int32))
+            return np.asarray(logits[0, -1])
         if self.use_flash_prefill and start_pos == 0 and b >= 128:
             # pad at the END so row index == position (causal alignment);
             # gather logits at the last real row
@@ -199,7 +236,18 @@ class Engine:
     # -- context reuse -----------------------------------------------------
     def _fast_forward(self, prompt: list[int]) -> int:
         """Longest common prefix with the cached context (ContextFastForward,
-        model_adapter.cpp:424). Returns n_past. Always re-evals >=1 token."""
+        model_adapter.cpp:424). Returns n_past. Always re-evals >=1 token.
+
+        Recurrent models can only continue from the state's exact point: the
+        whole cached context must be a strict prefix of the prompt (the
+        reference's RWKV/Mamba full-subset rule); otherwise the state resets
+        and everything re-evaluates."""
+        if self.recurrent:
+            ctx = self.context_tokens
+            if ctx and len(ctx) <= len(prompt) - 1 and prompt[:len(ctx)] == ctx:
+                return len(ctx)
+            self._reset_recurrent_state()
+            return 0
         n = 0
         limit = min(len(self.context_tokens), len(prompt) - 1)
         while n < limit and self.context_tokens[n] == prompt[n]:
@@ -500,7 +548,12 @@ class Engine:
         return result
 
     def _replay_logits(self) -> np.ndarray:
-        """Recompute logits at the current context tail (after a rewind)."""
+        """Recompute logits at the current context tail (after a rewind).
+        A recurrent state cannot rewind — reset and re-evaluate the whole
+        (linear-time) context instead."""
+        if self.recurrent:
+            self._reset_recurrent_state()
+            return self.eval_tokens(self.context_tokens, 0)
         last = self.context_tokens[-1]
         return self._eval_chunk([last], len(self.context_tokens) - 1)
 
@@ -534,6 +587,14 @@ class Engine:
     #    the kobold path instead re-evals via context shift, but the API
     #    exists for slot-save/session semantics) --------------------------
     def save_state(self, path: str):
+        if self.recurrent:
+            leaves, treedef = jax.tree_util.tree_flatten(self.cache)
+            np.savez_compressed(
+                path, recurrent=np.array(1),
+                context_tokens=np.asarray(self.context_tokens, dtype=np.int64),
+                max_context=self.max_context,
+                **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)})
+            return
         np.savez_compressed(
             path,
             k=np.asarray(self.cache.k), v=np.asarray(self.cache.v),
@@ -546,8 +607,17 @@ class Engine:
         data = np.load(path)
         if int(data["max_context"]) != self.max_context:
             raise ValueError("state was saved with a different context size")
-        self.cache = KVCache(k=jnp.asarray(data["k"], dtype=self.cache_dtype),
-                             v=jnp.asarray(data["v"], dtype=self.cache_dtype))
+        if self.recurrent:
+            if "recurrent" not in data:
+                raise ValueError("state file is not a recurrent-model state")
+            _, treedef = jax.tree_util.tree_flatten(
+                self._model_mod.init_state(self.cfg, 1))
+            leaves = [jnp.asarray(data[f"leaf{i}"])
+                      for i in range(treedef.num_leaves)]
+            self.cache = jax.tree_util.tree_unflatten(treedef, leaves)
+        else:
+            self.cache = KVCache(k=jnp.asarray(data["k"], dtype=self.cache_dtype),
+                                 v=jnp.asarray(data["v"], dtype=self.cache_dtype))
         self.context_tokens = [int(t) for t in data["context_tokens"]]
 
 

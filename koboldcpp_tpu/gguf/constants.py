@@ -163,6 +163,16 @@ class Keys:
     FINAL_LOGIT_SOFTCAP = "{arch}.final_logit_softcapping"
     SLIDING_WINDOW = "{arch}.attention.sliding_window"
 
+    class SSM:
+        CONV_KERNEL = "{arch}.ssm.conv_kernel"
+        INNER_SIZE = "{arch}.ssm.inner_size"
+        STATE_SIZE = "{arch}.ssm.state_size"
+        TIME_STEP_RANK = "{arch}.ssm.time_step_rank"
+        DT_B_C_RMS = "{arch}.ssm.dt_b_c_rms"
+
+    class WKV:
+        HEAD_SIZE = "{arch}.wkv.head_size"
+
     class Tokenizer:
         MODEL = "tokenizer.ggml.model"  # "llama"(spm) | "gpt2"(bpe) | ...
         PRE = "tokenizer.ggml.pre"

@@ -67,11 +67,23 @@ class ModelConfig:
     ffn_gated: bool = True  # False: plain up->act->down (gpt2/neox)
     moe_dense_ep: bool = False  # dense all-experts MoE (expert-parallel shardable)
     moe_norm_topk: bool = True  # renormalize top-k router weights (mixtral yes, qwen2moe no)
+    # SSM (mamba) hparams ({arch}.ssm.* keys)
+    ssm_d_conv: int = 0
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_dt_rank: int = 0
+    ssm_dt_b_c_rms: bool = False
     extras: dict = field(default_factory=dict)
 
     @property
     def kv_groups(self) -> int:
         return self.n_heads // self.n_kv_heads
+
+    @property
+    def is_recurrent(self) -> bool:
+        """Stateful (non-attention-cache) archs; mirrors llama.cpp's
+        recurrent flag (src/llama.cpp:2775)."""
+        return self.arch in ("mamba", "rwkv6")
 
 
 # archs whose GGUF weights expect NEOX-style (split-half) rope
@@ -136,6 +148,16 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
         extras = dict(norm_type="layer", parallel_residual=True,
                       logit_scale=float(_get(
                           md, "{arch}.logit_scale", arch, 0.0) or 0.0))
+    elif arch == "mamba":
+        extras = dict(
+            use_rope=False,
+            ssm_d_conv=int(_get(md, Keys.SSM.CONV_KERNEL, arch, 4) or 4),
+            ssm_d_inner=int(_get(md, Keys.SSM.INNER_SIZE, arch, 2 * hidden)
+                            or 2 * hidden),
+            ssm_d_state=int(_get(md, Keys.SSM.STATE_SIZE, arch, 16) or 16),
+            ssm_dt_rank=int(_get(md, Keys.SSM.TIME_STEP_RANK, arch,
+                                 -(hidden // -16)) or -(hidden // -16)),
+            ssm_dt_b_c_rms=bool(_get(md, Keys.SSM.DT_B_C_RMS, arch, False)))
     elif arch == "mpt":
         extras = dict(norm_type="layer", ffn_gated=False, act="gelu_exact",
                       use_rope=False, use_alibi=True,

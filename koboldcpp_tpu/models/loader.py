@@ -233,6 +233,15 @@ def load_model(path: str, packed: bool = True, dtype=jnp.bfloat16,
     with GGUFReader(path) as r:
         cfg = config_from_metadata(r.metadata)
         tokenizer = Tokenizer.from_metadata(r.metadata)
-        params = load_params(r, cfg, packed=packed, dtype=dtype,
-                             loras=adapters or None)
+        if cfg.arch == "mamba":
+            from . import mamba
+
+            params = mamba.load_params(r, cfg, packed=packed, dtype=dtype)
+        elif cfg.arch == "rwkv6":
+            from . import rwkv6
+
+            params = rwkv6.load_params(r, cfg, packed=packed, dtype=dtype)
+        else:
+            params = load_params(r, cfg, packed=packed, dtype=dtype,
+                                 loras=adapters or None)
     return Model(cfg, params, tokenizer)

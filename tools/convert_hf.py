@@ -978,3 +978,59 @@ def convert_olmoe_state_dict(state: dict, config, out_path: str,
             w.add_tensor(gp + gn + ".weight", stack, GGMLType.F32)
     w.write()
     return out_path
+
+
+def convert_mamba_state_dict(state: dict, config, out_path: str,
+                             tokenizer_md: dict | None = None,
+                             quant_type: GGMLType = GGMLType.F32):
+    """HF MambaForCausalLM -> GGUF (reference MambaModel converter,
+    /root/reference/convert_hf_to_gguf.py:2935-2988: A = -exp(A_log),
+    conv1d squeezed to {d_conv, d_inner})."""
+    n_layers = config.num_hidden_layers
+    d_model = config.hidden_size
+    d_inner = getattr(config, "intermediate_size", 2 * d_model)
+    d_conv = getattr(config, "conv_kernel", 4)
+    d_state = getattr(config, "state_size", 16)
+    dt_rank = getattr(config, "time_step_rank", -(d_model // -16))
+
+    w = GGUFWriter(out_path, architecture="mamba")
+    w.add("general.name", "mamba-converted")
+    w.add("mamba.context_length", np.uint32(2 ** 20))
+    w.add("mamba.embedding_length", np.uint32(d_model))
+    w.add("mamba.block_count", np.uint32(n_layers))
+    w.add("mamba.feed_forward_length", np.uint32(0))
+    w.add("mamba.attention.head_count", np.uint32(0))
+    w.add("mamba.attention.layer_norm_rms_epsilon",
+          np.float32(config.layer_norm_epsilon))
+    w.add("mamba.ssm.conv_kernel", np.uint32(d_conv))
+    w.add("mamba.ssm.inner_size", np.uint32(d_inner))
+    w.add("mamba.ssm.state_size", np.uint32(d_state))
+    w.add("mamba.ssm.time_step_rank", np.uint32(int(dt_rank)))
+    w.add("mamba.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("backbone.embeddings.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("backbone.norm_f.weight"), GGMLType.F32)
+    if "lm_head.weight" in state and not np.array_equal(
+            state["lm_head.weight"], state["backbone.embeddings.weight"]):
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"backbone.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "norm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ssm_in.weight", get(hp + "mixer.in_proj.weight"), quant_type)
+        w.add_tensor(gp + "ssm_conv1d.weight",
+                     get(hp + "mixer.conv1d.weight").squeeze(1), GGMLType.F32)
+        w.add_tensor(gp + "ssm_conv1d.bias", get(hp + "mixer.conv1d.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ssm_x.weight", get(hp + "mixer.x_proj.weight"), quant_type)
+        w.add_tensor(gp + "ssm_dt.weight", get(hp + "mixer.dt_proj.weight"), quant_type)
+        w.add_tensor(gp + "ssm_dt.bias", get(hp + "mixer.dt_proj.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ssm_a", -np.exp(get(hp + "mixer.A_log")), GGMLType.F32)
+        w.add_tensor(gp + "ssm_d", get(hp + "mixer.D"), GGMLType.F32)
+        w.add_tensor(gp + "ssm_out.weight", get(hp + "mixer.out_proj.weight"), quant_type)
+    w.write()
+    return out_path
