@@ -158,6 +158,14 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
             ssm_dt_rank=int(_get(md, Keys.SSM.TIME_STEP_RANK, arch,
                                  -(hidden // -16)) or -(hidden // -16)),
             ssm_dt_b_c_rms=bool(_get(md, Keys.SSM.DT_B_C_RMS, arch, False)))
+    elif arch == "rwkv6":
+        head_size = int(_get(md, Keys.WKV.HEAD_SIZE, arch, 64) or 64)
+        n_heads = hidden // head_size
+        head_dim = head_size
+        extras = dict(
+            norm_type="layer", use_rope=False,
+            extras={"rescale_every": int(_get(
+                md, "{arch}.rescale_every_n_layers", arch, 0) or 0)})
     elif arch == "mpt":
         extras = dict(norm_type="layer", ffn_gated=False, act="gelu_exact",
                       use_rope=False, use_alibi=True,
@@ -176,7 +184,8 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
         head_dim=head_dim,
         intermediate_size=int(_get(md, Keys.FEED_FORWARD_LENGTH, arch, 11008)),
         max_position_embeddings=int(_get(md, Keys.CONTEXT_LENGTH, arch, 4096)),
-        rms_norm_eps=float(_get(md, Keys.LAYERNORM_RMS_EPS, arch, 1e-5)),
+        rms_norm_eps=float(_get(md, Keys.LAYERNORM_RMS_EPS, arch,
+                                _get(md, Keys.LAYERNORM_EPS, arch, 1e-5))),
         rope_theta=float(_get(md, Keys.ROPE_FREQ_BASE, arch, 10000.0)),
         rope_dim=rope_dim,
         rope_type="neox" if arch in _NEOX_ROPE_ARCHS else "norm",

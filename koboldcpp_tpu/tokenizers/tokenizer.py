@@ -9,6 +9,7 @@ from typing import Iterable
 
 from .bpe import BPETokenizer
 from .spm import SPMTokenizer, SPM_SPACE
+from .rwkv import RWKVTokenizer
 from .vocab import Vocab, vocab_from_metadata
 from .wpm import WPMTokenizer
 
@@ -22,6 +23,8 @@ class Tokenizer:
             self.core = BPETokenizer(vocab)
         elif vocab.model == "bert":
             self.core = WPMTokenizer(vocab)
+        elif vocab.model == "rwkv":
+            self.core = RWKVTokenizer(vocab)
         elif vocab.model == "no_vocab":
             self.core = None
         else:

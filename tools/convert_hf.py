@@ -1034,3 +1034,87 @@ def convert_mamba_state_dict(state: dict, config, out_path: str,
         w.add_tensor(gp + "ssm_out.weight", get(hp + "mixer.out_proj.weight"), quant_type)
     w.write()
     return out_path
+
+
+def convert_rwkv6_state_dict(state: dict, config, out_path: str,
+                             tokenizer_md: dict | None = None,
+                             quant_type: GGMLType = GGMLType.F32):
+    """RWKV-LM v6 state dict -> GGUF (reference Rwkv6Model converter,
+    /root/reference/convert_hf_to_gguf.py:2835-2911: w1/decay_w1/decay_w2
+    transposed, w2 permuted (0,2,1), output/value weights pre-divided by
+    2^(layer//rescale_every))."""
+    n_layers = config["num_hidden_layers"]
+    hidden = config["hidden_size"]
+    head_size = config["head_size"]
+    rescale = config.get("rescale_every", 0)
+    inter = config["intermediate_size"]
+
+    w = GGUFWriter(out_path, architecture="rwkv6")
+    w.add("general.name", "rwkv6-converted")
+    w.add("rwkv6.context_length", np.uint32(1048576))
+    w.add("rwkv6.embedding_length", np.uint32(hidden))
+    w.add("rwkv6.block_count", np.uint32(n_layers))
+    w.add("rwkv6.feed_forward_length", np.uint32(inter))
+    w.add("rwkv6.attention.head_count", np.uint32(0))
+    w.add("rwkv6.attention.layer_norm_epsilon",
+          np.float32(config.get("layer_norm_epsilon", 1e-5)))
+    w.add("rwkv6.rescale_every_n_layers", np.uint32(rescale))
+    w.add("rwkv6.wkv.head_size", np.uint32(head_size))
+    w.add("rwkv6.vocab_size", np.uint32(config["vocab_size"]))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("emb.weight"), quant_type)
+    w.add_tensor("token_embd_norm.weight", get("blocks.0.ln0.weight"), GGMLType.F32)
+    w.add_tensor("token_embd_norm.bias", get("blocks.0.ln0.bias"), GGMLType.F32)
+    w.add_tensor("output_norm.weight", get("ln_out.weight"), GGMLType.F32)
+    w.add_tensor("output_norm.bias", get("ln_out.bias"), GGMLType.F32)
+    w.add_tensor("output.weight", get("head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"blocks.{i}."
+        gp = f"blk.{i}."
+        div = float(2 ** (i // rescale)) if rescale else 1.0
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "ln1.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_norm.bias", get(hp + "ln1.bias"), GGMLType.F32)
+        w.add_tensor(gp + "attn_norm_2.weight", get(hp + "ln2.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_norm_2.bias", get(hp + "ln2.bias"), GGMLType.F32)
+        for g in "xwkvrg":
+            w.add_tensor(gp + f"time_mix_lerp_{g}.weight",
+                         get(hp + f"att.time_maa_{g}").reshape(1, 1, hidden),
+                         GGMLType.F32)
+        w.add_tensor(gp + "time_mix_w1.weight",
+                     get(hp + "att.time_maa_w1").T.copy(), quant_type)
+        w.add_tensor(gp + "time_mix_w2.weight",
+                     get(hp + "att.time_maa_w2").transpose(0, 2, 1).copy(),
+                     GGMLType.F32)
+        w.add_tensor(gp + "time_mix_first.weight", get(hp + "att.time_faaaa"),
+                     GGMLType.F32)
+        w.add_tensor(gp + "time_mix_decay.weight",
+                     get(hp + "att.time_decay").reshape(1, 1, hidden), GGMLType.F32)
+        w.add_tensor(gp + "time_mix_decay_w1.weight",
+                     get(hp + "att.time_decay_w1").T.copy(), quant_type)
+        w.add_tensor(gp + "time_mix_decay_w2.weight",
+                     get(hp + "att.time_decay_w2").T.copy(), quant_type)
+        w.add_tensor(gp + "time_mix_key.weight", get(hp + "att.key.weight"), quant_type)
+        w.add_tensor(gp + "time_mix_value.weight", get(hp + "att.value.weight"), quant_type)
+        w.add_tensor(gp + "time_mix_receptance.weight",
+                     get(hp + "att.receptance.weight"), quant_type)
+        w.add_tensor(gp + "time_mix_gate.weight", get(hp + "att.gate.weight"), quant_type)
+        w.add_tensor(gp + "time_mix_ln.weight", get(hp + "att.ln_x.weight"), GGMLType.F32)
+        w.add_tensor(gp + "time_mix_ln.bias", get(hp + "att.ln_x.bias"), GGMLType.F32)
+        w.add_tensor(gp + "time_mix_output.weight",
+                     get(hp + "att.output.weight") / div, quant_type)
+        w.add_tensor(gp + "channel_mix_lerp_k.weight",
+                     get(hp + "ffn.time_maa_k").reshape(1, 1, hidden), GGMLType.F32)
+        w.add_tensor(gp + "channel_mix_lerp_r.weight",
+                     get(hp + "ffn.time_maa_r").reshape(1, 1, hidden), GGMLType.F32)
+        w.add_tensor(gp + "channel_mix_key.weight", get(hp + "ffn.key.weight"), quant_type)
+        w.add_tensor(gp + "channel_mix_receptance.weight",
+                     get(hp + "ffn.receptance.weight"), quant_type)
+        w.add_tensor(gp + "channel_mix_value.weight",
+                     get(hp + "ffn.value.weight") / div, quant_type)
+    w.write()
+    return out_path
