@@ -10,6 +10,7 @@ from typing import Iterable
 from .bpe import BPETokenizer
 from .spm import SPMTokenizer, SPM_SPACE
 from .rwkv import RWKVTokenizer
+from .ugm import UGMTokenizer
 from .vocab import Vocab, vocab_from_metadata
 from .wpm import WPMTokenizer
 
@@ -25,6 +26,8 @@ class Tokenizer:
             self.core = WPMTokenizer(vocab)
         elif vocab.model == "rwkv":
             self.core = RWKVTokenizer(vocab)
+        elif vocab.model == "t5":
+            self.core = UGMTokenizer(vocab)
         elif vocab.model == "no_vocab":
             self.core = None
         else:

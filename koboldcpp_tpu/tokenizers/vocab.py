@@ -32,6 +32,8 @@ class Vocab:
     add_bos: bool = True
     add_eos: bool = False
     add_space_prefix: bool = True
+    remove_extra_whitespaces: bool = False
+    precompiled_charsmap: bytes = b""
     chat_template: str = ""
 
     # derived
@@ -103,5 +105,8 @@ def vocab_from_metadata(md: Mapping[str, Any]) -> Vocab:
         add_bos=bool(_get(md, T.ADD_BOS, model == "llama")),
         add_eos=bool(_get(md, T.ADD_EOS, False)),
         add_space_prefix=bool(_get(md, T.ADD_SPACE_PREFIX, default_space_prefix)),
+        remove_extra_whitespaces=bool(_get(md, T.REMOVE_EXTRA_WS, False)),
+        precompiled_charsmap=(lambda v: v.tobytes() if hasattr(v, "tobytes")
+                              else bytes(v))(_get(md, T.PRECOMPILED_CHARSMAP, b"")),
         chat_template=str(_get(md, T.CHAT_TEMPLATE, "")),
     )
