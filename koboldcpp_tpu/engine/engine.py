@@ -101,7 +101,16 @@ class Engine:
         # context shift / smart context / rewind don't apply (reference
         # requires full-prefix match for recurrent, model_adapter.cpp:424)
         self.recurrent = self.cfg.is_recurrent
-        if self.recurrent:
+        # encoder-decoder (t5): prompt goes through the encoder each request,
+        # decoder cache is fresh per request (the reference re-runs
+        # llama_encode per call; no cross-request KV reuse applies)
+        self.encdec = self.cfg.is_encoder_decoder
+        if self.encdec:
+            self.use_contextshift = False
+            self.use_smartcontext = False
+            self.cache = None  # built per request (encoder length varies)
+            self._enc_cache_len = 0
+        elif self.recurrent:
             self.use_contextshift = False
             self.use_smartcontext = False
             self._model_mod = self._recurrent_mod()
@@ -120,7 +129,15 @@ class Engine:
         self.stream_tokens: list[str] = []
         self.generation_finished = True
 
-        if self.recurrent:
+        if self.encdec:
+            from ..models import t5 as _t5
+
+            self._t5 = _t5
+            self._forward = jax.jit(
+                partial(_t5.forward, cfg=self.cfg), donate_argnames=("cache",))
+            self._encode = jax.jit(partial(_t5.encode, cfg=self.cfg))
+            self.use_flash_prefill = False
+        elif self.recurrent:
             self._forward = jax.jit(
                 partial(self._model_mod.forward, cfg=self.cfg),
                 donate_argnames=("cache",))
@@ -140,6 +157,18 @@ class Engine:
             self.use_flash_prefill = (jax.default_backend() not in ("cpu",)
                                       and self.cfg.head_dim in (64, 128, 256)
                                       and not self.cfg.use_alibi)
+
+    def _run_encoder(self, prompt_tokens: list[int]):
+        """Encode the prompt and build a fresh decoder cache with projected
+        cross K/V (t5.prepare_cross)."""
+        n = len(prompt_tokens)
+        b = _bucket(n)
+        tok = jnp.asarray(np.array([prompt_tokens + [0] * (b - n)], np.int32))
+        pos = jnp.asarray(np.array([list(range(n)) + [-1] * (b - n)], np.int32))
+        enc_out = self._encode(self.model.params, tokens=tok, positions=pos)
+        cache = self._t5.init_cache(self.cfg, 1, self.max_context, b)
+        self.cache = self._t5.prepare_cross(
+            self.model.params, self.cfg, enc_out, pos >= 0, cache)
 
     def _recurrent_mod(self):
         if self.cfg.arch == "mamba":
@@ -242,6 +271,8 @@ class Engine:
         whole cached context must be a strict prefix of the prompt (the
         reference's RWKV/Mamba full-subset rule); otherwise the state resets
         and everything re-evaluates."""
+        if self.encdec:
+            return 0
         if self.recurrent:
             ctx = self.context_tokens
             if ctx and len(ctx) <= len(prompt) - 1 and prompt[:len(ctx)] == ctx:
@@ -399,13 +430,21 @@ class Engine:
 
         # context reuse: smart context (legacy) OR context shift, then
         # fast-forward
-        if self.use_smartcontext:
-            prompt_tokens = self._smart_context(prompt_tokens)
-        elif self.use_contextshift:
-            self._context_shift(prompt_tokens)
-        n_past = self._fast_forward(prompt_tokens)
-        self.context_tokens = self.context_tokens[:n_past]
-        todo = prompt_tokens[n_past:]
+        if self.encdec:
+            # T5: prompt -> encoder (llama_encode equivalent), decoder starts
+            # fresh from decoder_start_token_id each request
+            self._run_encoder(prompt_tokens)
+            self.context_tokens = []
+            n_past = 0
+            todo = [self.cfg.extras.get("decoder_start", 0)]
+        else:
+            if self.use_smartcontext:
+                prompt_tokens = self._smart_context(prompt_tokens)
+            elif self.use_contextshift:
+                self._context_shift(prompt_tokens)
+            n_past = self._fast_forward(prompt_tokens)
+            self.context_tokens = self.context_tokens[:n_past]
+            todo = prompt_tokens[n_past:]
 
         grammar = self._get_grammar(params)
         if grammar is not None and not params.grammar_retain_state:

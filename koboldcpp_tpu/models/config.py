@@ -80,6 +80,10 @@ class ModelConfig:
         return self.n_heads // self.n_kv_heads
 
     @property
+    def is_encoder_decoder(self) -> bool:
+        return self.arch == "t5"
+
+    @property
     def is_recurrent(self) -> bool:
         """Stateful (non-attention-cache) archs; mirrors llama.cpp's
         recurrent flag (src/llama.cpp:2775)."""
@@ -158,6 +162,13 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
             ssm_dt_rank=int(_get(md, Keys.SSM.TIME_STEP_RANK, arch,
                                  -(hidden // -16)) or -(hidden // -16)),
             ssm_dt_b_c_rms=bool(_get(md, Keys.SSM.DT_B_C_RMS, arch, False)))
+    elif arch == "t5":
+        extras = dict(
+            use_rope=False,
+            extras={"rel_buckets": int(_get(
+                md, "{arch}.attention.relative_buckets_count", arch, 32) or 32),
+                "decoder_start": int(_get(
+                    md, "{arch}.decoder_start_token_id", arch, 0) or 0)})
     elif arch == "rwkv6":
         head_size = int(_get(md, Keys.WKV.HEAD_SIZE, arch, 64) or 64)
         n_heads = hidden // head_size

@@ -1118,3 +1118,85 @@ def convert_rwkv6_state_dict(state: dict, config, out_path: str,
                      get(hp + "ffn.value.weight") / div, quant_type)
     w.write()
     return out_path
+
+
+def convert_t5_state_dict(state: dict, config, out_path: str,
+                          tokenizer_md: dict | None = None,
+                          quant_type: GGMLType = GGMLType.F32):
+    """HF T5ForConditionalGeneration -> GGUF (reference T5Model converter,
+    /root/reference/convert_hf_to_gguf.py:3452+; enc./dec. tensor prefixes per
+    gguf-py MODEL_TENSORS[T5])."""
+    n_layers = config.num_layers
+    w = GGUFWriter(out_path, architecture="t5")
+    w.add("general.name", "t5-converted")
+    w.add("t5.context_length", np.uint32(512))
+    w.add("t5.embedding_length", np.uint32(config.d_model))
+    w.add("t5.feed_forward_length", np.uint32(config.d_ff))
+    w.add("t5.block_count", np.uint32(n_layers))
+    w.add("t5.attention.head_count", np.uint32(config.num_heads))
+    w.add("t5.attention.key_length", np.uint32(config.d_kv))
+    w.add("t5.attention.value_length", np.uint32(config.d_kv))
+    w.add("t5.attention.layer_norm_rms_epsilon",
+          np.float32(config.layer_norm_epsilon))
+    w.add("t5.attention.relative_buckets_count",
+          np.uint32(config.relative_attention_num_buckets))
+    w.add("t5.decoder_start_token_id", np.uint32(config.decoder_start_token_id))
+    w.add("t5.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("shared.weight"), quant_type)
+    w.add_tensor("enc.output_norm.weight",
+                 get("encoder.final_layer_norm.weight"), GGMLType.F32)
+    w.add_tensor("dec.output_norm.weight",
+                 get("decoder.final_layer_norm.weight"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+
+    gated = "encoder.block.0.layer.1.DenseReluDense.wi_0.weight" in state
+    for i in range(n_layers):
+        hp = f"encoder.block.{i}.layer."
+        gp = f"enc.blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "0.layer_norm.weight"), GGMLType.F32)
+        for gn, hn in (("attn_q", "q"), ("attn_k", "k"), ("attn_v", "v"), ("attn_o", "o")):
+            w.add_tensor(gp + gn + ".weight",
+                         get(hp + f"0.SelfAttention.{hn}.weight"), quant_type)
+        if i == 0:
+            w.add_tensor(gp + "attn_rel_b.weight",
+                         get(hp + "0.SelfAttention.relative_attention_bias.weight"),
+                         GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "1.layer_norm.weight"), GGMLType.F32)
+        if gated:
+            w.add_tensor(gp + "ffn_gate.weight", get(hp + "1.DenseReluDense.wi_0.weight"), quant_type)
+            w.add_tensor(gp + "ffn_up.weight", get(hp + "1.DenseReluDense.wi_1.weight"), quant_type)
+        else:
+            w.add_tensor(gp + "ffn_up.weight", get(hp + "1.DenseReluDense.wi.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "1.DenseReluDense.wo.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"decoder.block.{i}.layer."
+        gp = f"dec.blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "0.layer_norm.weight"), GGMLType.F32)
+        for gn, hn in (("attn_q", "q"), ("attn_k", "k"), ("attn_v", "v"), ("attn_o", "o")):
+            w.add_tensor(gp + gn + ".weight",
+                         get(hp + f"0.SelfAttention.{hn}.weight"), quant_type)
+        if i == 0:
+            w.add_tensor(gp + "attn_rel_b.weight",
+                         get(hp + "0.SelfAttention.relative_attention_bias.weight"),
+                         GGMLType.F32)
+        w.add_tensor(gp + "cross_attn_norm.weight", get(hp + "1.layer_norm.weight"), GGMLType.F32)
+        for gn, hn in (("cross_attn_q", "q"), ("cross_attn_k", "k"),
+                       ("cross_attn_v", "v"), ("cross_attn_o", "o")):
+            w.add_tensor(gp + gn + ".weight",
+                         get(hp + f"1.EncDecAttention.{hn}.weight"), quant_type)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "2.layer_norm.weight"), GGMLType.F32)
+        if gated:
+            w.add_tensor(gp + "ffn_gate.weight", get(hp + "2.DenseReluDense.wi_0.weight"), quant_type)
+            w.add_tensor(gp + "ffn_up.weight", get(hp + "2.DenseReluDense.wi_1.weight"), quant_type)
+        else:
+            w.add_tensor(gp + "ffn_up.weight", get(hp + "2.DenseReluDense.wi.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "2.DenseReluDense.wo.weight"), quant_type)
+    w.write()
+    return out_path
