@@ -115,6 +115,16 @@ class Engine:
             self.use_smartcontext = False
             self._model_mod = self._recurrent_mod()
             self.cache = self._model_mod.init_state(self.cfg, 1)
+        elif self.cfg.arch == "deepseek2":
+            # MLA: K rows carry [nope | shared rope] so the generic k-shift
+            # re-rotation doesn't apply; fast-forward still does
+            from ..models import deepseek2 as _ds2
+
+            self._ds2 = _ds2
+            self.use_contextshift = False
+            self.use_smartcontext = False
+            self.cache = _ds2.init_cache(self.cfg, 1, max_context,
+                                         dtype=cache_dtype)
         else:
             self.cache = init_cache(self.cfg.n_layers, 1, max_context,
                                     self.cfg.n_kv_heads, self.cfg.head_dim,
@@ -140,6 +150,11 @@ class Engine:
         elif self.recurrent:
             self._forward = jax.jit(
                 partial(self._model_mod.forward, cfg=self.cfg),
+                donate_argnames=("cache",))
+            self.use_flash_prefill = False
+        elif self.cfg.arch == "deepseek2":
+            self._forward = jax.jit(
+                partial(self._ds2.forward, cfg=self.cfg, last_only=True),
                 donate_argnames=("cache",))
             self.use_flash_prefill = False
         else:

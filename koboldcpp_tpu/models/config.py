@@ -162,6 +162,17 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
             ssm_dt_rank=int(_get(md, Keys.SSM.TIME_STEP_RANK, arch,
                                  -(hidden // -16)) or -(hidden // -16)),
             ssm_dt_b_c_rms=bool(_get(md, Keys.SSM.DT_B_C_RMS, arch, False)))
+    elif arch == "deepseek2":
+        extras = dict(extras={
+            "v_head_dim": int(_get(md, "{arch}.attention.value_length", arch,
+                                   hidden // max(n_heads, 1)) or 0),
+            "expert_weights_scale": float(_get(
+                md, "{arch}.expert_weights_scale", arch, 1.0) or 1.0),
+            "yarn_log_mul": float(_get(
+                md, "{arch}.rope.scaling.yarn_log_multiplier", arch, 0.1)
+                or 0.1),
+            "dense_lead": int(_get(
+                md, "{arch}.leading_dense_block_count", arch, 0) or 0)})
     elif arch == "t5":
         extras = dict(
             use_rope=False,

@@ -1200,3 +1200,78 @@ def convert_t5_state_dict(state: dict, config, out_path: str,
         w.add_tensor(gp + "ffn_down.weight", get(hp + "2.DenseReluDense.wo.weight"), quant_type)
     w.write()
     return out_path
+
+
+def convert_deepseek2_state_dict(state: dict, config, out_path: str,
+                                 tokenizer_md: dict | None = None,
+                                 quant_type: GGMLType = GGMLType.F32):
+    """HF DeepseekV2ForCausalLM -> GGUF (reference DeepseekV2Model converter,
+    /root/reference/convert_hf_to_gguf.py:3370-3430)."""
+    n_layers = config.num_hidden_layers
+    qk_dim = config.qk_nope_head_dim + config.qk_rope_head_dim
+    w = GGUFWriter(out_path, architecture="deepseek2")
+    w.add("general.name", "deepseek2-converted")
+    w.add("deepseek2.context_length", np.uint32(config.max_position_embeddings))
+    w.add("deepseek2.embedding_length", np.uint32(config.hidden_size))
+    w.add("deepseek2.block_count", np.uint32(n_layers))
+    w.add("deepseek2.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("deepseek2.attention.head_count", np.uint32(config.num_attention_heads))
+    w.add("deepseek2.attention.head_count_kv", np.uint32(config.num_key_value_heads))
+    w.add("deepseek2.attention.key_length", np.uint32(qk_dim))
+    w.add("deepseek2.attention.value_length", np.uint32(config.v_head_dim))
+    w.add("deepseek2.attention.layer_norm_rms_epsilon", np.float32(config.rms_norm_eps))
+    w.add("deepseek2.rope.freq_base", np.float32(config.rope_theta))
+    w.add("deepseek2.rope.dimension_count", np.uint32(config.qk_rope_head_dim))
+    w.add("deepseek2.attention.kv_lora_rank", np.uint32(config.kv_lora_rank))
+    if getattr(config, "q_lora_rank", None):
+        w.add("deepseek2.attention.q_lora_rank", np.uint32(config.q_lora_rank))
+    w.add("deepseek2.leading_dense_block_count", np.uint32(config.first_k_dense_replace))
+    w.add("deepseek2.expert_count", np.uint32(config.n_routed_experts))
+    w.add("deepseek2.expert_used_count", np.uint32(config.num_experts_per_tok))
+    w.add("deepseek2.expert_feed_forward_length", np.uint32(config.moe_intermediate_size))
+    w.add("deepseek2.expert_shared_count", np.uint32(config.n_shared_experts))
+    w.add("deepseek2.expert_weights_scale", np.float32(config.routed_scaling_factor))
+    w.add("deepseek2.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("model.norm.weight"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "input_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+        if hp + "self_attn.q_proj.weight" in state:
+            w.add_tensor(gp + "attn_q.weight", get(hp + "self_attn.q_proj.weight"), quant_type)
+        else:
+            w.add_tensor(gp + "attn_q_a.weight", get(hp + "self_attn.q_a_proj.weight"), quant_type)
+            w.add_tensor(gp + "attn_q_a_norm.weight", get(hp + "self_attn.q_a_layernorm.weight"), GGMLType.F32)
+            w.add_tensor(gp + "attn_q_b.weight", get(hp + "self_attn.q_b_proj.weight"), quant_type)
+        w.add_tensor(gp + "attn_kv_a_mqa.weight", get(hp + "self_attn.kv_a_proj_with_mqa.weight"), quant_type)
+        w.add_tensor(gp + "attn_kv_a_norm.weight", get(hp + "self_attn.kv_a_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_kv_b.weight", get(hp + "self_attn.kv_b_proj.weight"), quant_type)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "self_attn.o_proj.weight"), quant_type)
+        if hp + "mlp.gate_proj.weight" in state:  # leading dense layer
+            w.add_tensor(gp + "ffn_gate.weight", get(hp + "mlp.gate_proj.weight"), quant_type)
+            w.add_tensor(gp + "ffn_up.weight", get(hp + "mlp.up_proj.weight"), quant_type)
+            w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.down_proj.weight"), quant_type)
+        else:
+            w.add_tensor(gp + "ffn_gate_inp.weight", get(hp + "mlp.gate.weight"), GGMLType.F32)
+            E = config.n_routed_experts
+            for gn, hn in (("ffn_gate_exps", "gate_proj"), ("ffn_up_exps", "up_proj"),
+                           ("ffn_down_exps", "down_proj")):
+                stack = np.stack([get(f"{hp}mlp.experts.{e}.{hn}.weight")
+                                  for e in range(E)])
+                w.add_tensor(gp + gn + ".weight", stack, GGMLType.F32)
+            for gn, hn in (("ffn_gate_shexp", "gate_proj"), ("ffn_up_shexp", "up_proj"),
+                           ("ffn_down_shexp", "down_proj")):
+                w.add_tensor(gp + gn + ".weight",
+                             get(hp + f"mlp.shared_experts.{hn}.weight"), quant_type)
+    w.write()
+    return out_path
