@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sdvaeauto", action="store_true",
                    help="use TAESD instead of the VAE (needs --sdtaesd weights)")
     p.add_argument("--sdtaesd", default="", help="TAESD weights (.safetensors/.pt)")
+    p.add_argument("--sdlora", default="", help="SD LoRA adapter GGUF to merge")
+    p.add_argument("--sdloramult", type=float, default=1.0,
+                   help="SD LoRA multiplier")
     p.add_argument("--sdclamped", type=int, nargs="?", const=512, default=0,
                    help="clamp SD resolution/steps for shared hosting")
     p.add_argument("--whispermodel", default="", help="whisper GGUF model")
@@ -272,7 +275,8 @@ def main(argv=None):
         from .models.sd import load_sd
 
         print(f"Loading SD model: {args.sdmodel}")
-        sd_model = load_sd(args.sdmodel)
+        sd_loras = [(args.sdlora, args.sdloramult)] if args.sdlora else None
+        sd_model = load_sd(args.sdmodel, loras=sd_loras)
         if args.sdtaesd:
             print(f"Loading TAESD: {args.sdtaesd}")
             sd_model.set_taesd(args.sdtaesd)

@@ -614,7 +614,44 @@ def init_random_sd_params(cfg: SDConfig, seed: int = 0,
     return p
 
 
-def load_sd(path: str) -> SDModel:
+def apply_sd_lora(params: Params, path: str, multiplier: float = 1.0) -> int:
+    """Merge a GGUF SD-LoRA adapter (tools/convert_sd_lora.py) into the flat
+    SD params in place: W += mult * (alpha/r) * B @ A. Counterpart of the
+    reference's --sdlora merge (stable-diffusion.cpp lora application).
+    Returns the number of tensors patched."""
+    with GGUFReader(path) as r:
+        md = r.metadata
+        if str(md.get("general.type", "")) != "adapter" or str(
+                md.get("adapter.type", "")) != "lora":
+            raise ValueError(f"{path} is not a LoRA adapter GGUF")
+        a = md.get("adapter.lora.alpha", 0.0)
+        alpha = float(a.item() if hasattr(a, "item") else a or 0.0)
+        pairs: dict[str, dict[str, np.ndarray]] = {}
+        for name in r.tensors:
+            if name.endswith(".lora_a"):
+                pairs.setdefault(name[:-7], {})["a"] = np.asarray(
+                    r.tensor_data(name), np.float32)
+            elif name.endswith(".lora_b"):
+                pairs.setdefault(name[:-7], {})["b"] = np.asarray(
+                    r.tensor_data(name), np.float32)
+    n = 0
+    for base, p in pairs.items():
+        if base not in params:
+            continue
+        A, B = p["a"], p["b"]
+        rank = A.shape[0]
+        scale = multiplier * (alpha / rank if alpha else 1.0)
+        delta = scale * (B @ A)
+        w = np.asarray(params[base], np.float32)
+        if delta.shape != w.shape:
+            raise ValueError(
+                f"LoRA delta shape {delta.shape} != {w.shape} for {base}")
+        params[base] = jnp.asarray(w + delta, dtype=params[base].dtype)
+        n += 1
+    return n
+
+
+def load_sd(path: str, loras: list[tuple[str, float]] | None = None) -> SDModel:
     from ..tokenizers import Tokenizer
 
     with GGUFReader(path) as r:
@@ -628,6 +665,11 @@ def load_sd(path: str) -> SDModel:
             text_heads=int(md.get("sd.text.heads", 12)),
             text_dim=int(md.get("sd.text.dim", 768)),
             vae_ch=int(md.get("sd.vae.ch", 128)),
+            text_vocab=int(md.get("sd.text.vocab", 49408)),
+            text_ctx=int(md.get("sd.text.ctx", 77)),
+            latent_channels=int(md.get("sd.latent_channels", 4)),
+            vae_ch_mult=tuple(int(x) for x in
+                              np.asarray(md.get("sd.vae.ch_mult", [1, 2, 4, 4]))),
             channel_mult=tuple(int(x) for x in
                                np.asarray(md.get("sd.unet.channel_mult", [1, 2, 4, 4]))),
             attn_levels=tuple(int(x) for x in
@@ -637,4 +679,7 @@ def load_sd(path: str) -> SDModel:
         tok = None
         if md.get("tokenizer.ggml.tokens") is not None:
             tok = Tokenizer.from_metadata(md)
+    for lp, mult in (loras or []):
+        n = apply_sd_lora(params, lp, mult)
+        print(f"SD LoRA {lp}: merged {n} tensors (x{mult})")
     return SDModel(cfg, params, tok)

@@ -153,13 +153,61 @@ def test_gguf_roundtrip(tmp_path, tiny_sd):
     w.add("sd.vae.ch", np.uint32(16))
     w.add("sd.unet.channel_mult", np.array([1, 2], np.uint32))
     w.add("sd.unet.attn_levels", np.array([0, 1], np.uint32))
+    w.add("sd.text.vocab", np.uint32(100))
+    w.add("sd.text.ctx", np.uint32(8))
+    w.add("sd.vae.ch_mult", np.array([1, 2], np.uint32))
     for name, arr in tiny_sd.params.items():
         w.add_tensor(name, np.asarray(arr, np.float32), GGMLType.F32)
     w.write()
     m = jsd.load_sd(path)
-    # vae_ch_mult defaults differ; patch to the tiny shape and run
-    m.cfg.vae_ch_mult = (1, 2)
-    m.cfg.text_vocab = 100
-    m.cfg.text_ctx = 8
+    assert m.cfg.vae_ch_mult == (1, 2) and m.cfg.text_ctx == 8
     img = m.txt2img("x", width=16, height=16, steps=2, cfg_scale=1.0, seed=5)
     assert img.shape == (4, 4, 3)
+
+
+def test_sd_lora_merge(tmp_path, tiny_sd):
+    """SD LoRA: diffusers-PEFT keys -> GGUF adapter -> merged weights
+    (W + mult*(alpha/r)*B@A), unmappable keys skipped, txt2img changes."""
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from convert_sd_lora import convert_sd_lora_state_dict
+
+    rng = np.random.default_rng(3)
+    r = 4
+    target_u = "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q"
+    target_t = "text_encoder.text_model.encoder.layers.0.self_attn.q_proj"
+    A_u = rng.standard_normal((r, 32)).astype(np.float32)
+    B_u = rng.standard_normal((32, r)).astype(np.float32)
+    A_t = rng.standard_normal((r, 32)).astype(np.float32)
+    B_t = rng.standard_normal((32, r)).astype(np.float32)
+    state = {
+        f"unet.{target_u}.lora_A.weight": A_u,
+        f"unet.{target_u}.lora_B.weight": B_u,
+        f"{target_t}.lora_A.weight": A_t,
+        f"{target_t}.lora_B.weight": B_t,
+        # conv (4-D) and unknown keys are skipped, not fatal
+        "unet.conv_in.lora_A.weight": rng.standard_normal((r, 4, 3, 3)).astype(np.float32),
+        "unet.conv_in.lora_B.weight": rng.standard_normal((16, r, 1, 1)).astype(np.float32),
+        "some.unknown.key": np.zeros(1, np.float32),
+    }
+    path = str(tmp_path / "sdlora.gguf")
+    convert_sd_lora_state_dict(state, path, alpha=8.0)
+
+    params = dict(tiny_sd.params)
+    w0_u = np.asarray(params[target_u + ".weight"], np.float32).copy()
+    w0_t = np.asarray(params["text.0.q.weight"], np.float32).copy()
+    mult = 0.5
+    n = jsd.apply_sd_lora(params, path, multiplier=mult)
+    assert n == 2
+    scale = mult * (8.0 / r)
+    np.testing.assert_allclose(np.asarray(params[target_u + ".weight"]),
+                               w0_u + scale * (B_u @ A_u), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(params["text.0.q.weight"]),
+                               w0_t + scale * (B_t @ A_t), rtol=1e-5, atol=1e-5)
+
+    # merged params change the image, same seed
+    base = tiny_sd.txt2img("x", width=16, height=16, steps=2, cfg_scale=1.0, seed=5)
+    m2 = jsd.SDModel(TINY, params)
+    mod = m2.txt2img("x", width=16, height=16, steps=2, cfg_scale=1.0, seed=5)
+    assert not np.allclose(base, mod)

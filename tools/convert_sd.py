@@ -78,6 +78,10 @@ def convert_sd_dir(model_dir: str, out_path: str,
     w.add("sd.text.heads", np.uint32(tcfg["num_attention_heads"]))
     w.add("sd.text.dim", np.uint32(tcfg["hidden_size"]))
     w.add("sd.vae.ch", np.uint32(128))
+    w.add("sd.text.vocab", np.uint32(tcfg["vocab_size"]))
+    w.add("sd.text.ctx", np.uint32(tcfg.get("max_position_embeddings", 77)))
+    w.add("sd.latent_channels", np.uint32(ucfg.get("in_channels", 4)))
+    w.add("sd.vae.ch_mult", np.asarray([1, 2, 4, 4], np.uint32))
 
     def qt(arr):
         return (quant_type if arr.ndim == 2 and arr.shape[-1] % 32 == 0
