@@ -1,0 +1,304 @@
+"""Legacy (pre-GGUF) llama container loader: GGML / GGMF / GGJT v1-v3.
+
+Counterpart of the reference's legacy file loaders
+(/root/reference/otherarch/llama_v3.cpp:502-650 `llama_v3_file_loader`,
+llama_v2.cpp equivalents) and the retry-ladder dispatch
+(/root/reference/expose.cpp:83-176). Exposes the same reader interface as
+GGUFReader (metadata / tensors / tensor_raw / tensor_data) with tensor names
+translated to GGUF names and a synthesized tokenizer metadata block, so
+models/loader.load_params consumes legacy files unchanged.
+
+Container layout (llama_v3.cpp:521-560):
+  magic u32 ("ggml" = no version; "ggmf"/"ggjt" = + version u32)
+  hparams: n_vocab n_embd n_mult n_head n_layer n_rot ftype  (7 x u32)
+  vocab:   n_vocab x { len u32, bytes, score f32 (GGMF+ only) }
+  tensors: { n_dims u32, name_len u32, type u32, ne[n_dims] u32, name,
+             [GGJT: pad to 32-byte file offset], data }
+
+Quant-format history (llama_v3.cpp:502-504):
+  GGML/GGMF/GGJT v1: Q4_0/Q4_1 with f32 scales and INTERLEAVED nibbles
+  GGJT v2: Q4_0/Q4_1/Q8_0 f32 scales, half-split nibbles; Q5_0/Q5_1 modern
+  GGJT v3: modern layouts (== GGUF), raw bytes pass through untouched
+"""
+from __future__ import annotations
+
+import mmap
+import os
+import struct
+from typing import Any
+
+import numpy as np
+
+from .constants import GGML_BLOCK_SIZES, GGMLType
+from .sniff import FileFormat, check_file_format
+
+_MAGIC_GGML = 0x67676D6C
+
+# legacy type ids share the modern enum (f32=0 f16=1 q4_0=2 q4_1=3 q5_0=6
+# q5_1=7 q8_0=8); q4_2/q4_3 (4/5) were removed upstream and are rejected
+_LEGACY_BLOCK_SIZES = {
+    # (version_tag) -> {type: (block_elems, block_bytes)}
+    "v1": {GGMLType.Q4_0: (32, 20), GGMLType.Q4_1: (32, 24)},
+    "v2": {GGMLType.Q4_0: (32, 20), GGMLType.Q4_1: (32, 24),
+           GGMLType.Q5_0: (32, 22), GGMLType.Q5_1: (32, 24),
+           GGMLType.Q8_0: (32, 36)},
+}
+
+_NAME_MAP = {
+    "tok_embeddings.weight": "token_embd.weight",
+    "norm.weight": "output_norm.weight",
+    "output.weight": "output.weight",
+}
+_LAYER_MAP = {
+    "attention.wq.weight": "attn_q.weight",
+    "attention.wk.weight": "attn_k.weight",
+    "attention.wv.weight": "attn_v.weight",
+    "attention.wo.weight": "attn_output.weight",
+    "attention_norm.weight": "attn_norm.weight",
+    "feed_forward.w1.weight": "ffn_gate.weight",
+    "feed_forward.w2.weight": "ffn_down.weight",
+    "feed_forward.w3.weight": "ffn_up.weight",
+    "ffn_norm.weight": "ffn_norm.weight",
+}
+
+
+def translate_name(name: str) -> str:
+    if name in _NAME_MAP:
+        return _NAME_MAP[name]
+    if name.startswith("layers."):
+        _, idx, rest = name.split(".", 2)
+        mapped = _LAYER_MAP.get(rest)
+        if mapped:
+            return f"blk.{idx}.{mapped}"
+    return name
+
+
+def _deq_q4_0_interleaved(raw: np.ndarray) -> np.ndarray:
+    """GGML/GGJT-v1 Q4_0: f32 d + 16 nibble bytes, low=even high=odd
+    (ggml_v1.c:532 dequantize_row_q4_0)."""
+    blocks = raw.reshape(-1, 20)
+    d = blocks[:, :4].copy().view(np.float32)  # (N, 1)
+    qs = blocks[:, 4:]
+    lo = (qs & 0x0F).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    out = np.empty((blocks.shape[0], 32), np.float32)
+    out[:, 0::2] = lo
+    out[:, 1::2] = hi
+    return out * d
+
+
+def _deq_q4_1_interleaved(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 24)
+    d = blocks[:, :4].copy().view(np.float32)
+    m = blocks[:, 4:8].copy().view(np.float32)
+    qs = blocks[:, 8:]
+    lo = (qs & 0x0F).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    out = np.empty((blocks.shape[0], 32), np.float32)
+    out[:, 0::2] = lo
+    out[:, 1::2] = hi
+    return out * d + m
+
+
+def _deq_q4_0_f32(raw: np.ndarray) -> np.ndarray:
+    """GGJT-v2 Q4_0: f32 d + 16 bytes, half-split (ggml_v2.c dequantize)."""
+    blocks = raw.reshape(-1, 20)
+    d = blocks[:, :4].copy().view(np.float32)
+    qs = blocks[:, 4:]
+    lo = (qs & 0x0F).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    return np.concatenate([lo, hi], axis=1).astype(np.float32) * d
+
+
+def _deq_q4_1_f32(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 24)
+    d = blocks[:, :4].copy().view(np.float32)
+    m = blocks[:, 4:8].copy().view(np.float32)
+    qs = blocks[:, 8:]
+    lo = (qs & 0x0F).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    return np.concatenate([lo, hi], axis=1) * d + m
+
+
+def _deq_q8_0_f32(raw: np.ndarray) -> np.ndarray:
+    blocks = raw.reshape(-1, 36)
+    d = blocks[:, :4].copy().view(np.float32)
+    qs = np.ascontiguousarray(blocks[:, 4:]).view(np.int8)
+    return qs.astype(np.float32) * d
+
+
+_LEGACY_DEQ = {
+    ("v1", GGMLType.Q4_0): _deq_q4_0_interleaved,
+    ("v1", GGMLType.Q4_1): _deq_q4_1_interleaved,
+    ("v2", GGMLType.Q4_0): _deq_q4_0_f32,
+    ("v2", GGMLType.Q4_1): _deq_q4_1_f32,
+    ("v2", GGMLType.Q8_0): _deq_q8_0_f32,
+}
+
+LEGACY_LLAMA_FORMATS = (FileFormat.GGML, FileFormat.GGHF, FileFormat.GGJT,
+                        FileFormat.GGJT_2, FileFormat.GGJT_3)
+
+
+class _LegacyTensor:
+    __slots__ = ("name", "shape", "ggml_type", "offset", "nbytes",
+                 "stored_type", "qver")
+
+    @property
+    def n_elements(self) -> int:
+        n = 1
+        for d in self.shape:
+            n *= d
+        return n
+
+
+class LegacyLlamaReader:
+    """GGUFReader-compatible view over a GGML/GGMF/GGJT llama file."""
+
+    def __init__(self, path: str | os.PathLike):
+        self.path = os.fspath(path)
+        fmt = check_file_format(self.path)
+        if fmt not in LEGACY_LLAMA_FORMATS:
+            raise ValueError(f"{self.path}: not a legacy llama container ({fmt})")
+        self.file_format = fmt
+        self._f = open(self.path, "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        self.align = fmt in (FileFormat.GGJT, FileFormat.GGJT_2, FileFormat.GGJT_3)
+        self.qver = {FileFormat.GGJT_3: "v3", FileFormat.GGJT_2: "v2"}.get(fmt, "v1")
+        self.has_scores = fmt != FileFormat.GGML
+        self._parse()
+
+    # -- context manager ---------------------------------------------------
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def close(self):
+        try:
+            self._mm.close()
+        except BufferError:
+            # zero-copy tensor views still alive; pages stay mapped until GC
+            pass
+        self._f.close()
+
+    # -- parsing -----------------------------------------------------------
+    def _parse(self):
+        mm = self._mm
+        pos = 4 if self.file_format == FileFormat.GGML else 8
+        n_vocab, n_embd, n_mult, n_head, n_layer, n_rot, ftype = \
+            struct.unpack_from("<7I", mm, pos)
+        pos += 28
+        tokens: list[str] = []
+        scores = np.zeros(n_vocab, np.float32)
+        for i in range(n_vocab):
+            (ln,) = struct.unpack_from("<I", mm, pos)
+            pos += 4
+            tokens.append(bytes(mm[pos:pos + ln]).decode("utf-8", errors="replace"))
+            pos += ln
+            if self.has_scores:
+                (scores[i],) = struct.unpack_from("<f", mm, pos)
+                pos += 4
+
+        # synthesize GGUF-equivalent metadata (SPM llama vocab; byte pieces
+        # in these files are literal "<0xNN>" strings like GGUF's)
+        n_ff = ((2 * (4 * n_embd) // 3 + n_mult - 1) // n_mult) * n_mult
+        types = np.full(n_vocab, 1, np.int32)  # NORMAL
+        if n_vocab > 0:
+            types[0] = 2  # UNKNOWN
+        for i in (1, 2):
+            if i < n_vocab:
+                types[i] = 3  # CONTROL
+        for i, t in enumerate(tokens):
+            if len(t) == 6 and t.startswith("<0x") and t.endswith(">"):
+                types[i] = 6  # BYTE
+        self.metadata: dict[str, Any] = {
+            "general.architecture": "llama",
+            "general.name": os.path.basename(self.path),
+            "llama.context_length": np.uint32(2048),
+            "llama.embedding_length": np.uint32(n_embd),
+            "llama.block_count": np.uint32(n_layer),
+            "llama.feed_forward_length": np.uint32(n_ff),
+            "llama.attention.head_count": np.uint32(n_head),
+            "llama.attention.head_count_kv": np.uint32(n_head),
+            "llama.rope.dimension_count": np.uint32(n_rot),
+            "llama.attention.layer_norm_rms_epsilon": np.float32(1e-6),
+            "llama.vocab_size": np.uint32(n_vocab),
+            "tokenizer.ggml.model": "llama",
+            "tokenizer.ggml.tokens": tokens,
+            "tokenizer.ggml.scores": scores,
+            "tokenizer.ggml.token_type": types,
+            "tokenizer.ggml.bos_token_id": np.uint32(1),
+            "tokenizer.ggml.eos_token_id": np.uint32(2),
+            "tokenizer.ggml.unknown_token_id": np.uint32(0),
+            "tokenizer.ggml.add_bos_token": True,
+        }
+        self.architecture = "llama"
+
+        self.tensors: dict[str, _LegacyTensor] = {}
+        end = len(mm)
+        while pos < end:
+            n_dims, name_len, ttype = struct.unpack_from("<3I", mm, pos)
+            pos += 12
+            ne = struct.unpack_from(f"<{n_dims}I", mm, pos)
+            pos += 4 * n_dims
+            raw_name = bytes(mm[pos:pos + name_len]).decode("utf-8")
+            pos += name_len
+            if self.align:
+                pos = (pos + 31) & ~31
+            try:
+                gt = GGMLType(ttype)
+            except ValueError:
+                raise ValueError(
+                    f"{self.path}: tensor {raw_name!r} has unsupported legacy "
+                    f"type {ttype} (q4_2/q4_3-era formats were removed "
+                    "upstream; re-quantize the original model)")
+            t = _LegacyTensor()
+            t.name = translate_name(raw_name)
+            t.shape = tuple(reversed(ne))  # ne is column-major like GGUF
+            t.stored_type = gt
+            t.qver = self.qver
+            if gt in (GGMLType.F32, GGMLType.F16):
+                blk, sz = GGML_BLOCK_SIZES[gt]
+            elif self.qver == "v3" or (self.qver == "v2" and gt in
+                                       (GGMLType.Q5_0, GGMLType.Q5_1)):
+                blk, sz = GGML_BLOCK_SIZES[gt]  # modern layout
+            else:
+                table = _LEGACY_BLOCK_SIZES.get(self.qver, {})
+                if gt not in table:
+                    raise ValueError(
+                        f"{self.path}: {raw_name!r} uses {gt.name} in a "
+                        f"{self.qver} container — not a valid combination")
+                blk, sz = table[gt]
+            t.nbytes = t.n_elements // blk * sz
+            t.offset = pos
+            # presented type: modern-layout tensors keep their type (packed
+            # kernels apply); legacy-layout ones dequantize on read
+            modern = (gt in (GGMLType.F32, GGMLType.F16) or self.qver == "v3"
+                      or (self.qver == "v2" and gt in (GGMLType.Q5_0,
+                                                       GGMLType.Q5_1)))
+            t.ggml_type = gt if modern else GGMLType.F32
+            pos += t.nbytes
+            self.tensors[t.name] = t
+
+    # -- data access -------------------------------------------------------
+    def tensor_raw(self, name: str) -> np.ndarray:
+        t = self.tensors[name]
+        raw = np.frombuffer(self._mm, np.uint8, count=t.nbytes, offset=t.offset)
+        if t.ggml_type == t.stored_type:  # modern layout passthrough
+            blk, sz = GGML_BLOCK_SIZES[t.ggml_type]
+            row_bytes = t.shape[-1] // blk * sz if t.shape else t.nbytes
+            return raw.reshape(t.shape[:-1] + (row_bytes,))
+        deq = _LEGACY_DEQ[(t.qver, t.stored_type)](raw)
+        out = deq.reshape(t.shape).astype(np.float32)
+        return out.view(np.uint8).reshape(t.shape[:-1] + (t.shape[-1] * 4,))
+
+    def tensor_data(self, name: str, dtype=np.float32) -> np.ndarray:
+        from . import quants
+
+        t = self.tensors[name]
+        if t.ggml_type == t.stored_type:
+            raw = self.tensor_raw(name)
+            return quants.dequantize(raw, t.ggml_type, dtype=dtype).reshape(t.shape)
+        raw = np.frombuffer(self._mm, np.uint8, count=t.nbytes, offset=t.offset)
+        return _LEGACY_DEQ[(t.qver, t.stored_type)](raw).reshape(t.shape).astype(dtype)

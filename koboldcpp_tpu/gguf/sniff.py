@@ -120,7 +120,11 @@ def describe_or_raise(path: str) -> None:
     if fmt is FileFormat.BADFORMAT:
         raise ValueError(f"{path}: not a recognized model file "
                          "(no GGUF or legacy ggml magic)")
+    from .legacy import LEGACY_LLAMA_FORMATS
+
+    if fmt in LEGACY_LLAMA_FORMATS:
+        return  # loadable via legacy.LegacyLlamaReader
     raise ValueError(
-        f"{path}: detected {fmt.value} — legacy pre-GGUF formats are not "
+        f"{path}: detected {fmt.value} — this legacy pre-GGUF format is not "
         "supported yet; convert the model to GGUF "
         "(e.g. llama.cpp convert-legacy scripts) and retry")

@@ -226,11 +226,16 @@ def load_model(path: str, packed: bool = True, dtype=jnp.bfloat16,
                loras: list[tuple[str, float]] | None = None) -> Model:
     """loras: [(adapter_gguf_path, multiplier), ...] merged into the base
     weights at load (lora_filename/lora_multiplier, expose.h:132-133)."""
-    from ..gguf.sniff import describe_or_raise
+    from ..gguf.sniff import FileFormat, check_file_format, describe_or_raise
 
-    describe_or_raise(path)  # precise error for legacy pre-GGUF containers
+    describe_or_raise(path)  # precise error for unsupported containers
     adapters = [LoraAdapter(lp, mult) for lp, mult in (loras or [])]
-    with GGUFReader(path) as r:
+    if check_file_format(path) is not FileFormat.GGUF:
+        # legacy GGML/GGMF/GGJT llama container (gguf/legacy.py)
+        from ..gguf.legacy import LegacyLlamaReader as _Reader
+    else:
+        _Reader = GGUFReader
+    with _Reader(path) as r:
         cfg = config_from_metadata(r.metadata)
         tokenizer = Tokenizer.from_metadata(r.metadata)
         if cfg.arch == "mamba":

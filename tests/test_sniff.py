@@ -44,10 +44,16 @@ def test_sniff(tmp_path, data, expected):
 
 
 def test_describe_or_raise(tmp_path):
+    # ggjt v2 is now loadable (gguf/legacy.py) -> no raise
     p = tmp_path / "legacy.bin"
     p.write_bytes(hdr(GGJT, 2, 32000, 4096, 256, 32, 32, 128, 1))
-    with pytest.raises(ValueError, match="ggjt v2"):
-        describe_or_raise(str(p))
+    describe_or_raise(str(p))
+    # still-unsupported legacy arch raises precisely (RWKV v1 magic)
+    import struct
+    p3 = tmp_path / "rwkv.bin"
+    p3.write_bytes(struct.pack("<II", 0x67676D66, 100))
+    with pytest.raises(ValueError, match="not .*supported|supported yet"):
+        describe_or_raise(str(p3))
     p2 = tmp_path / "junk.bin"
     p2.write_bytes(b"nope")
     with pytest.raises(ValueError, match="not a recognized"):
