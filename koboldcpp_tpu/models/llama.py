@@ -30,6 +30,20 @@ def _norm(x: jnp.ndarray, store: Params, key: str, cfg: ModelConfig) -> jnp.ndar
     return rms_norm(x, store[key], cfg.rms_norm_eps)
 
 
+def _flash_decode_ok(cfg: ModelConfig) -> bool:
+    import os
+
+    # default OFF: in-situ the pallas call forces copies of the carried
+    # cache slices (~150us/layer) while XLA's attention overlaps with weight
+    # prefetch (~13us/layer in context) — see PERF_NOTES.md round-1 notes.
+    # CPU tests exercise the kernel via interpret mode with the env set.
+    if os.environ.get("KCPP_FLASH_DECODE", "0") != "1":
+        return False
+    from ..ops import flash_decode
+
+    return flash_decode.supported(1, 1, cfg.n_kv_heads, cfg.head_dim)
+
+
 def _softcap(x: jnp.ndarray, cap: float) -> jnp.ndarray:
     if cap and cap > 0:
         return cap * jnp.tanh(x / cap)
@@ -264,6 +278,18 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                 and alibi is None):
             # prefill-from-zero: chunk == entire context, no cache read needed
             attn_out = flash_prefill_attention(q, k, v, positions, scale)
+        elif (B == 1 and T == 1 and not is_local and alibi is None
+              and isinstance(cache, KVCache)
+              and _flash_decode_ok(cfg)):
+            # single-token decode: fused rope-less attention kernel over the
+            # cache (ops/flash_decode.py, the fattn-vec equivalent)
+            from ..ops import flash_decode
+
+            out = flash_decode.decode_attention(
+                q[0, 0], cache.k[li, 0], cache.v[li, 0], positions[0, 0],
+                cfg.n_heads, scale, cfg.attn_logit_softcap,
+                interpret=jax.default_backend() == "cpu")
+            attn_out = out[None, None].astype(x.dtype)
         else:
             ck, cv = kv_read(cache, li)
             attn_out = attention(q, ck, cv, layer_mask, scale,

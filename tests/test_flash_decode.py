@@ -1,0 +1,93 @@
+"""Fused decode-attention kernel (ops/flash_decode.py) vs the XLA attention
+reference, in interpret mode on CPU."""
+import os
+
+os.environ["KCPP_FLASH_DECODE"] = "1"  # opt-in (off by default; PERF_NOTES)
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from koboldcpp_tpu.models import llama as jllama
+from koboldcpp_tpu.ops import flash_decode
+
+
+@pytest.mark.parametrize("H,Hkv,D,S,pos", [
+    (8, 2, 64, 128, 37),    # GQA
+    (4, 4, 32, 64, 0),      # MHA, first position
+    (32, 4, 64, 256, 255),  # tinyllama shape, full cache
+])
+def test_decode_attention_matches_reference(H, Hkv, D, S, pos):
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((S, Hkv, D)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((S, Hkv, D)) * 0.3, jnp.bfloat16)
+    scale = D ** -0.5
+
+    out = flash_decode.decode_attention(
+        q, k, v, jnp.int32(pos), H, scale, interpret=True)
+
+    mask = (jnp.arange(S) <= pos)[None, None, :]  # (B,T,S)
+    ref = jllama.attention(q[None, None].astype(jnp.bfloat16),
+                           k[None], v[None], mask, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[0, 0]),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_decode_attention_softcap():
+    rng = np.random.default_rng(2)
+    H, Hkv, D, S, pos = 8, 2, 64, 64, 20
+    q = jnp.asarray(rng.standard_normal((H, D)) * 3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((S, Hkv, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((S, Hkv, D)), jnp.bfloat16)
+    scale = D ** -0.5
+    out = flash_decode.decode_attention(
+        q, k, v, jnp.int32(pos), H, scale, softcap=5.0, interpret=True)
+    mask = (jnp.arange(S) <= pos)[None, None, :]
+    ref = jllama.attention(q[None, None].astype(jnp.bfloat16),
+                           k[None], v[None], mask, scale, softcap=5.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[0, 0]),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_forward_uses_flash_decode_consistently(tmp_path):
+    """llama.forward T=1 path (kernel) == T>1 path (XLA) on the same cache."""
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    from convert_hf import convert_llama_state_dict
+    from .test_model_forward import tiny_tokenizer_md
+    from koboldcpp_tpu.models.loader import load_model
+    from koboldcpp_tpu.kv.cache import init_cache
+
+    torch.manual_seed(6)
+    hcfg = LlamaConfig(vocab_size=512, hidden_size=256, intermediate_size=96,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2)  # KD = 2*64 = 128
+    model = LlamaForCausalLM(hcfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "fd.gguf")
+    convert_llama_state_dict(state, hcfg, path, tokenizer_md=tiny_tokenizer_md(512))
+    m = load_model(path, packed=False, dtype=jnp.float32)
+    assert (m.cfg.n_kv_heads * m.cfg.head_dim) % 128 == 0
+
+    toks = np.array([[1, 5, 9, 42, 7]], np.int32)
+    # one-shot T=5 (XLA attention path)
+    cache = init_cache(m.cfg.n_layers, 1, 32, m.cfg.n_kv_heads, m.cfg.head_dim,
+                       dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(5), (1, 5)).astype(jnp.int32)
+    full, _ = jllama.forward(m.params, m.cfg, jnp.asarray(toks), pos, cache)
+    # incremental T=1 (flash-decode kernel path, interpret on cpu)
+    cache = init_cache(m.cfg.n_layers, 1, 32, m.cfg.n_kv_heads, m.cfg.head_dim,
+                       dtype=jnp.float32)
+    outs = []
+    for t in range(5):
+        logits, cache = jllama.forward(
+            m.params, m.cfg, jnp.asarray(toks[:, t:t + 1]),
+            jnp.full((1, 1), t, jnp.int32), cache)
+        outs.append(np.asarray(logits))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1), np.asarray(full),
+                               rtol=2e-3, atol=2e-3)
