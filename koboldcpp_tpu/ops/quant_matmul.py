@@ -31,6 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .linear import QTensor
 
 ROW_TILE = int(__import__("os").environ.get("KCPP_ROW_TILE", "256"))  # output-feature tile
+# decode (T=1) matvec uses bigger weight tiles: fewer grid steps, and the
+# magic-number kernel's VPU work is light enough that VMEM-resident tiles of
+# 512 rows still pipeline (A/B: 391 -> 416 t/s; T>1 keeps 256 — 512 halves
+# batched-8 throughput from VMEM pressure)
+DECODE_ROW_TILE = int(__import__("os").environ.get("KCPP_DECODE_ROW_TILE", "512"))
 T_TILE = 256    # token tile for prefill
 
 
@@ -78,6 +83,48 @@ def _q4k_kernel(xl_ref, xh_ref, xs_ref, qs_ref, slo_ref, shi_ref, m_ref, o_ref):
     acc += _dot_t(xh_ref[:], hi * _sexp(shi_ref[:], E))
     acc -= _dot_t(xs_ref[:], m_ref[:])
     o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _q4k_decode_kernel(xl_ref, xh_ref, xsl_ref, xsh_ref, xs_ref,
+                       qs_ref, slo_ref, shi_ref, m_ref, o_ref):
+    """T=1 matvec variant: magic-number dequant (bit-OR nibbles into bf16
+    mantissas, value = 128 + 8n — no int->float converts, no per-weight scale
+    muls) + per-group partial dots against the activation-masked expansion
+    matrix; scales combine on (R, G)-sized tensors only. Output is (R, 1)
+    (the caller reshapes) so no in-kernel transpose is needed.
+
+      y_r = sum_g s_g/8 * (P_rg - 128*xs_g) - sum_G m_G * xs_G
+    with P_rg = sum_{c in g} magic(q_rc) * x_c.
+    """
+    q = qs_ref[:].astype(jnp.int32)
+    C2 = q.shape[1]
+    lo = jax.lax.bitcast_convert_type(
+        (((q & 0xF) << 3) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
+    hi = jax.lax.bitcast_convert_type(
+        (((q >> 1) & 0x78) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
+    GS = C2 // 32
+    E = _expand_mat(GS, C2, 32)
+    Ml = E * xl_ref[0][None, :].astype(jnp.bfloat16)
+    Mh = E * xh_ref[0][None, :].astype(jnp.bfloat16)
+    Pl = jax.lax.dot_general(lo, Ml, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (R, GS)
+    Ph = jax.lax.dot_general(hi, Mh, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    slo = slo_ref[:].astype(jnp.float32)
+    shi = shi_ref[:].astype(jnp.float32)
+    t = jnp.sum(Pl * slo, axis=1, keepdims=True)
+    t += jnp.sum(Ph * shi, axis=1, keepdims=True)
+    t *= 0.125
+    t -= 16.0 * jax.lax.dot_general(
+        slo, xsl_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t -= 16.0 * jax.lax.dot_general(
+        shi, xsh_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t -= jax.lax.dot_general(
+        m_ref[:].astype(jnp.float32), xs_ref[:].astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[:] = t.astype(o_ref.dtype)
 
 
 def _q6k_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
@@ -154,6 +201,37 @@ def _specs_x(t_tile, shapes):
 def _specs_w(shapes):
     return [pl.BlockSpec((ROW_TILE, s), lambda o, t: (o, 0),
                          memory_space=pltpu.VMEM) for s in shapes]
+
+
+@functools.partial(jax.jit, static_argnames=("out_f", "in_f", "interpret"))
+def _packed_matvec_q4k(x, fields: tuple, out_f: int, in_f: int,
+                       interpret: bool):
+    """T=1 fast path through _q4k_decode_kernel; x: (1, in_f)."""
+    xl, xh = _plane_split2(x, in_f)
+    xsl = _group_sums(xl, in_f // 2, 32)
+    xsh = _group_sums(xh, in_f // 2, 32)
+    xs = _group_sums(x, in_f, 32)
+    rt = DECODE_ROW_TILE if out_f % DECODE_ROW_TILE == 0 else ROW_TILE
+    y = pl.pallas_call(
+        _q4k_decode_kernel,
+        grid=(out_f // rt,),
+        in_specs=[pl.BlockSpec((1, s), lambda o: (0, 0),
+                               memory_space=pltpu.VMEM)
+                  for s in (in_f // 2, in_f // 2, in_f // 64, in_f // 64,
+                            in_f // 32)]
+        + [pl.BlockSpec((rt, s), lambda o: (o, 0),
+                        memory_space=pltpu.VMEM)
+           for s in (in_f // 2, in_f // 64, in_f // 64, in_f // 32)],
+        out_specs=pl.BlockSpec((rt, 1), lambda o: (o, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((out_f, 1), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * in_f * out_f,
+            bytes_accessed=sum(f.nbytes for f in fields) + x.nbytes + out_f * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(xl, xh, xsl, xsh, xs, *fields)
+    return y.reshape(1, out_f)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
@@ -234,6 +312,11 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
     x2 = x.reshape(-1, in_f)
     if x2.dtype != jnp.bfloat16:
         x2 = x2.astype(jnp.bfloat16)
+    if (qt.kind == "q4_k" and x2.shape[0] == 1
+            and os.environ.get("KCPP_Q4K_DECODE", "1") == "1"):
+        y = _packed_matvec_q4k(x2, fields, out_f=out_f, in_f=in_f,
+                               interpret=_use_interpret())
+        return y.reshape(*lead, out_f)
     y = _packed_matmul_2d(x2, fields, kind=qt.kind, out_f=out_f, in_f=in_f,
                           interpret=_use_interpret())
     return y.reshape(*lead, out_f)
