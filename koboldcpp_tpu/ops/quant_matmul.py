@@ -127,6 +127,57 @@ def _q4k_decode_kernel(xl_ref, xh_ref, xsl_ref, xsh_ref, xs_ref,
     o_ref[:] = t.astype(o_ref.dtype)
 
 
+def _q6k_decode_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
+                       ql_ref, qh_ref, s_ref, o_ref):
+    """T=1 Q6_K matvec: magic bf16 values (128 + 2*q6), group-dot scale
+    combine per plane; s*(q6-32) = (s/2)*v - 96*s with the constant folded
+    into the plane-major group-sum dot (same scheme as _q4k_decode_kernel)."""
+    ql = ql_ref[:].astype(jnp.int32)
+    qh = qh_ref[:].astype(jnp.int32)
+    C2 = ql.shape[1]
+    C4 = C2 // 2
+    qlA, qlB = ql[:, :C4], ql[:, C4:]
+
+    def magic(nib_sh1, hi2_sh5):
+        return jax.lax.bitcast_convert_type(
+            (nib_sh1 | hi2_sh5 | 0x4300).astype(jnp.uint16), jnp.bfloat16)
+
+    p0 = magic((qlA << 1) & 0x1E, (qh & 3) << 5)
+    p1 = magic((qlB << 1) & 0x1E, ((qh >> 2) & 3) << 5)
+    p2 = magic((qlA >> 3) & 0x1E, ((qh >> 4) & 3) << 5)
+    p3 = magic((qlB >> 3) & 0x1E, ((qh >> 6) & 3) << 5)
+    GS = C4 // 16
+    E = _expand_mat(GS, C4, 16)
+    s = s_ref[:].astype(jnp.float32)  # (R, in/16) plane-major
+    n = s.shape[1] // 4
+    t = jnp.zeros((ql.shape[0], 1), jnp.float32)
+    for i, (p, xp) in enumerate(((p0, x0_ref), (p1, x1_ref),
+                                 (p2, x2_ref), (p3, x3_ref))):
+        M = E * xp[0][None, :].astype(jnp.bfloat16)
+        P = jax.lax.dot_general(p, M, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        t += jnp.sum(P * s[:, i * n:(i + 1) * n], axis=1, keepdims=True)
+    t *= 0.5
+    t -= 96.0 * jax.lax.dot_general(
+        s, xs_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _q8_0_decode_kernel(x_ref, q_ref, s_ref, o_ref):
+    """T=1 Q8_0 matvec: i8 -> bf16 cast + group-dot scale combine (no
+    per-weight scale muls, no expansion intermediates)."""
+    q = q_ref[:].astype(jnp.bfloat16)  # (R, C)
+    C = q.shape[1]
+    GS = C // 32
+    E = _expand_mat(GS, C, 32)
+    M = E * x_ref[0][None, :].astype(jnp.bfloat16)
+    P = jax.lax.dot_general(q, M, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (R, GS)
+    t = jnp.sum(P * s_ref[:].astype(jnp.float32), axis=1, keepdims=True)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
 def _q6k_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
                 ql_ref, qh_ref, s_ref, o_ref):
     """Q6_K via 4 constant-shift bit planes; value = s * (q6 - 32), with the
@@ -203,25 +254,42 @@ def _specs_w(shapes):
                          memory_space=pltpu.VMEM) for s in shapes]
 
 
-@functools.partial(jax.jit, static_argnames=("out_f", "in_f", "interpret"))
-def _packed_matvec_q4k(x, fields: tuple, out_f: int, in_f: int,
-                       interpret: bool):
-    """T=1 fast path through _q4k_decode_kernel; x: (1, in_f)."""
-    xl, xh = _plane_split2(x, in_f)
-    xsl = _group_sums(xl, in_f // 2, 32)
-    xsh = _group_sums(xh, in_f // 2, 32)
-    xs = _group_sums(x, in_f, 32)
+@functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
+def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
+                   interpret: bool):
+    """T=1 fast path through the *_decode_kernel variants; x: (1, in_f)."""
+    if kind == "q4_k":
+        xl, xh = _plane_split2(x, in_f)
+        x_args = (xl, xh, _group_sums(xl, in_f // 2, 32),
+                  _group_sums(xh, in_f // 2, 32), _group_sums(x, in_f, 32))
+        x_shapes = (in_f // 2, in_f // 2, in_f // 64, in_f // 64, in_f // 32)
+        kernel = _q4k_decode_kernel
+        w_shapes = (in_f // 2, in_f // 64, in_f // 64, in_f // 32)
+    elif kind == "q6_k":
+        x4 = x.reshape(1, in_f // 128, 128)
+        planes = [x4[:, :, i * 32:(i + 1) * 32].reshape(1, in_f // 4)
+                  for i in range(4)]
+        xs = jnp.concatenate(
+            [_group_sums(p, in_f // 4, 16) for p in planes], axis=1)
+        x_args = (*planes, xs)
+        x_shapes = (in_f // 4,) * 4 + (in_f // 16,)
+        kernel = _q6k_decode_kernel
+        w_shapes = (in_f // 2, in_f // 4, in_f // 16)
+    elif kind == "q8_0":
+        x_args = (x,)
+        x_shapes = (in_f,)
+        kernel = _q8_0_decode_kernel
+        w_shapes = (in_f, in_f // 32)
+    else:
+        raise ValueError(kind)
     rt = DECODE_ROW_TILE if out_f % DECODE_ROW_TILE == 0 else ROW_TILE
     y = pl.pallas_call(
-        _q4k_decode_kernel,
+        kernel,
         grid=(out_f // rt,),
         in_specs=[pl.BlockSpec((1, s), lambda o: (0, 0),
-                               memory_space=pltpu.VMEM)
-                  for s in (in_f // 2, in_f // 2, in_f // 64, in_f // 64,
-                            in_f // 32)]
+                               memory_space=pltpu.VMEM) for s in x_shapes]
         + [pl.BlockSpec((rt, s), lambda o: (o, 0),
-                        memory_space=pltpu.VMEM)
-           for s in (in_f // 2, in_f // 64, in_f // 64, in_f // 32)],
+                        memory_space=pltpu.VMEM) for s in w_shapes],
         out_specs=pl.BlockSpec((rt, 1), lambda o: (o, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((out_f, 1), x.dtype),
@@ -230,7 +298,7 @@ def _packed_matvec_q4k(x, fields: tuple, out_f: int, in_f: int,
             bytes_accessed=sum(f.nbytes for f in fields) + x.nbytes + out_f * 2,
             transcendentals=0),
         interpret=interpret,
-    )(xl, xh, xsl, xsh, xs, *fields)
+    )(*x_args, *fields)
     return y.reshape(1, out_f)
 
 
@@ -312,10 +380,10 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
     x2 = x.reshape(-1, in_f)
     if x2.dtype != jnp.bfloat16:
         x2 = x2.astype(jnp.bfloat16)
-    if (qt.kind == "q4_k" and x2.shape[0] == 1
+    if (qt.kind in ("q4_k", "q6_k", "q8_0") and x2.shape[0] == 1
             and os.environ.get("KCPP_Q4K_DECODE", "1") == "1"):
-        y = _packed_matvec_q4k(x2, fields, out_f=out_f, in_f=in_f,
-                               interpret=_use_interpret())
+        y = _packed_matvec(x2, fields, kind=qt.kind, out_f=out_f, in_f=in_f,
+                           interpret=_use_interpret())
         return y.reshape(*lead, out_f)
     y = _packed_matmul_2d(x2, fields, kind=qt.kind, out_f=out_f, in_f=in_f,
                           interpret=_use_interpret())
