@@ -94,7 +94,7 @@ class ModelConfig:
 _NEOX_ROPE_ARCHS = {
     "falcon", "gptneox", "qwen", "qwen2", "qwen2moe", "phi2", "phi3", "stablelm",
     "gemma", "gemma2", "starcoder2", "olmo", "olmoe", "minicpm3", "deepseek2",
-    "dbrx",
+    "dbrx", "nemotron",
 }
 
 
@@ -148,6 +148,15 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
         extras = dict(moe_norm_topk=False)
     elif arch == "starcoder2":
         extras = dict(norm_type="layer", ffn_gated=False, act="gelu")
+    elif arch == "bloom":
+        extras = dict(norm_type="layer", ffn_gated=False, act="gelu_exact",
+                      use_rope=False, use_alibi=True)
+    elif arch == "chameleon":
+        extras = dict(extras={
+            "qk_norm_per_head": True,
+            "swin_norm": bool(_get(md, "{arch}.swin_norm", arch, False))})
+    elif arch == "nemotron":
+        extras = dict(norm_type="layer", ffn_gated=False, act="relu2")
     elif arch == "command-r":
         extras = dict(norm_type="layer", parallel_residual=True,
                       logit_scale=float(_get(

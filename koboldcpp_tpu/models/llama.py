@@ -116,7 +116,8 @@ def alibi_slopes(n_heads: int, bias_max: float = 8.0) -> jnp.ndarray:
 def _ffn(x: jnp.ndarray, layer: Params, act_name: str = "silu",
          gated: bool = True) -> jnp.ndarray:
     actf = {"silu": jax.nn.silu,
-            "gelu_exact": partial(jax.nn.gelu, approximate=False)}.get(
+            "gelu_exact": partial(jax.nn.gelu, approximate=False),
+            "relu2": lambda v: jnp.square(jax.nn.relu(v))}.get(
         act_name, partial(jax.nn.gelu, approximate=True))
     if not gated:  # gpt2/neox-style up -> act -> down (with biases)
         up = linear.matmul(x, layer["w_up"])
@@ -215,6 +216,9 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         x = x * jnp.asarray(cfg.embedding_scale, dtype=x.dtype)
     if cfg.learned_pos and "pos_embd" in params:
         x = x + params["pos_embd"][jnp.clip(positions, 0)].astype(x.dtype)
+    if "tok_norm" in params:  # bloom word-embedding layernorm
+        x = layer_norm(x, params["tok_norm"], params.get("tok_norm_bias"),
+                       cfg.rms_norm_eps)
     if input_embeds is not None:
         # multimodal splice: rows with embed_mask take pre-computed embeddings
         # (LLaVA image patches; reference splices via sentinel tokens,
@@ -238,8 +242,9 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         dist = (slot_ids[None, None, :] - positions[:, :, None]).astype(jnp.float32)
         alibi = (alibi_slopes(cfg.n_heads, cfg.alibi_bias_max)[None, :, None, None]
                  * dist[:, None, :, :])  # (B, H, T, S)
+    swin_norm = bool(cfg.extras.get("swin_norm")) if cfg.extras else False
     for li, layer in enumerate(params["layers"]):
-        h = _norm(x, layer, "attn_norm", cfg)
+        h = x if swin_norm else _norm(x, layer, "attn_norm", cfg)
         if "wqkv" in layer:  # fused projection (one kernel launch)
             qkv = linear.matmul(h, layer["wqkv"])
             if "bqkv" in layer:
@@ -258,12 +263,21 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         if cfg.clamp_kqv > 0:  # mpt clip_qkv
             c = cfg.clamp_kqv
             q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
-        if "attn_q_norm" in layer:  # olmoe flat-projection QK RMSNorm
+        per_head_qk = bool(cfg.extras.get("qk_norm_per_head")) if cfg.extras else False
+        if "attn_q_norm" in layer and not per_head_qk:
+            # olmoe flat-projection QK RMSNorm
             q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, layer["attn_k_norm"], cfg.rms_norm_eps)
         q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        if "attn_q_norm" in layer and per_head_qk:
+            # chameleon per-head LayerNorm with (H, D) affine
+            # (build_chameleon, src/llama.cpp:14463-14486)
+            q = layer_norm(q, layer["attn_q_norm"],
+                           layer.get("attn_q_norm_bias"), cfg.rms_norm_eps)
+            k = layer_norm(k, layer["attn_k_norm"],
+                           layer.get("attn_k_norm_bias"), cfg.rms_norm_eps)
         if cfg.use_rope:
             q = apply_rope(q, positions, freqs, cfg.rope_type, cfg.rope_dim)
             k = apply_rope(k, positions, freqs, cfg.rope_type, cfg.rope_dim)
@@ -300,6 +314,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             attn_out = attn_out + layer["bo"].astype(attn_out.dtype)
         if "attn_post_norm" in layer:  # gemma2 sandwich norm
             attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_norm_eps)
+        if swin_norm:  # chameleon-30b: norm after the branch, not before
+            attn_out = _norm(attn_out, layer, "attn_norm", cfg)
 
         res_s = cfg.residual_scale or 1.0  # granite scales branch adds
         if cfg.parallel_residual:  # neox/gptj: both branches read the same x
@@ -307,13 +323,15 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             x = x + res_s * attn_out
         else:
             x = x + res_s * attn_out
-            ffn_in = _norm(x, layer, "ffn_norm", cfg)
+            ffn_in = x if swin_norm else _norm(x, layer, "ffn_norm", cfg)
         if "ffn_gate_inp" in layer:
             ffn_out = _moe_ffn(ffn_in, layer, cfg)
         else:
             ffn_out = _ffn(ffn_in, layer, cfg.act, cfg.ffn_gated)
         if "ffn_post_norm" in layer:
             ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_norm_eps)
+        if swin_norm:
+            ffn_out = _norm(ffn_out, layer, "ffn_norm", cfg)
         x = x + res_s * ffn_out
 
     if last_index is not None:

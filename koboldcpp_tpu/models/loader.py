@@ -124,6 +124,10 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
         params["output_norm_bias"] = _load_dense(reader, "output_norm.bias")
     if "position_embd.weight" in names:  # gpt2 learned positions
         params["pos_embd"] = _load_dense(reader, "position_embd.weight")
+    if "token_embd_norm.weight" in names:  # bloom embedding layernorm
+        params["tok_norm"] = _load_dense(reader, "token_embd_norm.weight")
+        if "token_embd_norm.bias" in names:
+            params["tok_norm_bias"] = _load_dense(reader, "token_embd_norm.bias")
     if "output.weight" in names:
         params["output"] = qt("output.weight")
         if "output.bias" in names:  # phi2 lm_head bias
@@ -169,7 +173,9 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
         for key, tname in (("attn_post_norm", "attn_post_norm.weight"),
                            ("ffn_post_norm", "ffn_post_norm.weight"),
                            ("attn_q_norm", "attn_q_norm.weight"),
-                           ("attn_k_norm", "attn_k_norm.weight")):
+                           ("attn_k_norm", "attn_k_norm.weight"),
+                           ("attn_q_norm_bias", "attn_q_norm.bias"),
+                           ("attn_k_norm_bias", "attn_k_norm.bias")):
             opt(layer, key, p + tname, "dense")
         for key, tname in (("bq", "attn_q.bias"), ("bk", "attn_k.bias"),
                            ("bv", "attn_v.bias"), ("bqkv", "attn_qkv.bias"),

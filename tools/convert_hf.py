@@ -1275,3 +1275,240 @@ def convert_deepseek2_state_dict(state: dict, config, out_path: str,
                              get(hp + f"mlp.shared_experts.{hn}.weight"), quant_type)
     w.write()
     return out_path
+
+
+def convert_bloom_state_dict(state: dict, config, out_path: str,
+                             tokenizer_md: dict | None = None,
+                             quant_type: GGMLType = GGMLType.F32):
+    """HF BloomForCausalLM -> GGUF (reference BloomModel converter,
+    /root/reference/convert_hf_to_gguf.py:986: fused qkv de-interleaved from
+    (H, 3, D, E) to [Q;K;V]; token-embedding layernorm kept)."""
+    n_layers = config.n_layer
+    n_head = config.n_head
+    E = config.hidden_size
+    D = E // n_head
+    w = GGUFWriter(out_path, architecture="bloom")
+    w.add("general.name", "bloom-converted")
+    w.add("bloom.context_length", np.uint32(2048))
+    w.add("bloom.embedding_length", np.uint32(E))
+    w.add("bloom.block_count", np.uint32(n_layers))
+    w.add("bloom.feed_forward_length", np.uint32(4 * E))
+    w.add("bloom.attention.head_count", np.uint32(n_head))
+    w.add("bloom.attention.head_count_kv", np.uint32(n_head))
+    w.add("bloom.attention.layer_norm_epsilon",
+          np.float32(config.layer_norm_epsilon))
+    w.add("bloom.attention.max_alibi_bias", np.float32(8.0))
+    w.add("bloom.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight",
+                 get("transformer.word_embeddings.weight"), quant_type)
+    w.add_tensor("token_embd_norm.weight",
+                 get("transformer.word_embeddings_layernorm.weight"), GGMLType.F32)
+    w.add_tensor("token_embd_norm.bias",
+                 get("transformer.word_embeddings_layernorm.bias"), GGMLType.F32)
+    w.add_tensor("output_norm.weight", get("transformer.ln_f.weight"), GGMLType.F32)
+    w.add_tensor("output_norm.bias", get("transformer.ln_f.bias"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"transformer.h.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "input_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_norm.bias", get(hp + "input_layernorm.bias"), GGMLType.F32)
+        qkv_w = get(hp + "self_attention.query_key_value.weight")
+        qkv_w = qkv_w.reshape(n_head, 3, D, E)
+        w.add_tensor(gp + "attn_qkv.weight",
+                     np.concatenate([qkv_w[:, 0].reshape(-1, E),
+                                     qkv_w[:, 1].reshape(-1, E),
+                                     qkv_w[:, 2].reshape(-1, E)], axis=0),
+                     quant_type)
+        qkv_b = get(hp + "self_attention.query_key_value.bias").reshape(n_head, 3, D)
+        w.add_tensor(gp + "attn_qkv.bias",
+                     np.concatenate([qkv_b[:, 0].reshape(-1),
+                                     qkv_b[:, 1].reshape(-1),
+                                     qkv_b[:, 2].reshape(-1)]), GGMLType.F32)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "self_attention.dense.weight"), quant_type)
+        w.add_tensor(gp + "attn_output.bias", get(hp + "self_attention.dense.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.bias", get(hp + "post_attention_layernorm.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_up.weight", get(hp + "mlp.dense_h_to_4h.weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.bias", get(hp + "mlp.dense_h_to_4h.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.dense_4h_to_h.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.bias", get(hp + "mlp.dense_4h_to_h.bias"), GGMLType.F32)
+    w.write()
+    return out_path
+
+
+def convert_starcoder_state_dict(state: dict, config, out_path: str,
+                                 tokenizer_md: dict | None = None,
+                                 quant_type: GGMLType = GGMLType.F32):
+    """HF GPTBigCodeForCausalLM -> GGUF arch 'starcoder' (MQA: c_attn is
+    already [Q; K; V] with a single KV head)."""
+    n_layers = config.n_layer
+    E = config.n_embd
+    w = GGUFWriter(out_path, architecture="starcoder")
+    w.add("general.name", "starcoder-converted")
+    w.add("starcoder.context_length", np.uint32(config.n_positions))
+    w.add("starcoder.embedding_length", np.uint32(E))
+    w.add("starcoder.block_count", np.uint32(n_layers))
+    w.add("starcoder.feed_forward_length", np.uint32(4 * E))
+    w.add("starcoder.attention.head_count", np.uint32(config.n_head))
+    w.add("starcoder.attention.head_count_kv",
+          np.uint32(1 if config.multi_query else config.n_head))
+    w.add("starcoder.attention.layer_norm_epsilon",
+          np.float32(config.layer_norm_epsilon))
+    w.add("starcoder.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("transformer.wte.weight"), quant_type)
+    w.add_tensor("position_embd.weight", get("transformer.wpe.weight"), GGMLType.F32)
+    w.add_tensor("output_norm.weight", get("transformer.ln_f.weight"), GGMLType.F32)
+    w.add_tensor("output_norm.bias", get("transformer.ln_f.bias"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"transformer.h.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "ln_1.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_norm.bias", get(hp + "ln_1.bias"), GGMLType.F32)
+        w.add_tensor(gp + "attn_qkv.weight", get(hp + "attn.c_attn.weight"), quant_type)
+        w.add_tensor(gp + "attn_qkv.bias", get(hp + "attn.c_attn.bias"), GGMLType.F32)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "attn.c_proj.weight"), quant_type)
+        w.add_tensor(gp + "attn_output.bias", get(hp + "attn.c_proj.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "ln_2.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.bias", get(hp + "ln_2.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_up.weight", get(hp + "mlp.c_fc.weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.bias", get(hp + "mlp.c_fc.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.c_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.bias", get(hp + "mlp.c_proj.bias"), GGMLType.F32)
+    w.write()
+    return out_path
+
+
+def convert_nemotron_state_dict(state: dict, config, out_path: str,
+                                tokenizer_md: dict | None = None,
+                                quant_type: GGMLType = GGMLType.F32):
+    """HF NemotronForCausalLM -> GGUF (reference NemotronModel converter,
+    /root/reference/convert_hf_to_gguf.py:4003: layernorm1p folded by adding
+    +1 to norm weights; partial rotary via rope.dimension_count)."""
+    n_layers = config.num_hidden_layers
+    n_head = config.num_attention_heads
+    n_kv = config.num_key_value_heads
+    E = config.hidden_size
+    D = E // n_head
+    rot = int(getattr(config, "partial_rotary_factor", 0.5) * D)
+    w = GGUFWriter(out_path, architecture="nemotron")
+    w.add("general.name", "nemotron-converted")
+    w.add("nemotron.context_length", np.uint32(config.max_position_embeddings))
+    w.add("nemotron.embedding_length", np.uint32(E))
+    w.add("nemotron.block_count", np.uint32(n_layers))
+    w.add("nemotron.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("nemotron.attention.head_count", np.uint32(n_head))
+    w.add("nemotron.attention.head_count_kv", np.uint32(n_kv))
+    w.add("nemotron.attention.layer_norm_epsilon", np.float32(config.norm_eps))
+    w.add("nemotron.rope.freq_base", np.float32(config.rope_theta))
+    w.add("nemotron.rope.dimension_count", np.uint32(rot))
+    w.add("nemotron.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("model.norm.weight") + 1.0, GGMLType.F32)
+    w.add_tensor("output_norm.bias", get("model.norm.bias"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight",
+                     get(hp + "input_layernorm.weight") + 1.0, GGMLType.F32)
+        w.add_tensor(gp + "attn_norm.bias",
+                     get(hp + "input_layernorm.bias"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight",
+                     get(hp + "post_attention_layernorm.weight") + 1.0, GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.bias",
+                     get(hp + "post_attention_layernorm.bias"), GGMLType.F32)
+        for gn, hn in (("attn_q", "self_attn.q_proj"), ("attn_k", "self_attn.k_proj"),
+                       ("attn_v", "self_attn.v_proj"), ("attn_output", "self_attn.o_proj")):
+            w.add_tensor(gp + gn + ".weight", get(hp + hn + ".weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.weight", get(hp + "mlp.up_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.down_proj.weight"), quant_type)
+    w.write()
+    return out_path
+
+
+def convert_chameleon_state_dict(state: dict, config, out_path: str,
+                                 tokenizer_md: dict | None = None,
+                                 quant_type: GGMLType = GGMLType.F32):
+    """HF Chameleon -> GGUF (reference ChameleonModel converter,
+    /root/reference/convert_hf_to_gguf.py:4170-4209: llama q/k permute plus
+    the same per-head interleave applied to the (H, D) q/k norm affines)."""
+    n_layers = config.num_hidden_layers
+    n_head = config.num_attention_heads
+    n_kv = config.num_key_value_heads
+    E = config.hidden_size
+    D = E // n_head
+
+    def perm_vec(v):  # (H, D) -> same interleave as permute_qk row order
+        H = v.shape[0]
+        return v.reshape(H, 2, D // 2).swapaxes(1, 2).reshape(H, D)
+
+    w = GGUFWriter(out_path, architecture="chameleon")
+    w.add("general.name", "chameleon-converted")
+    w.add("chameleon.context_length", np.uint32(config.max_position_embeddings))
+    w.add("chameleon.embedding_length", np.uint32(E))
+    w.add("chameleon.block_count", np.uint32(n_layers))
+    w.add("chameleon.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("chameleon.attention.head_count", np.uint32(n_head))
+    w.add("chameleon.attention.head_count_kv", np.uint32(n_kv))
+    w.add("chameleon.attention.layer_norm_rms_epsilon", np.float32(config.rms_norm_eps))
+    w.add("chameleon.rope.freq_base", np.float32(config.rope_theta))
+    w.add("chameleon.rope.dimension_count", np.uint32(D))
+    w.add("chameleon.swin_norm", bool(config.swin_norm))
+    w.add("chameleon.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("model.norm.weight"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "input_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_q.weight",
+                     permute_qk(get(hp + "self_attn.q_proj.weight"), n_head), quant_type)
+        w.add_tensor(gp + "attn_k.weight",
+                     permute_qk(get(hp + "self_attn.k_proj.weight"), n_kv), quant_type)
+        w.add_tensor(gp + "attn_v.weight", get(hp + "self_attn.v_proj.weight"), quant_type)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "self_attn.o_proj.weight"), quant_type)
+        w.add_tensor(gp + "attn_q_norm.weight",
+                     perm_vec(get(hp + "self_attn.q_norm.weight")), GGMLType.F32)
+        w.add_tensor(gp + "attn_q_norm.bias",
+                     perm_vec(get(hp + "self_attn.q_norm.bias")), GGMLType.F32)
+        w.add_tensor(gp + "attn_k_norm.weight",
+                     perm_vec(get(hp + "self_attn.k_norm.weight")), GGMLType.F32)
+        w.add_tensor(gp + "attn_k_norm.bias",
+                     perm_vec(get(hp + "self_attn.k_norm.bias")), GGMLType.F32)
+        w.add_tensor(gp + "ffn_gate.weight", get(hp + "mlp.gate_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.weight", get(hp + "mlp.up_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.down_proj.weight"), quant_type)
+    w.write()
+    return out_path
