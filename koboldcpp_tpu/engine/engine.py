@@ -101,11 +101,18 @@ class Engine:
         # context shift / smart context / rewind don't apply (reference
         # requires full-prefix match for recurrent, model_adapter.cpp:424)
         self.recurrent = self.cfg.is_recurrent
+        # encoder-only embedding models (bert/t5encoder): no generation loop,
+        # served via Engine.embed (the llama.cpp-server /embeddings role)
+        self.embedding = self.cfg.is_embedding
         # encoder-decoder (t5): prompt goes through the encoder each request,
         # decoder cache is fresh per request (the reference re-runs
         # llama_encode per call; no cross-request KV reuse applies)
         self.encdec = self.cfg.is_encoder_decoder
-        if self.encdec:
+        if self.embedding:
+            self.use_contextshift = False
+            self.use_smartcontext = False
+            self.cache = None
+        elif self.encdec:
             self.use_contextshift = False
             self.use_smartcontext = False
             self.cache = None  # built per request (encoder length varies)
@@ -139,7 +146,18 @@ class Engine:
         self.stream_tokens: list[str] = []
         self.generation_finished = True
 
-        if self.encdec:
+        if self.embedding:
+            if self.cfg.arch == "bert":
+                from ..models import bert as _emb
+
+                self._embed_fn = jax.jit(
+                    partial(_emb.forward_embed, cfg=self.cfg))
+            else:  # t5encoder
+                from ..models import t5 as _t5e
+
+                self._embed_fn = jax.jit(partial(_t5e.encode, cfg=self.cfg))
+            self.use_flash_prefill = False
+        elif self.encdec:
             from ..models import t5 as _t5
 
             self._t5 = _t5
@@ -172,6 +190,33 @@ class Engine:
             self.use_flash_prefill = (jax.default_backend() not in ("cpu",)
                                       and self.cfg.head_dim in (64, 128, 256)
                                       and not self.cfg.use_alibi)
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        """Pooled embeddings for each text (bert/t5encoder models).
+        Pooling mode from {arch}.pooling_type (mean default, CLS for 2)."""
+        if not self.embedding:
+            raise ValueError("loaded model is not an embedding model")
+        from ..models.bert import pool
+
+        mode = {2: "cls"}.get(
+            (self.cfg.extras or {}).get("pooling", 1), "mean")
+        out = []
+        with self.lock:
+            for text in texts:
+                ids = self.tokenizer.encode(text)
+                if not ids:
+                    ids = [0]
+                ids = ids[:self.max_context]
+                n = len(ids)
+                b = _bucket(n)
+                tok = jnp.asarray(
+                    np.array([ids + [0] * (b - n)], np.int32))
+                pos = jnp.asarray(np.array(
+                    [list(range(n)) + [-1] * (b - n)], np.int32))
+                hidden = self._embed_fn(self.model.params, tokens=tok,
+                                        positions=pos)
+                out.append(np.asarray(pool(hidden, pos, mode))[0])
+        return np.stack(out)
 
     def _run_encoder(self, prompt_tokens: list[int]):
         """Encode the prompt and build a fresh decoder cache with projected
@@ -406,6 +451,10 @@ class Engine:
             return self._generate_locked(prompt, params, on_token)
 
     def _generate_locked(self, prompt, params, on_token) -> GenerationResult:
+        if self.embedding:
+            raise ValueError(
+                "embedding-only model (bert/t5encoder) cannot generate text; "
+                "use the embeddings endpoints")
         self.abort_event.clear()
         self.generation_finished = False
         self.stream_tokens = []

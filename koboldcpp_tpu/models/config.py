@@ -84,6 +84,12 @@ class ModelConfig:
         return self.arch == "t5"
 
     @property
+    def is_embedding(self) -> bool:
+        """Encoder-only embedding archs (served via the embeddings
+        endpoints, not the generation loop)."""
+        return self.arch in ("bert", "t5encoder")
+
+    @property
     def is_recurrent(self) -> bool:
         """Stateful (non-attention-cache) archs; mirrors llama.cpp's
         recurrent flag (src/llama.cpp:2775)."""
@@ -155,6 +161,17 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
         extras = dict(extras={
             "qk_norm_per_head": True,
             "swin_norm": bool(_get(md, "{arch}.swin_norm", arch, False))})
+    elif arch == "bert":
+        extras = dict(norm_type="layer", use_rope=False, ffn_gated=False,
+                      act="gelu_exact",
+                      extras={"pooling": int(_get(
+                          md, "{arch}.pooling_type", arch, 1) or 1)})
+    elif arch == "t5encoder":
+        extras = dict(
+            use_rope=False,
+            extras={"rel_buckets": int(_get(
+                md, "{arch}.attention.relative_buckets_count", arch, 32) or 32),
+                "pooling": int(_get(md, "{arch}.pooling_type", arch, 1) or 1)})
     elif arch == "nemotron":
         extras = dict(norm_type="layer", ffn_gated=False, act="relu2")
     elif arch == "command-r":

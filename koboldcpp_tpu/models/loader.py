@@ -244,7 +244,15 @@ def load_model(path: str, packed: bool = True, dtype=jnp.bfloat16,
     with _Reader(path) as r:
         cfg = config_from_metadata(r.metadata)
         tokenizer = Tokenizer.from_metadata(r.metadata)
-        if cfg.arch == "mamba":
+        if cfg.arch == "bert":
+            from . import bert
+
+            params = bert.load_params(r, cfg, packed=packed, dtype=dtype)
+        elif cfg.arch == "t5encoder":
+            from . import t5
+
+            params = t5.load_params(r, cfg, packed=packed, dtype=dtype)
+        elif cfg.arch == "mamba":
             from . import mamba
 
             params = mamba.load_params(r, cfg, packed=packed, dtype=dtype)

@@ -244,10 +244,11 @@ def load_params(reader, cfg: ModelConfig, packed: bool = True,
     params: Params = {
         "tok_embd": tok_embd,
         "enc_output_norm": dense("enc.output_norm.weight"),
-        "output_norm": dense("dec.output_norm.weight"),
         "output": qt("output.weight") if "output.weight" in names else tok_embd,
         "enc_layers": [], "dec_layers": [],
     }
+    if "dec.output_norm.weight" in names:
+        params["output_norm"] = dense("dec.output_norm.weight")
     for i in range(cfg.n_layers):
         p = f"enc.blk.{i}."
         layer = {
@@ -267,6 +268,8 @@ def load_params(reader, cfg: ModelConfig, packed: bool = True,
         params["enc_layers"].append(layer)
     for i in range(cfg.n_layers):
         p = f"dec.blk.{i}."
+        if p + "attn_norm.weight" not in names:  # t5encoder: no decoder
+            break
         layer = {
             "attn_norm": dense(p + "attn_norm.weight"),
             "attn_q": qt(p + "attn_q.weight"),

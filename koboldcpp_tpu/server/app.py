@@ -103,6 +103,13 @@ async def _run_generation(state: ServerState, genparams: dict,
     multiplex across KV slots; with the simple engine they serialize behind
     the busy lock (+ FIFO queue for --multiuser, 503 on overflow)."""
     s = state.settings
+    if getattr(state.engine, "embedding", False):
+        raise web.HTTPBadRequest(
+            text=json.dumps({"detail": {
+                "msg": "loaded model is an embedding model (bert/t5encoder); "
+                       "use /v1/embeddings",
+                "type": "bad_request"}}),
+            content_type="application/json")
     batched = hasattr(state.engine, "submit")
     if not batched:
         if state.busy.locked():
@@ -406,6 +413,28 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
         ids = state.engine.token_count(str(body.get("prompt", "")))
         return _json({"value": len(ids), "ids": ids})
 
+    async def embeddings(request):
+        """OpenAI /v1/embeddings + /api/extra/embeddings over an encoder-only
+        model (bert/t5encoder; the llama.cpp-server /embeddings role)."""
+        body = await _read_json(request)
+        if not getattr(state.engine, "embedding", False):
+            return _json({"error": {"message":
+                          "loaded model does not produce embeddings",
+                          "type": "invalid_request_error"}}, status=400)
+        inp = body.get("input", body.get("prompt", ""))
+        texts = [str(t) for t in inp] if isinstance(inp, list) else [str(inp)]
+        loop = asyncio.get_event_loop()
+        vecs = await loop.run_in_executor(None, state.engine.embed, texts)
+        return _json({
+            "object": "list",
+            "model": state.settings.model_name,
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": [float(x) for x in v]}
+                     for i, v in enumerate(vecs)],
+            "usage": {"prompt_tokens": sum(len(t) for t in texts),
+                      "total_tokens": sum(len(t) for t in texts)},
+        })
+
     async def detokenize(request):
         body = await _read_json(request)
         ids = [int(i) for i in body.get("ids", [])]
@@ -596,6 +625,8 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
     r.add_post("/v1/completions", gen_handler(3))
     r.add_post("/v1/chat/completions", gen_handler(4))
     r.add_post("/api/extra/tokencount", tokencount)
+    r.add_post("/v1/embeddings", embeddings)
+    r.add_post("/api/extra/embeddings", embeddings)
     r.add_post("/api/extra/detokenize", detokenize)
     r.add_post("/api/extra/abort", abort)
     r.add_post("/api/extra/generate/check", check)

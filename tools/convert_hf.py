@@ -1512,3 +1512,107 @@ def convert_chameleon_state_dict(state: dict, config, out_path: str,
         w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.down_proj.weight"), quant_type)
     w.write()
     return out_path
+
+
+def convert_bert_state_dict(state: dict, config, out_path: str,
+                            tokenizer_md: dict | None = None,
+                            quant_type: GGMLType = GGMLType.F32,
+                            pooling: int = 1):
+    """HF BertModel -> GGUF arch 'bert' (post-norm encoder; pooling_type
+    1=mean 2=CLS, llama.cpp llama_pooling_type)."""
+    n_layers = config.num_hidden_layers
+    E = config.hidden_size
+    w = GGUFWriter(out_path, architecture="bert")
+    w.add("general.name", "bert-converted")
+    w.add("bert.context_length", np.uint32(config.max_position_embeddings))
+    w.add("bert.embedding_length", np.uint32(E))
+    w.add("bert.block_count", np.uint32(n_layers))
+    w.add("bert.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("bert.attention.head_count", np.uint32(config.num_attention_heads))
+    w.add("bert.attention.layer_norm_epsilon", np.float32(config.layer_norm_eps))
+    w.add("bert.pooling_type", np.uint32(pooling))
+    w.add("bert.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("embeddings.word_embeddings.weight"), quant_type)
+    w.add_tensor("position_embd.weight", get("embeddings.position_embeddings.weight"), GGMLType.F32)
+    w.add_tensor("token_types.weight", get("embeddings.token_type_embeddings.weight"), GGMLType.F32)
+    w.add_tensor("token_embd_norm.weight", get("embeddings.LayerNorm.weight"), GGMLType.F32)
+    w.add_tensor("token_embd_norm.bias", get("embeddings.LayerNorm.bias"), GGMLType.F32)
+    for i in range(n_layers):
+        hp = f"encoder.layer.{i}."
+        gp = f"blk.{i}."
+        for gn, hn in (("attn_q", "attention.self.query"),
+                       ("attn_k", "attention.self.key"),
+                       ("attn_v", "attention.self.value"),
+                       ("attn_output", "attention.output.dense"),
+                       ("ffn_up", "intermediate.dense"),
+                       ("ffn_down", "output.dense")):
+            w.add_tensor(gp + gn + ".weight", get(hp + hn + ".weight"), quant_type)
+            w.add_tensor(gp + gn + ".bias", get(hp + hn + ".bias"), GGMLType.F32)
+        w.add_tensor(gp + "attn_output_norm.weight",
+                     get(hp + "attention.output.LayerNorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_output_norm.bias",
+                     get(hp + "attention.output.LayerNorm.bias"), GGMLType.F32)
+        w.add_tensor(gp + "layer_output_norm.weight",
+                     get(hp + "output.LayerNorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "layer_output_norm.bias",
+                     get(hp + "output.LayerNorm.bias"), GGMLType.F32)
+    w.write()
+    return out_path
+
+
+def convert_t5encoder_state_dict(state: dict, config, out_path: str,
+                                 tokenizer_md: dict | None = None,
+                                 quant_type: GGMLType = GGMLType.F32):
+    """HF T5EncoderModel -> GGUF arch 't5encoder' (encoder half of T5,
+    llama.cpp LLM_ARCH_T5ENCODER)."""
+    n_layers = config.num_layers
+    w = GGUFWriter(out_path, architecture="t5encoder")
+    w.add("general.name", "t5encoder-converted")
+    w.add("t5encoder.context_length", np.uint32(512))
+    w.add("t5encoder.embedding_length", np.uint32(config.d_model))
+    w.add("t5encoder.feed_forward_length", np.uint32(config.d_ff))
+    w.add("t5encoder.block_count", np.uint32(n_layers))
+    w.add("t5encoder.attention.head_count", np.uint32(config.num_heads))
+    w.add("t5encoder.attention.key_length", np.uint32(config.d_kv))
+    w.add("t5encoder.attention.value_length", np.uint32(config.d_kv))
+    w.add("t5encoder.attention.layer_norm_rms_epsilon",
+          np.float32(config.layer_norm_epsilon))
+    w.add("t5encoder.attention.relative_buckets_count",
+          np.uint32(config.relative_attention_num_buckets))
+    w.add("t5encoder.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("shared.weight"), quant_type)
+    w.add_tensor("enc.output_norm.weight",
+                 get("encoder.final_layer_norm.weight"), GGMLType.F32)
+    gated = "encoder.block.0.layer.1.DenseReluDense.wi_0.weight" in state
+    for i in range(n_layers):
+        hp = f"encoder.block.{i}.layer."
+        gp = f"enc.blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "0.layer_norm.weight"), GGMLType.F32)
+        for gn, hn in (("attn_q", "q"), ("attn_k", "k"), ("attn_v", "v"), ("attn_o", "o")):
+            w.add_tensor(gp + gn + ".weight",
+                         get(hp + f"0.SelfAttention.{hn}.weight"), quant_type)
+        if i == 0:
+            w.add_tensor(gp + "attn_rel_b.weight",
+                         get(hp + "0.SelfAttention.relative_attention_bias.weight"),
+                         GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "1.layer_norm.weight"), GGMLType.F32)
+        if gated:
+            w.add_tensor(gp + "ffn_gate.weight", get(hp + "1.DenseReluDense.wi_0.weight"), quant_type)
+            w.add_tensor(gp + "ffn_up.weight", get(hp + "1.DenseReluDense.wi_1.weight"), quant_type)
+        else:
+            w.add_tensor(gp + "ffn_up.weight", get(hp + "1.DenseReluDense.wi.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "1.DenseReluDense.wo.weight"), quant_type)
+    w.write()
+    return out_path
