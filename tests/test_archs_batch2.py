@@ -118,3 +118,27 @@ def test_chameleon(tmp_path, swin):
     assert m.cfg.extras["qk_norm_per_head"]
     assert m.cfg.extras["swin_norm"] == swin
     np.testing.assert_allclose(ours, hf_logits(model), rtol=4e-3, atol=4e-3)
+
+
+def test_granitemoe(tmp_path):
+    import torch
+    from transformers import GraniteMoeConfig, GraniteMoeForCausalLM
+    from convert_hf import convert_granitemoe_state_dict
+
+    torch.manual_seed(35)
+    cfg = GraniteMoeConfig(vocab_size=512, hidden_size=64, intermediate_size=48,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           num_key_value_heads=2, num_local_experts=4,
+                           num_experts_per_tok=2, max_position_embeddings=128,
+                           embedding_multiplier=6.0, attention_multiplier=0.2,
+                           residual_multiplier=0.5, logits_scaling=4.0,
+                           tie_word_embeddings=False)
+    model = GraniteMoeForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "granitemoe.gguf")
+    convert_granitemoe_state_dict(state, cfg, path,
+                                  tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path)
+    assert m.cfg.n_experts == 4 and m.cfg.residual_scale == 0.5
+    assert m.cfg.moe_norm_topk  # JetMoe topk-softmax == renormalized topk
+    np.testing.assert_allclose(ours, hf_logits(model), rtol=4e-3, atol=4e-3)

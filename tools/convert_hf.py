@@ -1616,3 +1616,64 @@ def convert_t5encoder_state_dict(state: dict, config, out_path: str,
         w.add_tensor(gp + "ffn_down.weight", get(hp + "1.DenseReluDense.wo.weight"), quant_type)
     w.write()
     return out_path
+
+
+def convert_granitemoe_state_dict(state: dict, config, out_path: str,
+                                  tokenizer_md: dict | None = None,
+                                  quant_type: GGMLType = GGMLType.F32):
+    """HF GraniteMoeForCausalLM -> GGUF (reference GraniteMoeModel converter,
+    /root/reference/convert_hf_to_gguf.py:4147: JetMoe-style fused
+    input_linear split into gate/up expert stacks; granite scale knobs)."""
+    n_head = config.num_attention_heads
+    n_kv = getattr(config, "num_key_value_heads", n_head) or n_head
+    n_layers = config.num_hidden_layers
+    head_dim = config.hidden_size // n_head
+    F = config.intermediate_size
+    w = GGUFWriter(out_path, architecture="granitemoe")
+    w.add("granitemoe.context_length", np.uint32(config.max_position_embeddings))
+    w.add("granitemoe.embedding_length", np.uint32(config.hidden_size))
+    w.add("granitemoe.block_count", np.uint32(n_layers))
+    w.add("granitemoe.feed_forward_length", np.uint32(F))
+    w.add("granitemoe.attention.head_count", np.uint32(n_head))
+    w.add("granitemoe.attention.head_count_kv", np.uint32(n_kv))
+    w.add("granitemoe.attention.layer_norm_rms_epsilon",
+          np.float32(config.rms_norm_eps))
+    w.add("granitemoe.rope.freq_base", np.float32(config.rope_theta))
+    w.add("granitemoe.rope.dimension_count", np.uint32(head_dim))
+    w.add("granitemoe.embedding_scale", np.float32(config.embedding_multiplier))
+    w.add("granitemoe.attention.scale", np.float32(config.attention_multiplier))
+    w.add("granitemoe.residual_scale", np.float32(config.residual_multiplier))
+    w.add("granitemoe.logit_scale", np.float32(config.logits_scaling))
+    w.add("granitemoe.expert_count", np.uint32(config.num_local_experts))
+    w.add("granitemoe.expert_used_count", np.uint32(config.num_experts_per_tok))
+    w.add("granitemoe.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("model.norm.weight"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "input_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_q.weight",
+                     permute_qk(get(hp + "self_attn.q_proj.weight"), n_head), quant_type)
+        w.add_tensor(gp + "attn_k.weight",
+                     permute_qk(get(hp + "self_attn.k_proj.weight"), n_kv), quant_type)
+        w.add_tensor(gp + "attn_v.weight", get(hp + "self_attn.v_proj.weight"), quant_type)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "self_attn.o_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_gate_inp.weight",
+                     get(hp + "block_sparse_moe.router.layer.weight"), GGMLType.F32)
+        merged = get(hp + "block_sparse_moe.input_linear.weight")  # (E, 2F, C)
+        w.add_tensor(gp + "ffn_gate_exps.weight", merged[:, :F, :].copy(), GGMLType.F32)
+        w.add_tensor(gp + "ffn_up_exps.weight", merged[:, F:, :].copy(), GGMLType.F32)
+        w.add_tensor(gp + "ffn_down_exps.weight",
+                     get(hp + "block_sparse_moe.output_linear.weight"), GGMLType.F32)
+    w.write()
+    return out_path
