@@ -161,6 +161,15 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
         extras = dict(extras={
             "qk_norm_per_head": True,
             "swin_norm": bool(_get(md, "{arch}.swin_norm", arch, False))})
+    elif arch == "minicpm":
+        # build_minicpm hardcodes scale_embd=12, scale_depth=1.4 (residual
+        # scaled by 1.4/sqrt(n_layer)), logits scaled by 256/n_embd
+        # (src/llama.cpp build_minicpm)
+        extras = dict(embedding_scale=12.0,
+                      residual_scale=1.4 / (n_layers ** 0.5),
+                      logit_scale=256.0 / hidden)
+    elif arch == "orion":
+        extras = dict(norm_type="layer")  # LN with biases + gated silu
     elif arch == "bert":
         extras = dict(norm_type="layer", use_rope=False, ffn_gated=False,
                       act="gelu_exact",

@@ -1677,3 +1677,109 @@ def convert_granitemoe_state_dict(state: dict, config, out_path: str,
                      get(hp + "block_sparse_moe.output_linear.weight"), GGMLType.F32)
     w.write()
     return out_path
+
+
+def convert_llama_like_state_dict(arch: str, state: dict, config, out_path: str,
+                                  tokenizer_md: dict | None = None,
+                                  quant_type: GGMLType = GGMLType.F32,
+                                  norm_bias: bool = False):
+    """Llama-layout archs that differ only in the arch string / norm flavor:
+    baichuan, xverse, minicpm, orion (all LLAMA_ROPE_TYPE_NORM with the q/k
+    permute, llama.cpp:19704-19712)."""
+    n_head = config.num_attention_heads
+    n_kv = getattr(config, "num_key_value_heads", n_head) or n_head
+    n_layers = config.num_hidden_layers
+    head_dim = config.hidden_size // n_head
+    eps = getattr(config, "rms_norm_eps", getattr(config, "layer_norm_eps", 1e-5))
+    w = GGUFWriter(out_path, architecture=arch)
+    w.add(f"{arch}.context_length", np.uint32(config.max_position_embeddings))
+    w.add(f"{arch}.embedding_length", np.uint32(config.hidden_size))
+    w.add(f"{arch}.block_count", np.uint32(n_layers))
+    w.add(f"{arch}.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add(f"{arch}.attention.head_count", np.uint32(n_head))
+    w.add(f"{arch}.attention.head_count_kv", np.uint32(n_kv))
+    if norm_bias:
+        w.add(f"{arch}.attention.layer_norm_epsilon", np.float32(eps))
+    else:
+        w.add(f"{arch}.attention.layer_norm_rms_epsilon", np.float32(eps))
+    w.add(f"{arch}.rope.freq_base",
+          np.float32(getattr(config, "rope_theta", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count", np.uint32(head_dim))
+    w.add(f"{arch}.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.embed_tokens.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("model.norm.weight"), GGMLType.F32)
+    if norm_bias:
+        w.add_tensor("output_norm.bias", get("model.norm.bias"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "input_layernorm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+        if norm_bias:
+            w.add_tensor(gp + "attn_norm.bias", get(hp + "input_layernorm.bias"), GGMLType.F32)
+            w.add_tensor(gp + "ffn_norm.bias", get(hp + "post_attention_layernorm.bias"), GGMLType.F32)
+        w.add_tensor(gp + "attn_q.weight",
+                     permute_qk(get(hp + "self_attn.q_proj.weight"), n_head), quant_type)
+        w.add_tensor(gp + "attn_k.weight",
+                     permute_qk(get(hp + "self_attn.k_proj.weight"), n_kv), quant_type)
+        w.add_tensor(gp + "attn_v.weight", get(hp + "self_attn.v_proj.weight"), quant_type)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "self_attn.o_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_gate.weight", get(hp + "mlp.gate_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.weight", get(hp + "mlp.up_proj.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.down_proj.weight"), quant_type)
+    w.write()
+    return out_path
+
+
+def convert_qwen_state_dict(state: dict, config, out_path: str,
+                            tokenizer_md: dict | None = None,
+                            quant_type: GGMLType = GGMLType.F32):
+    """Qwen v1 layout -> GGUF arch 'qwen' (fused c_attn [Q;K;V] with bias,
+    NEOX rope — no permute; llama.cpp build_qwen). `state` uses qwen-v1 HF
+    names (transformer.h.N.attn.c_attn etc.)."""
+    n_head = config.num_attention_heads
+    n_layers = config.num_hidden_layers
+    E = config.hidden_size
+    w = GGUFWriter(out_path, architecture="qwen")
+    w.add("qwen.context_length", np.uint32(config.max_position_embeddings))
+    w.add("qwen.embedding_length", np.uint32(E))
+    w.add("qwen.block_count", np.uint32(n_layers))
+    w.add("qwen.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("qwen.attention.head_count", np.uint32(n_head))
+    w.add("qwen.attention.head_count_kv", np.uint32(n_head))
+    w.add("qwen.attention.layer_norm_rms_epsilon", np.float32(config.rms_norm_eps))
+    w.add("qwen.rope.freq_base", np.float32(getattr(config, "rope_theta", 10000.0)))
+    w.add("qwen.rope.dimension_count", np.uint32(E // n_head))
+    w.add("qwen.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("transformer.wte.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("transformer.ln_f.weight"), GGMLType.F32)
+    if "lm_head.weight" in state:
+        w.add_tensor("output.weight", get("lm_head.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"transformer.h.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "ln_1.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "ln_2.weight"), GGMLType.F32)
+        w.add_tensor(gp + "attn_qkv.weight", get(hp + "attn.c_attn.weight"), quant_type)
+        w.add_tensor(gp + "attn_qkv.bias", get(hp + "attn.c_attn.bias"), GGMLType.F32)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "attn.c_proj.weight"), quant_type)
+        # qwen v1 mlp: w2 = gate, w1 = up (llama.cpp QWEN tensor map)
+        w.add_tensor(gp + "ffn_gate.weight", get(hp + "mlp.w2.weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.weight", get(hp + "mlp.w1.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.c_proj.weight"), quant_type)
+    w.write()
+    return out_path
