@@ -435,6 +435,27 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
                       "total_tokens": sum(len(t) for t in texts)},
         })
 
+    async def profiler_start(request):
+        """Op-level JAX profiler (SURVEY.md 5.1 aux subsystem; the reference
+        only has printf timing splits behind --debugmode)."""
+        from ..utils import profiling
+
+        body = await _read_json(request)
+        try:
+            d = profiling.start(body.get("dir"))
+        except RuntimeError as e:
+            return _json({"success": False, "error": str(e)}, status=409)
+        return _json({"success": True, "dir": d})
+
+    async def profiler_stop(request):
+        from ..utils import profiling
+
+        try:
+            info = profiling.stop()
+        except RuntimeError as e:
+            return _json({"success": False, "error": str(e)}, status=409)
+        return _json({"success": True, **info})
+
     async def detokenize(request):
         body = await _read_json(request)
         ids = [int(i) for i in body.get("ids", [])]
@@ -625,6 +646,8 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
     r.add_post("/v1/completions", gen_handler(3))
     r.add_post("/v1/chat/completions", gen_handler(4))
     r.add_post("/api/extra/tokencount", tokencount)
+    r.add_post("/api/extra/profiler/start", profiler_start)
+    r.add_post("/api/extra/profiler/stop", profiler_stop)
     r.add_post("/v1/embeddings", embeddings)
     r.add_post("/api/extra/embeddings", embeddings)
     r.add_post("/api/extra/detokenize", detokenize)

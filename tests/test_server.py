@@ -237,3 +237,23 @@ async def test_sdclamped(engine, aiohttp_client):
     # proportional shrink, aspect kept, 64-multiples (reference :1132-1138)
     assert seen["width"] == 256 and seen["height"] == 512
     assert seen["steps"] == 40
+
+
+async def test_profiler_endpoints(client, tmp_path):
+    d = str(tmp_path / "trace")
+    r = await client.post("/api/extra/profiler/start", json={"dir": d})
+    assert r.status == 200
+    assert (await r.json())["dir"] == d
+    # double-start -> conflict
+    r2 = await client.post("/api/extra/profiler/start", json={})
+    assert r2.status == 409
+    # do some work under the trace
+    await client.post("/api/v1/generate",
+                      json={"prompt": "ab", "max_length": 2, "temperature": 0})
+    r3 = await client.post("/api/extra/profiler/stop", json={})
+    assert r3.status == 200
+    info = await r3.json()
+    assert info["success"] and len(info["files"]) > 0
+    # stop when idle -> conflict
+    r4 = await client.post("/api/extra/profiler/stop", json={})
+    assert r4.status == 409
