@@ -171,3 +171,42 @@ def test_orion_layernorm(tmp_path, llama_state):
     pos = jnp.broadcast_to(jnp.arange(TOKENS.shape[1]), TOKENS.shape).astype(jnp.int32)
     alt, _ = jllama.forward(m2.params, m2.cfg, jnp.asarray(TOKENS), pos, cache)
     assert not np.allclose(ours, np.asarray(alt))
+
+
+def test_internlm2_equals_llama(tmp_path, llama_state):
+    """Grouped fused wqkv (internlm2 naming) de-interleaves back to the same
+    llama graph."""
+    from convert_hf import convert_internlm2_state_dict
+
+    cfg, state = llama_state
+    ref_path = str(tmp_path / "llama_il2.gguf")
+    convert_llama_state_dict(state, cfg, ref_path,
+                             tokenizer_md=tiny_tokenizer_md(512))
+    _, ref = run_ours(ref_path)
+
+    n_head, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
+    E = cfg.hidden_size
+    D = E // n_head
+    q_per_kv = n_head // n_kv
+    il2 = {"model.tok_embeddings.weight": state["model.embed_tokens.weight"],
+           "model.norm.weight": state["model.norm.weight"],
+           "output.weight": state["lm_head.weight"]}
+    for i in range(cfg.num_hidden_layers):
+        hp = f"model.layers.{i}."
+        il2[hp + "attention_norm.weight"] = state[hp + "input_layernorm.weight"]
+        il2[hp + "ffn_norm.weight"] = state[hp + "post_attention_layernorm.weight"]
+        q = state[hp + "self_attn.q_proj.weight"].reshape(n_kv, q_per_kv, D, E)
+        k = state[hp + "self_attn.k_proj.weight"].reshape(n_kv, 1, D, E)
+        v = state[hp + "self_attn.v_proj.weight"].reshape(n_kv, 1, D, E)
+        il2[hp + "attention.wqkv.weight"] = np.concatenate(
+            [q, k, v], axis=1).reshape(-1, E)
+        il2[hp + "attention.wo.weight"] = state[hp + "self_attn.o_proj.weight"]
+        il2[hp + "feed_forward.w1.weight"] = state[hp + "mlp.gate_proj.weight"]
+        il2[hp + "feed_forward.w3.weight"] = state[hp + "mlp.up_proj.weight"]
+        il2[hp + "feed_forward.w2.weight"] = state[hp + "mlp.down_proj.weight"]
+    path = str(tmp_path / "internlm2.gguf")
+    convert_internlm2_state_dict(il2, cfg, path,
+                                 tokenizer_md=tiny_tokenizer_md(512))
+    m, ours = run_ours(path)
+    assert m.cfg.arch == "internlm2" and m.cfg.rope_type == "norm"
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)

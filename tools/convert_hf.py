@@ -1783,3 +1783,58 @@ def convert_qwen_state_dict(state: dict, config, out_path: str,
         w.add_tensor(gp + "ffn_down.weight", get(hp + "mlp.c_proj.weight"), quant_type)
     w.write()
     return out_path
+
+
+def convert_internlm2_state_dict(state: dict, config, out_path: str,
+                                 tokenizer_md: dict | None = None,
+                                 quant_type: GGMLType = GGMLType.F32):
+    """InternLM2 layout -> GGUF arch 'internlm2' (reference InternLM2Model
+    converter, /root/reference/convert_hf_to_gguf.py:2490-2513: grouped fused
+    attention.wqkv de-interleaved to q/k/v with the llama permute; the GGUF
+    file is then standard llama layout under the internlm2 arch name).
+    `state` uses internlm2 naming (model.layers.N.attention.wqkv etc.)."""
+    n_head = config.num_attention_heads
+    n_kv = config.num_key_value_heads
+    n_layers = config.num_hidden_layers
+    E = config.hidden_size
+    D = E // n_head
+    q_per_kv = n_head // n_kv
+    w = GGUFWriter(out_path, architecture="internlm2")
+    w.add("internlm2.context_length", np.uint32(config.max_position_embeddings))
+    w.add("internlm2.embedding_length", np.uint32(E))
+    w.add("internlm2.block_count", np.uint32(n_layers))
+    w.add("internlm2.feed_forward_length", np.uint32(config.intermediate_size))
+    w.add("internlm2.attention.head_count", np.uint32(n_head))
+    w.add("internlm2.attention.head_count_kv", np.uint32(n_kv))
+    w.add("internlm2.attention.layer_norm_rms_epsilon", np.float32(config.rms_norm_eps))
+    w.add("internlm2.rope.freq_base", np.float32(getattr(config, "rope_theta", 10000.0)))
+    w.add("internlm2.rope.dimension_count", np.uint32(D))
+    w.add("internlm2.vocab_size", np.uint32(config.vocab_size))
+    for k, v in (tokenizer_md or {}).items():
+        w.add(k, v)
+
+    def get(name):
+        return np.asarray(state[name], dtype=np.float32)
+
+    w.add_tensor("token_embd.weight", get("model.tok_embeddings.weight"), quant_type)
+    w.add_tensor("output_norm.weight", get("model.norm.weight"), GGMLType.F32)
+    if "output.weight" in state:
+        w.add_tensor("output.weight", get("output.weight"), quant_type)
+    for i in range(n_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        w.add_tensor(gp + "attn_norm.weight", get(hp + "attention_norm.weight"), GGMLType.F32)
+        w.add_tensor(gp + "ffn_norm.weight", get(hp + "ffn_norm.weight"), GGMLType.F32)
+        qkv = get(hp + "attention.wqkv.weight").reshape(n_kv, q_per_kv + 2, D, E)
+        q = qkv[:, :q_per_kv].reshape(-1, E)
+        k = qkv[:, -2].reshape(-1, E)
+        v = qkv[:, -1].reshape(-1, E)
+        w.add_tensor(gp + "attn_q.weight", permute_qk(q, n_head), quant_type)
+        w.add_tensor(gp + "attn_k.weight", permute_qk(k, n_kv), quant_type)
+        w.add_tensor(gp + "attn_v.weight", v, quant_type)
+        w.add_tensor(gp + "attn_output.weight", get(hp + "attention.wo.weight"), quant_type)
+        w.add_tensor(gp + "ffn_gate.weight", get(hp + "feed_forward.w1.weight"), quant_type)
+        w.add_tensor(gp + "ffn_up.weight", get(hp + "feed_forward.w3.weight"), quant_type)
+        w.add_tensor(gp + "ffn_down.weight", get(hp + "feed_forward.w2.weight"), quant_type)
+    w.write()
+    return out_path
