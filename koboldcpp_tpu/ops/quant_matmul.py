@@ -85,35 +85,41 @@ def _q4k_kernel(xl_ref, xh_ref, xs_ref, qs_ref, slo_ref, shi_ref, m_ref, o_ref):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-def _q4k_decode_kernel(xl_ref, xh_ref, xsl_ref, xsh_ref, xs_ref,
+def _q4k_decode_kernel(ml_ref, mh_ref, xsl_ref, xsh_ref, xs_ref,
                        qs_ref, slo_ref, shi_ref, m_ref, o_ref):
-    """T=1 matvec variant: magic-number dequant (bit-OR nibbles into bf16
-    mantissas, value = 128 + 8n — no int->float converts, no per-weight scale
-    muls) + per-group partial dots against the activation-masked expansion
-    matrix; scales combine on (R, G)-sized tensors only. Output is (R, 1)
-    (the caller reshapes) so no in-kernel transpose is needed.
+    """Small-T (decode/batched-decode) matvec variant: magic-number dequant
+    (bit-OR nibbles into bf16 mantissas, value = 128 + 8n — no int->float
+    converts, no per-weight scale muls) + per-group partial dots against the
+    activation-masked expansion stack Ml/Mh (T*GS, C2) built by XLA prep;
+    scales combine on (R, T*GS)-sized tensors. Output is (R, T) (the caller
+    transposes) so no in-kernel transpose is needed.
 
-      y_r = sum_g s_g/8 * (P_rg - 128*xs_g) - sum_G m_G * xs_G
-    with P_rg = sum_{c in g} magic(q_rc) * x_c.
+      y_rt = sum_g s_rg/8 * (P_r,tg - 128*xs_tg) - sum_G m_rG * xs_tG
+    with P_r,tg = sum_{c in g} magic(q_rc) * x_tc.
     """
     q = qs_ref[:].astype(jnp.int32)
-    C2 = q.shape[1]
     lo = jax.lax.bitcast_convert_type(
         (((q & 0xF) << 3) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
     hi = jax.lax.bitcast_convert_type(
         (((q >> 1) & 0x78) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
-    GS = C2 // 32
-    E = _expand_mat(GS, C2, 32)
-    Ml = E * xl_ref[0][None, :].astype(jnp.bfloat16)
-    Mh = E * xh_ref[0][None, :].astype(jnp.bfloat16)
-    Pl = jax.lax.dot_general(lo, Ml, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (R, GS)
-    Ph = jax.lax.dot_general(hi, Mh, (((1,), (1,)), ((), ())),
+    Pl = jax.lax.dot_general(lo, ml_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (R, T*GS)
+    Ph = jax.lax.dot_general(hi, mh_ref[:], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    slo = slo_ref[:].astype(jnp.float32)
+    slo = slo_ref[:].astype(jnp.float32)  # (R, GS)
     shi = shi_ref[:].astype(jnp.float32)
-    t = jnp.sum(Pl * slo, axis=1, keepdims=True)
-    t += jnp.sum(Ph * shi, axis=1, keepdims=True)
+    GS = slo.shape[1]
+    TGS = Pl.shape[1]
+    T = TGS // GS
+    slo_t = pltpu.repeat(slo, T, axis=1)  # (R, T*GS), t-major blocks
+    shi_t = pltpu.repeat(shi, T, axis=1)
+    w = Pl * slo_t + Ph * shi_t           # (R, T*GS)
+    # segment-sum the GS-sized blocks per token via a 0/1 dot
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (TGS, T), 0) // GS
+    tidx = jax.lax.broadcasted_iota(jnp.int32, (TGS, T), 1)
+    B = (bidx == tidx).astype(jnp.float32)
+    t = jax.lax.dot_general(w, B, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (R, T)
     t *= 0.125
     t -= 16.0 * jax.lax.dot_general(
         slo, xsl_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -257,11 +263,22 @@ def _specs_w(shapes):
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
 def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
                    interpret: bool):
-    """T=1 fast path through the *_decode_kernel variants; x: (1, in_f)."""
+    """Small-T fast path through the *_decode_kernel variants; x: (T, in_f)
+    with T <= 8 for q4_k (single decode + batched-decode slots), T == 1 for
+    q6_k/q8_0. Returns (T, out_f)."""
+    T = x.shape[0]
     if kind == "q4_k":
         xl, xh = _plane_split2(x, in_f)
-        x_args = (xl, xh, _group_sums(xl, in_f // 2, 32),
+        GS = in_f // 64
+        E = _expand_mat(GS, in_f // 2, 32)  # (GS, C2) 0/1
+        # activation-masked expansion stacks: Ml[t*GS+g, c] = E[g,c]*xl[t,c]
+        ml = (E[None, :, :] * xl.astype(jnp.bfloat16)[:, None, :]
+              ).reshape(T * GS, in_f // 2)
+        mh = (E[None, :, :] * xh.astype(jnp.bfloat16)[:, None, :]
+              ).reshape(T * GS, in_f // 2)
+        x_args = (ml, mh, _group_sums(xl, in_f // 2, 32),
                   _group_sums(xh, in_f // 2, 32), _group_sums(x, in_f, 32))
+        x_rows = (T * GS, T * GS, T, T, T)
         x_shapes = (in_f // 2, in_f // 2, in_f // 64, in_f // 64, in_f // 32)
         kernel = _q4k_decode_kernel
         w_shapes = (in_f // 2, in_f // 64, in_f // 64, in_f // 32)
@@ -272,34 +289,39 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
         xs = jnp.concatenate(
             [_group_sums(p, in_f // 4, 16) for p in planes], axis=1)
         x_args = (*planes, xs)
+        x_rows = (1,) * 5
         x_shapes = (in_f // 4,) * 4 + (in_f // 16,)
         kernel = _q6k_decode_kernel
         w_shapes = (in_f // 2, in_f // 4, in_f // 16)
     elif kind == "q8_0":
         x_args = (x,)
+        x_rows = (1,)
         x_shapes = (in_f,)
         kernel = _q8_0_decode_kernel
         w_shapes = (in_f, in_f // 32)
     else:
         raise ValueError(kind)
-    rt = DECODE_ROW_TILE if out_f % DECODE_ROW_TILE == 0 else ROW_TILE
+    rt = (DECODE_ROW_TILE if T == 1 and out_f % DECODE_ROW_TILE == 0
+          else ROW_TILE)
     y = pl.pallas_call(
         kernel,
         grid=(out_f // rt,),
-        in_specs=[pl.BlockSpec((1, s), lambda o: (0, 0),
-                               memory_space=pltpu.VMEM) for s in x_shapes]
+        in_specs=[pl.BlockSpec((r, s), lambda o: (0, 0),
+                               memory_space=pltpu.VMEM)
+                  for r, s in zip(x_rows, x_shapes)]
         + [pl.BlockSpec((rt, s), lambda o: (o, 0),
                         memory_space=pltpu.VMEM) for s in w_shapes],
-        out_specs=pl.BlockSpec((rt, 1), lambda o: (o, 0),
+        out_specs=pl.BlockSpec((rt, T), lambda o: (o, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((out_f, 1), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((out_f, T), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * in_f * out_f,
-            bytes_accessed=sum(f.nbytes for f in fields) + x.nbytes + out_f * 2,
+            flops=2 * T * in_f * out_f,
+            bytes_accessed=sum(f.nbytes for f in fields) + x.nbytes
+            + T * out_f * 2,
             transcendentals=0),
         interpret=interpret,
     )(*x_args, *fields)
-    return y.reshape(1, out_f)
+    return y.T
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
@@ -380,7 +402,12 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
     x2 = x.reshape(-1, in_f)
     if x2.dtype != jnp.bfloat16:
         x2 = x2.astype(jnp.bfloat16)
-    if (qt.kind in ("q4_k", "q6_k", "q8_0") and x2.shape[0] == 1
+    # T<=8 was tried for the batched-decode slots and measured SLOWER than
+    # the standard kernel at T=8 (1240 vs 2095 t/s batched: the (R, T*GS)
+    # f32 combine + low-utilization segment dots outweigh the dequant
+    # savings), so the matvec path is T==1 only.
+    max_t = int(os.environ.get("KCPP_MATVEC_MAX_T", "1"))
+    if (qt.kind in ("q4_k", "q6_k", "q8_0") and x2.shape[0] <= max_t
             and os.environ.get("KCPP_Q4K_DECODE", "1") == "1"):
         y = _packed_matvec(x2, fields, kind=qt.kind, out_f=out_f, in_f=in_f,
                            interpret=_use_interpret())
