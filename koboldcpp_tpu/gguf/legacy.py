@@ -302,3 +302,241 @@ class LegacyLlamaReader:
             return quants.dequantize(raw, t.ggml_type, dtype=dtype).reshape(t.shape)
         raw = np.frombuffer(self._mm, np.uint8, count=t.nbytes, offset=t.offset)
         return _LEGACY_DEQ[(t.qver, t.stored_type)](raw).reshape(t.shape).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# otherarch legacy containers: GPT-J / GPT-NeoX "ggml"-magic .bin files
+# (/root/reference/otherarch/gptj_v3.cpp:36-73, neox_v3.cpp:44-60)
+# ---------------------------------------------------------------------------
+
+_GPTJ_FORMATS = tuple(f for f in FileFormat if f.name.startswith("GPTJ_"))
+_NEOX_FORMATS = (FileFormat.NEOX, FileFormat.NEOX_LEGACY)
+
+LEGACY_OTHERARCH_FORMATS = _GPTJ_FORMATS + _NEOX_FORMATS
+
+
+def _gptj_name(name: str) -> list[tuple[str, str | None]]:
+    """legacy name -> [(gguf_name, transform)] (gptj ln_1 doubles as both
+    norms because attention and FFN read the same normed input)."""
+    fixed = {
+        "transformer.wte.weight": "token_embd.weight",
+        "transformer.ln_f.weight": "output_norm.weight",
+        "transformer.ln_f.bias": "output_norm.bias",
+        "lm_head.weight": "output.weight",
+        "lm_head.bias": "output.bias",
+    }
+    if name in fixed:
+        return [(fixed[name], None)]
+    import re
+
+    m = re.match(r"transformer\.h\.(\d+)\.(.+)", name)
+    if not m:
+        return []
+    i, rest = m.group(1), m.group(2)
+    sub = {
+        "ln_1.weight": [("attn_norm.weight", None), ("ffn_norm.weight", None)],
+        "ln_1.bias": [("attn_norm.bias", None), ("ffn_norm.bias", None)],
+        "attn.q_proj.weight": [("attn_q.weight", None)],
+        "attn.k_proj.weight": [("attn_k.weight", None)],
+        "attn.v_proj.weight": [("attn_v.weight", None)],
+        "attn.out_proj.weight": [("attn_output.weight", None)],
+        "mlp.fc_in.weight": [("ffn_up.weight", None)],
+        "mlp.fc_in.bias": [("ffn_up.bias", None)],
+        "mlp.fc_out.weight": [("ffn_down.weight", None)],
+        "mlp.fc_out.bias": [("ffn_down.bias", None)],
+    }.get(rest, [])
+    return [(f"blk.{i}.{g}", t) for g, t in sub]
+
+
+def _neox_name(name: str) -> list[tuple[str, str | None]]:
+    fixed = {
+        "gpt_neox.embed_in.weight": "token_embd.weight",
+        "gpt_neox.final_layer_norm.weight": "output_norm.weight",
+        "gpt_neox.final_layer_norm.bias": "output_norm.bias",
+        "embed_out.weight": "output.weight",
+    }
+    if name in fixed:
+        return [(fixed[name], None)]
+    import re
+
+    m = re.match(r"gpt_neox\.layers\.(\d+)\.(.+)", name)
+    if not m:
+        return []
+    i, rest = m.group(1), m.group(2)
+    sub = {
+        "input_layernorm.weight": [("attn_norm.weight", None)],
+        "input_layernorm.bias": [("attn_norm.bias", None)],
+        "post_attention_layernorm.weight": [("ffn_norm.weight", None)],
+        "post_attention_layernorm.bias": [("ffn_norm.bias", None)],
+        "attention.query_key_value.weight": [("attn_qkv.weight", "deint_w")],
+        "attention.query_key_value.bias": [("attn_qkv.bias", "deint_b")],
+        "attention.dense.weight": [("attn_output.weight", None)],
+        "attention.dense.bias": [("attn_output.bias", None)],
+        "mlp.dense_h_to_4h.weight": [("ffn_up.weight", None)],
+        "mlp.dense_h_to_4h.bias": [("ffn_up.bias", None)],
+        "mlp.dense_4h_to_h.weight": [("ffn_down.weight", None)],
+        "mlp.dense_4h_to_h.bias": [("ffn_down.bias", None)],
+    }.get(rest, [])
+    return [(f"blk.{i}.{g}", t) for g, t in sub]
+
+
+class LegacyOtherArchReader:
+    """GGUFReader-compatible view over legacy GPT-J / GPT-NeoX .bin files.
+
+    All tensors materialize to F32 on read (these files are small by modern
+    standards and the fused NeoX QKV needs a de-interleave anyway, mirroring
+    the HF converter's (head, [q,k,v], hd) split)."""
+
+    def __init__(self, path: str | os.PathLike):
+        self.path = os.fspath(path)
+        fmt = check_file_format(self.path)
+        if fmt in _GPTJ_FORMATS:
+            self.arch = "gptj"
+            self._map = _gptj_name
+        elif fmt in _NEOX_FORMATS:
+            self.arch = "gptneox"
+            self._map = _neox_name
+        else:
+            raise ValueError(f"{self.path}: not a legacy gptj/neox file ({fmt})")
+        self.file_format = fmt
+        self._f = open(self.path, "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        self._parse()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def close(self):
+        try:
+            self._mm.close()
+        except BufferError:
+            pass
+        self._f.close()
+
+    def _parse(self):
+        mm = self._mm
+        pos = 4
+        if self.arch == "gptj":
+            n_vocab, n_ctx, n_embd, n_head, n_layer, n_rot, ftype = \
+                struct.unpack_from("<7i", mm, pos)
+            pos += 28
+            par_res = 1  # gptj is always parallel-residual
+        else:
+            n_vocab, n_ctx, n_embd, n_head, n_layer, n_rot, par_res, ftype = \
+                struct.unpack_from("<8i", mm, pos)
+            pos += 32
+        qntvr = ftype // 1000
+        self.qver = {0: "v1", 1: "v2", 2: "v3"}.get(qntvr, "v3")
+
+        (count,) = struct.unpack_from("<I", mm, pos)
+        pos += 4
+        tokens: list[str] = []
+        for _ in range(count):
+            (ln,) = struct.unpack_from("<I", mm, pos)
+            pos += 4
+            tokens.append(bytes(mm[pos:pos + ln]).decode("utf-8",
+                                                         errors="replace"))
+            pos += ln
+
+        self.metadata: dict[str, Any] = {
+            "general.architecture": self.arch,
+            "general.name": os.path.basename(self.path),
+            f"{self.arch}.context_length": np.uint32(max(n_ctx, 1)),
+            f"{self.arch}.embedding_length": np.uint32(n_embd),
+            f"{self.arch}.block_count": np.uint32(n_layer),
+            f"{self.arch}.feed_forward_length": np.uint32(4 * n_embd),
+            f"{self.arch}.attention.head_count": np.uint32(n_head),
+            f"{self.arch}.attention.head_count_kv": np.uint32(n_head),
+            f"{self.arch}.rope.dimension_count": np.uint32(n_rot),
+            f"{self.arch}.attention.layer_norm_epsilon": np.float32(1e-5),
+            f"{self.arch}.vocab_size": np.uint32(len(tokens)),
+            "gptneox.use_parallel_residual": bool(par_res),
+            "tokenizer.ggml.model": "gpt2",
+            "tokenizer.ggml.tokens": tokens,
+            "tokenizer.ggml.token_type": np.full(len(tokens), 1, np.int32),
+            "tokenizer.ggml.bos_token_id": np.uint32(0),
+            "tokenizer.ggml.eos_token_id": np.uint32(0),
+            "tokenizer.ggml.add_bos_token": False,
+        }
+        self.architecture = self.arch
+        self._n_head = n_head
+        self._n_embd = n_embd
+
+        self.tensors: dict[str, _LegacyTensor] = {}
+        self._transforms: dict[str, str | None] = {}
+        end = len(mm)
+        while pos < end:
+            n_dims, name_len, ttype = struct.unpack_from("<3i", mm, pos)
+            pos += 12
+            ne = struct.unpack_from(f"<{n_dims}i", mm, pos)
+            pos += 4 * n_dims
+            raw_name = bytes(mm[pos:pos + name_len]).decode("utf-8")
+            pos += name_len
+            gt = GGMLType(ttype)
+            shape = tuple(reversed(ne))
+            if gt in (GGMLType.F32, GGMLType.F16):
+                blk, sz = GGML_BLOCK_SIZES[gt]
+            elif self.qver == "v3" or (self.qver == "v2" and gt in
+                                       (GGMLType.Q5_0, GGMLType.Q5_1)):
+                blk, sz = GGML_BLOCK_SIZES[gt]
+            else:
+                table = _LEGACY_BLOCK_SIZES.get(self.qver, {})
+                if gt not in table:
+                    raise ValueError(
+                        f"{self.path}: {raw_name!r} uses {gt.name} in a "
+                        f"{self.qver} container")
+                blk, sz = table[gt]
+            n_el = 1
+            for d in shape:
+                n_el *= d
+            nbytes = n_el // blk * sz
+            for gname, transform in self._map(raw_name):
+                t = _LegacyTensor()
+                t.name = gname
+                t.shape = shape
+                t.stored_type = gt
+                t.qver = self.qver
+                t.nbytes = nbytes
+                t.offset = pos
+                t.ggml_type = GGMLType.F32  # always materialized
+                self.tensors[gname] = t
+                self._transforms[gname] = transform
+            pos += nbytes
+
+    def _dequant(self, t: _LegacyTensor) -> np.ndarray:
+        from . import quants
+
+        raw = np.frombuffer(self._mm, np.uint8, count=t.nbytes, offset=t.offset)
+        if t.stored_type in (GGMLType.F32, GGMLType.F16) or (
+                t.qver == "v3" or (t.qver == "v2" and t.stored_type in
+                                   (GGMLType.Q5_0, GGMLType.Q5_1))):
+            blk, sz = GGML_BLOCK_SIZES[t.stored_type]
+            row_bytes = t.shape[-1] // blk * sz
+            x = quants.dequantize(raw.reshape(t.shape[:-1] + (row_bytes,)),
+                                  t.stored_type)
+        else:
+            x = _LEGACY_DEQ[(t.qver, t.stored_type)](raw)
+        out = x.reshape(t.shape).astype(np.float32)
+        tr = self._transforms.get(t.name)
+        if tr == "deint_w":  # (3E, E) head-interleaved -> [Q;K;V]
+            H, E = self._n_head, self._n_embd
+            v = out.reshape(H, 3, E // H, E)
+            out = np.concatenate([v[:, 0].reshape(E, E),
+                                  v[:, 1].reshape(E, E),
+                                  v[:, 2].reshape(E, E)], axis=0)
+        elif tr == "deint_b":
+            H, E = self._n_head, self._n_embd
+            v = out.reshape(H, 3, E // H)
+            out = np.concatenate([v[:, 0].reshape(-1), v[:, 1].reshape(-1),
+                                  v[:, 2].reshape(-1)])
+        return out
+
+    def tensor_raw(self, name: str) -> np.ndarray:
+        out = self._dequant(self.tensors[name])
+        return out.view(np.uint8).reshape(out.shape[:-1] + (out.shape[-1] * 4,))
+
+    def tensor_data(self, name: str, dtype=np.float32) -> np.ndarray:
+        return self._dequant(self.tensors[name]).astype(dtype)

@@ -120,10 +120,10 @@ def describe_or_raise(path: str) -> None:
     if fmt is FileFormat.BADFORMAT:
         raise ValueError(f"{path}: not a recognized model file "
                          "(no GGUF or legacy ggml magic)")
-    from .legacy import LEGACY_LLAMA_FORMATS
+    from .legacy import LEGACY_LLAMA_FORMATS, LEGACY_OTHERARCH_FORMATS
 
-    if fmt in LEGACY_LLAMA_FORMATS:
-        return  # loadable via legacy.LegacyLlamaReader
+    if fmt in LEGACY_LLAMA_FORMATS or fmt in LEGACY_OTHERARCH_FORMATS:
+        return  # loadable via gguf/legacy.py readers
     raise ValueError(
         f"{path}: detected {fmt.value} — this legacy pre-GGUF format is not "
         "supported yet; convert the model to GGUF "

@@ -236,9 +236,15 @@ def load_model(path: str, packed: bool = True, dtype=jnp.bfloat16,
 
     describe_or_raise(path)  # precise error for unsupported containers
     adapters = [LoraAdapter(lp, mult) for lp, mult in (loras or [])]
-    if check_file_format(path) is not FileFormat.GGUF:
-        # legacy GGML/GGMF/GGJT llama container (gguf/legacy.py)
-        from ..gguf.legacy import LegacyLlamaReader as _Reader
+    fmt = check_file_format(path)
+    if fmt is not FileFormat.GGUF:
+        # legacy pre-GGUF containers (gguf/legacy.py)
+        from ..gguf import legacy
+
+        if fmt in legacy.LEGACY_OTHERARCH_FORMATS:
+            _Reader = legacy.LegacyOtherArchReader
+        else:
+            _Reader = legacy.LegacyLlamaReader
     else:
         _Reader = GGUFReader
     with _Reader(path) as r:
