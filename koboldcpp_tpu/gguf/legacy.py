@@ -310,9 +310,10 @@ class LegacyLlamaReader:
 # ---------------------------------------------------------------------------
 
 _GPTJ_FORMATS = tuple(f for f in FileFormat if f.name.startswith("GPTJ_"))
+_GPT2_FORMATS = tuple(f for f in FileFormat if f.name.startswith("GPT2_"))
 _NEOX_FORMATS = (FileFormat.NEOX, FileFormat.NEOX_LEGACY)
 
-LEGACY_OTHERARCH_FORMATS = _GPTJ_FORMATS + _NEOX_FORMATS
+LEGACY_OTHERARCH_FORMATS = _GPTJ_FORMATS + _GPT2_FORMATS + _NEOX_FORMATS
 
 
 def _gptj_name(name: str) -> list[tuple[str, str | None]]:
@@ -346,6 +347,36 @@ def _gptj_name(name: str) -> list[tuple[str, str | None]]:
         "mlp.fc_out.bias": [("ffn_down.bias", None)],
     }.get(rest, [])
     return [(f"blk.{i}.{g}", t) for g, t in sub]
+
+
+def _gpt2_name(name: str) -> list[tuple[str, str | None]]:
+    """TF-checkpoint-style names (otherarch/gpt2_v3.cpp:209-254); weights
+    were already transposed to (out, in) by the original convert script."""
+    fixed = {
+        "model/wte": "token_embd.weight",
+        "model/wpe": "position_embd.weight",
+        "model/ln_f/g": "output_norm.weight",
+        "model/ln_f/b": "output_norm.bias",
+        "model/lm_head": "output.weight",
+    }
+    if name in fixed:
+        return [(fixed[name], None)]
+    import re
+
+    m = re.match(r"model/h(\d+)/(.+)", name)
+    if not m:
+        return []
+    i, rest = m.group(1), m.group(2)
+    sub = {
+        "ln_1/g": "attn_norm.weight", "ln_1/b": "attn_norm.bias",
+        "ln_2/g": "ffn_norm.weight", "ln_2/b": "ffn_norm.bias",
+        "attn/c_attn/w": "attn_qkv.weight", "attn/c_attn/b": "attn_qkv.bias",
+        "attn/c_proj/w": "attn_output.weight",
+        "attn/c_proj/b": "attn_output.bias",
+        "mlp/c_fc/w": "ffn_up.weight", "mlp/c_fc/b": "ffn_up.bias",
+        "mlp/c_proj/w": "ffn_down.weight", "mlp/c_proj/b": "ffn_down.bias",
+    }.get(rest)
+    return [(f"blk.{i}.{sub}", None)] if sub else []
 
 
 def _neox_name(name: str) -> list[tuple[str, str | None]]:
@@ -393,6 +424,9 @@ class LegacyOtherArchReader:
         if fmt in _GPTJ_FORMATS:
             self.arch = "gptj"
             self._map = _gptj_name
+        elif fmt in _GPT2_FORMATS:
+            self.arch = "gpt2"
+            self._map = _gpt2_name
         elif fmt in _NEOX_FORMATS:
             self.arch = "gptneox"
             self._map = _neox_name
@@ -424,6 +458,12 @@ class LegacyOtherArchReader:
                 struct.unpack_from("<7i", mm, pos)
             pos += 28
             par_res = 1  # gptj is always parallel-residual
+        elif self.arch == "gpt2":
+            n_vocab, n_ctx, n_embd, n_head, n_layer, ftype = \
+                struct.unpack_from("<6i", mm, pos)
+            pos += 24
+            n_rot = 0
+            par_res = 0
         else:
             n_vocab, n_ctx, n_embd, n_head, n_layer, n_rot, par_res, ftype = \
                 struct.unpack_from("<8i", mm, pos)

@@ -132,3 +132,48 @@ def test_legacy_neox(tmp_path):
     with _t.no_grad():
         ref = model(_t.tensor(TOKENS, dtype=_t.long)).logits.numpy()
     np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_legacy_gpt2(tmp_path):
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    torch.manual_seed(63)
+    cfg = GPT2Config(vocab_size=50257, n_embd=64, n_layer=2, n_head=4,
+                     n_positions=128, tie_word_embeddings=False)
+    model = GPT2LMHeadModel(cfg).eval().float()
+    st = {k: v.numpy() for k, v in model.state_dict().items()}
+    tensors = {"model/wte": st["transformer.wte.weight"],
+               "model/wpe": st["transformer.wpe.weight"],
+               "model/ln_f/g": st["transformer.ln_f.weight"],
+               "model/ln_f/b": st["transformer.ln_f.bias"],
+               "model/lm_head": st["lm_head.weight"]}
+    for i in range(2):
+        hp = f"transformer.h.{i}."
+        gp = f"model/h{i}/"
+        tensors |= {
+            gp + "ln_1/g": st[hp + "ln_1.weight"],
+            gp + "ln_1/b": st[hp + "ln_1.bias"],
+            gp + "ln_2/g": st[hp + "ln_2.weight"],
+            gp + "ln_2/b": st[hp + "ln_2.bias"],
+            # HF Conv1D stores (in, out); the legacy files carry (out, in)
+            gp + "attn/c_attn/w": st[hp + "attn.c_attn.weight"].T,
+            gp + "attn/c_attn/b": st[hp + "attn.c_attn.bias"],
+            gp + "attn/c_proj/w": st[hp + "attn.c_proj.weight"].T,
+            gp + "attn/c_proj/b": st[hp + "attn.c_proj.bias"],
+            gp + "mlp/c_fc/w": st[hp + "mlp.c_fc.weight"].T,
+            gp + "mlp/c_fc/b": st[hp + "mlp.c_fc.bias"],
+            gp + "mlp/c_proj/w": st[hp + "mlp.c_proj.weight"].T,
+            gp + "mlp/c_proj/b": st[hp + "mlp.c_proj.bias"],
+        }
+    path = str(tmp_path / "gpt2_legacy.bin")
+    # hparams: n_vocab n_ctx n_embd n_head n_layer ftype (qntvr=2 -> GPT2_4)
+    write_otherarch(path, "gpt2", (50257, 128, 64, 4, 2, 2001), tensors, 50257)
+    assert check_file_format(path) is FileFormat.GPT2_4
+    m, ours = run_ours(path)
+    assert m.cfg.arch == "gpt2" and m.cfg.learned_pos
+    import torch as _t
+
+    with _t.no_grad():
+        ref = model(_t.tensor(TOKENS, dtype=_t.long)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
