@@ -122,7 +122,7 @@ class Engine:
             self.use_smartcontext = False
             self._model_mod = self._recurrent_mod()
             self.cache = self._model_mod.init_state(self.cfg, 1)
-        elif self.cfg.arch == "deepseek2":
+        elif self.cfg.arch in ("deepseek2", "minicpm3"):
             # MLA: K rows carry [nope | shared rope] so the generic k-shift
             # re-rotation doesn't apply; fast-forward still does
             from ..models import deepseek2 as _ds2
@@ -170,7 +170,7 @@ class Engine:
                 partial(self._model_mod.forward, cfg=self.cfg),
                 donate_argnames=("cache",))
             self.use_flash_prefill = False
-        elif self.cfg.arch == "deepseek2":
+        elif self.cfg.arch in ("deepseek2", "minicpm3"):
             self._forward = jax.jit(
                 partial(self._ds2.forward, cfg=self.cfg, last_only=True),
                 donate_argnames=("cache",))

@@ -208,6 +208,14 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
                 or 0.1),
             "dense_lead": int(_get(
                 md, "{arch}.leading_dense_block_count", arch, 0) or 0)})
+    elif arch == "minicpm3":
+        extras = dict(
+            embedding_scale=12.0,
+            residual_scale=1.4 / (n_layers ** 0.5),
+            logit_scale=256.0 / hidden,
+            extras={"v_head_dim": int(_get(md, "{arch}.attention.value_length",
+                                           arch, hidden // max(n_heads, 1))
+                                      or 0)})
     elif arch == "t5":
         extras = dict(
             use_rope=False,

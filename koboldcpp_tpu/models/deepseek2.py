@@ -101,6 +101,9 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
     emb_w = params["tok_embd"]
     x = emb_w.data["w"][tokens] if isinstance(emb_w, QTensor) else emb_w[tokens]
+    if cfg.embedding_scale:  # minicpm3 (build_minicpm3: scale_embd = 12)
+        x = x * jnp.asarray(cfg.embedding_scale, x.dtype)
+    res_s = cfg.residual_scale or 1.0
     slot_ids = jnp.arange(S)
     mask = slot_ids[None, None, :] <= positions[:, :, None]
     b_idx = jnp.arange(B)[:, None]
@@ -125,11 +128,12 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         k_nope, v = kv[..., :d_nope], kv[..., d_nope:]
 
         # NOTE: HF/original DeepSeek weights use interleaved-pair rope (the
-        # remote code de-interleaves then rotate_halfs, net = adjacent pairs);
-        # our "norm" mode matches that directly.
-        q_pe = apply_rope(q_pe, positions, freqs, "norm", d_rope,
+        # remote code de-interleaves then rotate_halfs, net = adjacent pairs)
+        # -> cfg.rope_type "norm" for deepseek2; minicpm3 is NEOX
+        # (llama_rope_type, src/llama.cpp:19744).
+        q_pe = apply_rope(q_pe, positions, freqs, cfg.rope_type, d_rope,
                           mscale=rope_factor)
-        k_pe = apply_rope(k_pe, positions, freqs, "norm", d_rope,
+        k_pe = apply_rope(k_pe, positions, freqs, cfg.rope_type, d_rope,
                           mscale=rope_factor)
         qh = jnp.concatenate([q_nope, q_pe], axis=-1)
         kh = jnp.concatenate(
@@ -148,16 +152,16 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         attn = jnp.einsum("bhts,bshd->bthd", p.astype(x.dtype), v_cache[li],
                           preferred_element_type=jnp.float32)
         attn = attn.reshape(B, T, H * dv).astype(x.dtype)
-        x = x + linear.matmul(attn, layer["wo"])
+        x = x + res_s * linear.matmul(attn, layer["wo"])
 
         h = rms_norm(x, layer["ffn_norm"], cfg.rms_norm_eps)
         if "ffn_gate_inp" in layer:
-            x = x + _moe(h, layer, cfg)
+            x = x + res_s * _moe(h, layer, cfg)
         else:
             g = jax.nn.silu(linear.matmul(h, layer["w_gate"])
                             .astype(jnp.float32)).astype(h.dtype)
             u = linear.matmul(h, layer["w_up"])
-            x = x + linear.matmul(g * u, layer["w_down"])
+            x = x + res_s * linear.matmul(g * u, layer["w_down"])
 
     cache = KVCache(k=k_cache, v=v_cache)
     if last_index is not None:
@@ -166,6 +170,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         x = x[:, -1:, :]
     x = rms_norm(x, params["output_norm"], cfg.rms_norm_eps)
     logits = linear.matmul(x, params["output"], out_dtype=jnp.float32)
+    if cfg.logit_scale:  # minicpm3: 256 / n_embd
+        logits = logits * cfg.logit_scale
     return logits, cache
 
 

@@ -262,7 +262,7 @@ def load_model(path: str, packed: bool = True, dtype=jnp.bfloat16,
             from . import mamba
 
             params = mamba.load_params(r, cfg, packed=packed, dtype=dtype)
-        elif cfg.arch == "deepseek2":
+        elif cfg.arch in ("deepseek2", "minicpm3"):
             from . import deepseek2
 
             params = deepseek2.load_params(r, cfg, packed=packed, dtype=dtype)
