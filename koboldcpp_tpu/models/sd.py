@@ -40,6 +40,16 @@ class SDConfig:
     text_dim: int = 768
     text_layers: int = 12
     text_heads: int = 12
+    # SDXL extensions (otherarch/sdcpp supports SD1.x/2.x/SDXL; these knobs
+    # cover the XL UNet + dual text encoders)
+    transformer_depth: tuple[int, ...] = ()  # per level; () = depth 1
+    attn_head_dim: int = 0    # XL: heads = channels // 64
+    linear_proj: bool = False  # XL use_linear_projection
+    add_embed_dim: int = 0    # XL add_embedding in-dim (pooled + 6*256 = 2816)
+    pooled_dim: int = 0       # XL pooled text dim (1280)
+    text2_dim: int = 0        # OpenCLIP-bigG tower
+    text2_layers: int = 0
+    text2_heads: int = 0
     # VAE
     vae_ch: int = 128
     vae_ch_mult: tuple[int, ...] = (1, 2, 4, 4)
@@ -138,27 +148,51 @@ def _ln(x, p, name, eps=1e-5):
             + p[name + ".bias"]).astype(x.dtype)
 
 
-def spatial_transformer(x, ctx, p, pre, n_heads):
+def spatial_transformer(x, ctx, p, pre, n_heads, depth=1, linear_proj=False):
     B, H, W, C = x.shape
     h = group_norm(x, p[pre + "norm.weight"], p[pre + "norm.bias"])
-    h = conv2d(h, p, pre + "proj_in", padding=0)
-    h = h.reshape(B, H * W, C)
-    h = transformer_block(h, ctx, p, pre + "transformer_blocks.0.", n_heads)
-    h = h.reshape(B, H, W, C)
-    return x + conv2d(h, p, pre + "proj_out", padding=0)
+    if linear_proj:  # SDXL use_linear_projection
+        h = linear(h.reshape(B, H * W, C), p, pre + "proj_in")
+    else:
+        h = conv2d(h, p, pre + "proj_in", padding=0).reshape(B, H * W, C)
+    for di in range(depth):
+        h = transformer_block(h, ctx, p, pre + f"transformer_blocks.{di}.",
+                              n_heads)
+    if linear_proj:
+        h = linear(h, p, pre + "proj_out").reshape(B, H, W, C)
+    else:
+        h = conv2d(h.reshape(B, H, W, C), p, pre + "proj_out", padding=0)
+    return x + h
 
 
 # ---------------------------------------------------------------------------
 # UNet
 # ---------------------------------------------------------------------------
 
+def _st_args(cfg: SDConfig, lvl: int, ch: int):
+    depth = cfg.transformer_depth[lvl] if cfg.transformer_depth else 1
+    heads = ch // cfg.attn_head_dim if cfg.attn_head_dim else cfg.n_heads
+    return dict(n_heads=heads, depth=depth, linear_proj=cfg.linear_proj)
+
+
 def unet_apply(params: Params, cfg: SDConfig, latents: jnp.ndarray,
-               t: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
-    """latents: (B, h, w, 4) NHWC; t: (B,); context: (B, 77, ctx_dim)."""
+               t: jnp.ndarray, context: jnp.ndarray,
+               pooled: jnp.ndarray | None = None,
+               time_ids: jnp.ndarray | None = None) -> jnp.ndarray:
+    """latents: (B, h, w, 4) NHWC; t: (B,); context: (B, 77, ctx_dim).
+    SDXL adds pooled (B, pooled_dim) + time_ids (B, 6) micro-conditioning
+    through add_embedding into the time embedding."""
     p = params
     temb = timestep_embedding(t, cfg.model_channels)
     temb = linear(jax.nn.silu(linear(temb, p, "time_embedding.linear_1")),
                   p, "time_embedding.linear_2")
+    if cfg.add_embed_dim and pooled is not None:
+        B = pooled.shape[0]
+        ids_emb = timestep_embedding(time_ids.reshape(-1), 256).reshape(B, -1)
+        add = jnp.concatenate([pooled, ids_emb], axis=-1)
+        aemb = linear(jax.nn.silu(linear(add, p, "add_embedding.linear_1")),
+                      p, "add_embedding.linear_2")
+        temb = temb + aemb
 
     hs = []
     h = conv2d(latents, p, "conv_in")
@@ -170,14 +204,16 @@ def unet_apply(params: Params, cfg: SDConfig, latents: jnp.ndarray,
             h = resnet_block(h, temb, p, pre)
             if lvl in cfg.attn_levels:
                 h = spatial_transformer(
-                    h, context, p, f"down_blocks.{lvl}.attentions.{ri}.", cfg.n_heads)
+                    h, context, p, f"down_blocks.{lvl}.attentions.{ri}.",
+                    **_st_args(cfg, lvl, h.shape[-1]))
             hs.append(h)
         if lvl < n_levels - 1:
             h = conv2d(h, p, f"down_blocks.{lvl}.downsamplers.0.conv", stride=2)
             hs.append(h)
 
     h = resnet_block(h, temb, p, "mid_block.resnets.0.")
-    h = spatial_transformer(h, context, p, "mid_block.attentions.0.", cfg.n_heads)
+    h = spatial_transformer(h, context, p, "mid_block.attentions.0.",
+                            **_st_args(cfg, n_levels - 1, h.shape[-1]))
     h = resnet_block(h, temb, p, "mid_block.resnets.1.")
 
     for ui, lvl in enumerate(reversed(range(n_levels))):
@@ -188,7 +224,8 @@ def unet_apply(params: Params, cfg: SDConfig, latents: jnp.ndarray,
             h = resnet_block(h, temb, p, pre)
             if lvl in cfg.attn_levels:
                 h = spatial_transformer(
-                    h, context, p, f"up_blocks.{ui}.attentions.{ri}.", cfg.n_heads)
+                    h, context, p, f"up_blocks.{ui}.attentions.{ri}.",
+                    **_st_args(cfg, lvl, h.shape[-1]))
         if lvl > 0:
             B, H, W, C = h.shape
             h = jax.image.resize(h, (B, H * 2, W * 2, C), "nearest")
@@ -202,25 +239,33 @@ def unet_apply(params: Params, cfg: SDConfig, latents: jnp.ndarray,
 # CLIP text encoder (SD1.x: ViT-L/14 text tower, causal)
 # ---------------------------------------------------------------------------
 
-def clip_text_apply(params: Params, cfg: SDConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+def clip_text_apply(params: Params, cfg: SDConfig, tokens: jnp.ndarray,
+                    prefix: str = "text.", n_layers: int | None = None,
+                    n_heads: int | None = None, skip_last: int = 0,
+                    final_ln: bool = True) -> jnp.ndarray:
+    """CLIP text tower. prefix selects the tower ("text." / "text2.");
+    skip_last=1 returns the penultimate hidden states (SDXL conditioning,
+    "clip skip"); final_ln applies the tower's final LayerNorm."""
     p = params
+    n_layers = (cfg.text_layers if n_layers is None else n_layers) - skip_last
+    n_heads_ = cfg.text_heads if n_heads is None else n_heads
     T = tokens.shape[1]
-    x = p["text.tok_embd"][tokens] + p["text.pos_embd"][None, :T]
+    x = p[prefix + "tok_embd"][tokens] + p[prefix + "pos_embd"][None, :T]
     causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
-    for i in range(cfg.text_layers):
-        pre = f"text.{i}."
+    for i in range(n_layers):
+        pre = f"{prefix}{i}."
         h = _ln(x, p, pre + "ln1")
         q = linear(h, p, pre + "q")
         k = linear(h, p, pre + "k")
         v = linear(h, p, pre + "v")
         B, _, D = q.shape
-        hd = D // cfg.text_heads
-        s = jnp.einsum("bqhd,bkhd->bhqk", q.reshape(B, T, cfg.text_heads, hd),
-                       k.reshape(B, T, cfg.text_heads, hd),
+        hd = D // n_heads_
+        s = jnp.einsum("bqhd,bkhd->bhqk", q.reshape(B, T, n_heads_, hd),
+                       k.reshape(B, T, n_heads_, hd),
                        preferred_element_type=jnp.float32) * (hd ** -0.5)
         s = jnp.where(causal, s, jnp.finfo(jnp.float32).min)
         a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", a, v.reshape(B, T, cfg.text_heads, hd),
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, v.reshape(B, T, n_heads_, hd),
                        preferred_element_type=jnp.float32).reshape(B, T, D)
         x = x + linear(o.astype(x.dtype), p, pre + "out")
         h = _ln(x, p, pre + "ln2")
@@ -228,7 +273,7 @@ def clip_text_apply(params: Params, cfg: SDConfig, tokens: jnp.ndarray) -> jnp.n
         h = (h.astype(jnp.float32) * jax.nn.sigmoid(1.702 * h.astype(jnp.float32))
              ).astype(x.dtype)  # quick_gelu
         x = x + linear(h, p, pre + "fc2")
-    return _ln(x, p, "text.ln_final")
+    return _ln(x, p, prefix + "ln_final") if final_ln else x
 
 
 # ---------------------------------------------------------------------------
@@ -402,7 +447,10 @@ class SDModel:
         self.params = params
         self.tokenizer = tokenizer
         self._unet = jax.jit(partial(unet_apply, cfg=cfg))
-        self._text = jax.jit(partial(clip_text_apply, cfg=cfg))
+        self._text = jax.jit(partial(clip_text_apply, cfg=cfg),
+                             static_argnames=("prefix", "n_layers", "n_heads",
+                                              "skip_last", "final_ln"))
+        self.is_xl = cfg.text2_layers > 0
         self._vae = jax.jit(partial(vae_decode, cfg=cfg))
         self._vae_enc = jax.jit(partial(vae_encode, cfg=cfg))
         self.alphas_cum = linear_beta_schedule()
@@ -415,15 +463,35 @@ class SDModel:
         self.taesd = load_taesd(path_or_state)
         self._taesd_dec = jax.jit(decoder_apply)
 
-    def encode_prompt(self, prompt: str) -> jnp.ndarray:
+    def _tokenize(self, prompt: str) -> tuple[list[int], int]:
         if self.tokenizer is not None:
             ids = self.tokenizer.encode(prompt, add_bos=False)[: self.cfg.text_ctx - 2]
             bos, eos = 49406, 49407
             toks = [bos] + ids + [eos] * (self.cfg.text_ctx - 1 - len(ids))
+            eot = 1 + len(ids)
         else:
             toks = [0] * self.cfg.text_ctx
-        return self._text(params=self.params,
-                          tokens=jnp.asarray([toks], jnp.int32))
+            eot = self.cfg.text_ctx - 1
+        return toks, eot
+
+    def encode_prompt(self, prompt: str):
+        toks, eot = self._tokenize(prompt)
+        tok = jnp.asarray([toks], jnp.int32)
+        if not self.is_xl:
+            return self._text(params=self.params, tokens=tok)
+        # SDXL: concat penultimate hidden of both towers; pooled from the
+        # bigG tower's EOT token through text_projection
+        cfg = self.cfg
+        h1 = self._text(params=self.params, tokens=tok, skip_last=1,
+                        final_ln=False)
+        h2 = self._text(params=self.params, tokens=tok, prefix="text2.",
+                        n_layers=cfg.text2_layers, n_heads=cfg.text2_heads,
+                        skip_last=1, final_ln=False)
+        ctx = jnp.concatenate([h1, h2], axis=-1)
+        full2 = self._text(params=self.params, tokens=tok, prefix="text2.",
+                           n_layers=cfg.text2_layers, n_heads=cfg.text2_heads)
+        pooled = full2[:, eot] @ self.params["text2.projection"].T
+        return ctx, pooled
 
     def txt2img(self, prompt: str, negative_prompt: str = "", width: int = 512,
                 height: int = 512, steps: int = 20, cfg_scale: float = 7.0,
@@ -439,10 +507,25 @@ class SDModel:
         else:
             h, w = height // 8, width // 8
 
-        kd = KDiffusion(
-            lambda x, t, c: self._unet(params=self.params, latents=x, t=t,
-                                       context=c),
-            self.alphas_cum)
+        if self.is_xl:
+            # micro-conditioning: (orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w)
+            tids = jnp.asarray([[h * 8, w * 8, 0, 0, h * 8, w * 8]], jnp.float32)
+            cond_ctx, cond_pool = cond
+            un = uncond if uncond is not None else (None, None)
+
+            def denoise_fn(x, t, c):
+                ctx, pool = c
+                return self._unet(params=self.params, latents=x, t=t,
+                                  context=ctx, pooled=pool, time_ids=tids)
+
+            kd = KDiffusion(denoise_fn, self.alphas_cum)
+            cond = (cond_ctx, cond_pool)
+            uncond = un if un[0] is not None else None
+        else:
+            kd = KDiffusion(
+                lambda x, t, c: self._unet(params=self.params, latents=x, t=t,
+                                           context=c),
+                self.alphas_cum)
         n_sig = max(2, int(steps * denoise)) if init_latents is not None else steps
         sigmas = np.append(karras_sigmas(steps), 0.0).astype(np.float32)
         if init_latents is not None:  # img2img: start part-way down the ladder
@@ -505,27 +588,36 @@ def init_random_sd_params(cfg: SDConfig, seed: int = 0,
         if i != o:
             conv(pre + "conv_shortcut", o, i, k=1)
 
-    def st(pre, ch):
+    def st(pre, ch, lvl=0):
         gn(pre + "norm", ch)
-        conv(pre + "proj_in", ch, ch, k=1)
-        tb = pre + "transformer_blocks.0."
-        for n in ("norm1", "norm2", "norm3"):
-            gn(tb + n, ch)
-        for n in ("attn1.to_q", "attn1.to_k", "attn1.to_v", "attn1.to_out.0"):
-            lin(tb + n, ch, ch)
-        lin(tb + "attn2.to_q", ch, ch)
-        lin(tb + "attn2.to_k", ch, cfg.context_dim)
-        lin(tb + "attn2.to_v", ch, cfg.context_dim)
-        lin(tb + "attn2.to_out.0", ch, ch)
-        lin(tb + "ff.net.0.proj", 8 * ch, ch)
-        lin(tb + "ff.net.2", ch, 4 * ch)
-        conv(pre + "proj_out", ch, ch, k=1)
+        if cfg.linear_proj:
+            lin(pre + "proj_in", ch, ch)
+            lin(pre + "proj_out", ch, ch)
+        else:
+            conv(pre + "proj_in", ch, ch, k=1)
+            conv(pre + "proj_out", ch, ch, k=1)
+        depth = cfg.transformer_depth[lvl] if cfg.transformer_depth else 1
+        for di in range(depth):
+            tb = pre + f"transformer_blocks.{di}."
+            for n in ("norm1", "norm2", "norm3"):
+                gn(tb + n, ch)
+            for n in ("attn1.to_q", "attn1.to_k", "attn1.to_v", "attn1.to_out.0"):
+                lin(tb + n, ch, ch)
+            lin(tb + "attn2.to_q", ch, ch)
+            lin(tb + "attn2.to_k", ch, cfg.context_dim)
+            lin(tb + "attn2.to_v", ch, cfg.context_dim)
+            lin(tb + "attn2.to_out.0", ch, ch)
+            lin(tb + "ff.net.0.proj", 8 * ch, ch)
+            lin(tb + "ff.net.2", ch, 4 * ch)
 
     # ---- UNet ----
     mc = cfg.model_channels
     tdim = mc * 4
     lin("time_embedding.linear_1", tdim, mc)
     lin("time_embedding.linear_2", tdim, tdim)
+    if cfg.add_embed_dim:  # SDXL micro-conditioning MLP
+        lin("add_embedding.linear_1", tdim, cfg.add_embed_dim)
+        lin("add_embedding.linear_2", tdim, tdim)
     conv("conv_in", mc, cfg.in_channels)
     chs = [mc]
     ch = mc
@@ -536,13 +628,13 @@ def init_random_sd_params(cfg: SDConfig, seed: int = 0,
             resnet(f"down_blocks.{lvl}.resnets.{ri}.", ch, out, tdim)
             ch = out
             if lvl in cfg.attn_levels:
-                st(f"down_blocks.{lvl}.attentions.{ri}.", ch)
+                st(f"down_blocks.{lvl}.attentions.{ri}.", ch, lvl)
             chs.append(ch)
         if lvl < n_levels - 1:
             conv(f"down_blocks.{lvl}.downsamplers.0.conv", ch, ch)
             chs.append(ch)
     resnet("mid_block.resnets.0.", ch, ch, tdim)
-    st("mid_block.attentions.0.", ch)
+    st("mid_block.attentions.0.", ch, n_levels - 1)
     resnet("mid_block.resnets.1.", ch, ch, tdim)
     for ui, lvl in enumerate(reversed(range(n_levels))):
         out = mc * cfg.channel_mult[lvl]
@@ -551,7 +643,7 @@ def init_random_sd_params(cfg: SDConfig, seed: int = 0,
             resnet(f"up_blocks.{ui}.resnets.{ri}.", ch + skip, out, tdim)
             ch = out
             if lvl in cfg.attn_levels:
-                st(f"up_blocks.{ui}.attentions.{ri}.", ch)
+                st(f"up_blocks.{ui}.attentions.{ri}.", ch, lvl)
         if lvl > 0:
             conv(f"up_blocks.{ui}.upsamplers.0.conv", ch, ch)
     gn("conv_norm_out", ch)
@@ -570,6 +662,20 @@ def init_random_sd_params(cfg: SDConfig, seed: int = 0,
         lin(pre + "fc1", 4 * d, d)
         lin(pre + "fc2", d, 4 * d)
     gn("text.ln_final", d)
+    if cfg.text2_layers:  # SDXL bigG tower + projection
+        d2 = cfg.text2_dim
+        p["text2.tok_embd"] = W((cfg.text_vocab, d2))
+        p["text2.pos_embd"] = W((cfg.text_ctx, d2))
+        for i in range(cfg.text2_layers):
+            pre = f"text2.{i}."
+            gn(pre + "ln1", d2)
+            gn(pre + "ln2", d2)
+            for n in ("q", "k", "v", "out"):
+                lin(pre + n, d2, d2)
+            lin(pre + "fc1", 4 * d2, d2)
+            lin(pre + "fc2", d2, 4 * d2)
+        gn("text2.ln_final", d2)
+        p["text2.projection"] = W((cfg.pooled_dim or d2, d2))
 
     # ---- VAE encoder ----
     vch = cfg.vae_ch
@@ -670,6 +776,16 @@ def load_sd(path: str, loras: list[tuple[str, float]] | None = None) -> SDModel:
             latent_channels=int(md.get("sd.latent_channels", 4)),
             vae_ch_mult=tuple(int(x) for x in
                               np.asarray(md.get("sd.vae.ch_mult", [1, 2, 4, 4]))),
+            transformer_depth=tuple(int(x) for x in
+                                    np.asarray(md.get("sd.unet.transformer_depth",
+                                                      []))),
+            attn_head_dim=int(md.get("sd.unet.attn_head_dim", 0)),
+            linear_proj=bool(md.get("sd.unet.linear_proj", False)),
+            add_embed_dim=int(md.get("sd.unet.add_embed_dim", 0)),
+            pooled_dim=int(md.get("sd.text2.pooled_dim", 0)),
+            text2_dim=int(md.get("sd.text2.dim", 0)),
+            text2_layers=int(md.get("sd.text2.layers", 0)),
+            text2_heads=int(md.get("sd.text2.heads", 0)),
             channel_mult=tuple(int(x) for x in
                                np.asarray(md.get("sd.unet.channel_mult", [1, 2, 4, 4]))),
             attn_levels=tuple(int(x) for x in
