@@ -52,9 +52,18 @@ class RWKVTokenizer:
         self.vocab = vocab
         self.token_bytes: list[bytes] = [
             unescape_rwkv_token(t) for t in vocab.tokens]
+        skip = [not bs or vocab.is_control(tid)
+                for tid, bs in enumerate(self.token_bytes)]
+        self._native = None
+        try:  # C++ trie core (native/trie_tokenizer.cpp)
+            from ..utils.native import NativeTrie
+
+            self._native = NativeTrie(self.token_bytes, skip=skip)
+        except Exception:
+            pass
         self.root = _TrieNode()
         for tid, bs in enumerate(self.token_bytes):
-            if not bs or vocab.is_control(tid):
+            if skip[tid]:
                 continue
             node = self.root
             for b in bs:
@@ -63,6 +72,8 @@ class RWKVTokenizer:
 
     def encode_fragment(self, text: str) -> list[int]:
         data = text.encode("utf-8")
+        if self._native is not None:
+            return self._native.rwkv_encode(data)
         out: list[int] = []
         i = 0
         n = len(data)

@@ -113,6 +113,22 @@ class UGMTokenizer:
         self.unknown_score = (min_score if min_score != float("inf") else 0.0
                               ) - UNKNOWN_PENALTY
         self._ud_prefixes = sorted(self.user_defined, key=len, reverse=True)
+        self._native = None
+        try:  # C++ Viterbi core (native/trie_tokenizer.cpp); normalization
+            # stays host-side, the native side gets pre-normalized bytes
+            from ..utils.native import NativeTrie
+
+            eff_scores = [0.0 if tt[i] == TokenType.USER_DEFINED
+                          else float(vocab.scores[i])
+                          for i in range(len(vocab.tokens))]
+            skip = [tt[i] not in (TokenType.NORMAL, TokenType.USER_DEFINED,
+                                  TokenType.UNUSED)
+                    for i in range(len(vocab.tokens))]
+            self._native = NativeTrie(
+                [t.encode("utf-8") for t in vocab.tokens],
+                scores=eff_scores, skip=skip)
+        except Exception:
+            pass
 
     # -- normalization ----------------------------------------------------
     def _normalize_prefix(self, data: bytes, off: int) -> tuple[bytes, int]:
@@ -162,6 +178,8 @@ class UGMTokenizer:
         n = len(data)
         if n == 0:
             return []
+        if self._native is not None:
+            return self._native.ugm_encode(data, v.unk_id, self.unknown_score)
         NEG = float("-inf")
         # (token_id, start_offset, score)
         best: list[tuple[int, int, float]] = [(v.unk_id, 0, NEG)] * (n + 1)

@@ -64,8 +64,69 @@ def get_lib():
     lib.kcpp_spm_free.restype = None
     lib.kcpp_spm_encode.argtypes = [i64, ctypes.c_char_p, i64, p_i32]
     lib.kcpp_spm_encode.restype = i64
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.kcpp_trie_new.argtypes = [p_u8, p_i64, p_f32, p_u8, i64]
+    lib.kcpp_trie_new.restype = i64
+    lib.kcpp_trie_free.argtypes = [i64]
+    lib.kcpp_trie_free.restype = None
+    lib.kcpp_rwkv_encode.argtypes = [i64, p_u8, i64, p_i32, i64]
+    lib.kcpp_rwkv_encode.restype = i64
+    lib.kcpp_ugm_encode.argtypes = [i64, p_u8, i64, ctypes.c_int32,
+                                    ctypes.c_float, p_i32, i64]
+    lib.kcpp_ugm_encode.restype = i64
     _lib = lib
     return lib
+
+
+class NativeTrie:
+    """Handle to a C++ byte-trie tokenizer core (native/trie_tokenizer.cpp):
+    greedy longest-match (RWKV) and UGM Viterbi over pre-normalized bytes."""
+
+    def __init__(self, token_bytes: list[bytes], scores=None, skip=None):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        blob = b"".join(token_bytes)
+        offsets = np.zeros(len(token_bytes) + 1, np.int64)
+        np.cumsum([len(b) for b in token_bytes], out=offsets[1:])
+        self._blob = np.frombuffer(blob, np.uint8) if blob else np.zeros(1, np.uint8)
+        self._offsets = offsets
+        sc = (np.asarray(scores, np.float32) if scores is not None else None)
+        sk = (np.asarray(skip, np.uint8) if skip is not None
+              else np.zeros(len(token_bytes), np.uint8))
+        self._handle = lib.kcpp_trie_new(
+            self._blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sc.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            if sc is not None else None,
+            sk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(token_bytes))
+
+    def rwkv_encode(self, data: bytes) -> list[int]:
+        arr = np.frombuffer(data, np.uint8) if data else np.zeros(0, np.uint8)
+        out = np.zeros(max(len(data), 1), np.int32)
+        n = self._lib.kcpp_rwkv_encode(
+            self._handle,
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(out))
+        return out[:n].tolist()
+
+    def ugm_encode(self, data: bytes, unk_id: int, unk_score: float) -> list[int]:
+        if not data:
+            return []
+        arr = np.frombuffer(data, np.uint8)
+        out = np.zeros(len(data) + 1, np.int32)
+        n = self._lib.kcpp_ugm_encode(
+            self._handle,
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+            unk_id, unk_score,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(out))
+        return out[:n].tolist()
+
+    def __del__(self):
+        if getattr(self, "_handle", None) is not None and self._lib:
+            self._lib.kcpp_trie_free(self._handle)
 
 
 class NativeSPM:

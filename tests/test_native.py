@@ -91,3 +91,42 @@ def test_native_spm_matches_python():
         tok2 = SPMTokenizer(vocab)
         tok._native = tok2._native
         assert native_ids == py_ids, f"mismatch on {t!r}"
+
+
+def test_native_trie_rwkv_matches_python():
+    from koboldcpp_tpu.tokenizers.rwkv import RWKVTokenizer
+    from koboldcpp_tpu.tokenizers.vocab import vocab_from_metadata
+    import numpy as np
+
+    tokens = ["<s>", "h", "e", "l", "o", " ", "he", "hell", "hello", "ll",
+              r"\xe4\xb8\xad", "wo", "r", "d", "world"]
+    md = {"tokenizer.ggml.model": "rwkv", "tokenizer.ggml.tokens": tokens,
+          "tokenizer.ggml.token_type": np.array([3] + [1] * 14, np.int32),
+          "tokenizer.ggml.bos_token_id": np.uint32(0),
+          "tokenizer.ggml.eos_token_id": np.uint32(0),
+          "tokenizer.ggml.add_bos_token": False}
+    tk = RWKVTokenizer(vocab_from_metadata(md))
+    assert tk._native is not None, "native trie should build here"
+    for text in ("hello world", "中 hello", "zzz", ""):
+        native = tk.encode_fragment(text)
+        tk2 = RWKVTokenizer(vocab_from_metadata(md))
+        tk2._native = None
+        assert native == tk2.encode_fragment(text), text
+
+
+def test_native_trie_ugm_matches_python():
+    from koboldcpp_tpu.tokenizers.ugm import UGMTokenizer
+    from koboldcpp_tpu.tokenizers.vocab import vocab_from_metadata
+    import numpy as np
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_ugm import ugm_md
+
+    tk = UGMTokenizer(vocab_from_metadata(ugm_md()))
+    assert tk._native is not None
+    for text in ("the quick brown fox", "qqqq", "the ZZZ fox", "fox fox   fox"):
+        native = tk.encode_fragment(text)
+        tk2 = UGMTokenizer(vocab_from_metadata(ugm_md()))
+        tk2._native = None
+        python = tk2.encode_fragment(text)
+        assert native == python, (text, native, python)
