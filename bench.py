@@ -151,6 +151,33 @@ def main():
     hbm_bw = 819e9  # v5e HBM ~819 GB/s
     roofline_tps = hbm_bw / (weight_bytes + kv_bytes)
 
+    # ---- served greedy throughput (engine fast path, host in the loop) ----
+    served_tps = 0.0
+    try:
+        from koboldcpp_tpu.engine.engine import Engine, GenParams
+        from koboldcpp_tpu.models.loader import Model
+        from koboldcpp_tpu.sampling.samplers import SamplerParams
+        from koboldcpp_tpu.tokenizers import Tokenizer
+        from koboldcpp_tpu.tokenizers.vocab import vocab_from_metadata
+
+        md = {"tokenizer.ggml.model": "gpt2",
+              "tokenizer.ggml.tokens": [f"tok{i}" for i in range(cfg.vocab_size)],
+              "tokenizer.ggml.token_type": np.full(cfg.vocab_size, 1, np.int32),
+              "tokenizer.ggml.bos_token_id": np.uint32(1),
+              "tokenizer.ggml.eos_token_id": np.uint32(2),
+              "tokenizer.ggml.add_bos_token": False}
+        model = Model(cfg, params, Tokenizer(vocab_from_metadata(md)))
+        eng = Engine(model, max_context=max_seq)
+        gp = GenParams(max_length=64,
+                       sampler=SamplerParams(temperature=0.0, rep_pen=1.0))
+        eng.generate([1, 5, 9], gp)  # warm
+        eng.reset_context()
+        t0 = time.perf_counter()
+        r = eng.generate([1, 5, 9], gp)
+        served_tps = len(r.tokens) / (time.perf_counter() - t0)
+    except Exception:
+        pass
+
     result = {
         "metric": "decode_tokens_per_sec_tinyllama1.1b_q4k_1chip",
         "value": round(decode_tps, 2),
@@ -166,6 +193,7 @@ def main():
             "first_call_s": round(prefill_first_s, 2),
             "decode_compile_s": round(decode_compile_s, 2),
             "scan_layers": use_scan,
+            "served_greedy_tps": round(served_tps, 1),
             "tunnel_latency_ms": round(latency * 1e3, 1),
             "device": str(jax.devices()[0]),
         },

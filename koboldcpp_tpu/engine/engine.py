@@ -32,6 +32,7 @@ from ..ops.rope import rope_frequencies
 from ..sampling import SamplerParams, build_dry_sequences, make_state, sample_logits
 
 PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512)
+FAST_DECODE_K = 8  # tokens per device call on the greedy fast path
 
 
 @dataclass
@@ -176,11 +177,33 @@ class Engine:
                 donate_argnames=("cache",))
             self.use_flash_prefill = False
         else:
+            self._std_path = True  # llama-family forward: greedy fast path ok
             self._forward = jax.jit(
                 partial(model_llama.forward, cfg=self.cfg, last_only=True),
                 static_argnames=(),
                 donate_argnames=("cache",),
             )
+
+            def _greedy_chunk(params, logits0, cache, start_pos, ban_mask):
+                """K greedy tokens per device call (amortizes host-device
+                round trips; the reference pays one C call per token but no
+                PCIe hop — on a tunneled TPU each hop is ~25 ms)."""
+                def body(i, carry):
+                    logits, cache, toks = carry
+                    nxt = jnp.argmax(logits + ban_mask).astype(jnp.int32)
+                    toks = toks.at[i].set(nxt)
+                    new_logits, cache = model_llama.forward(
+                        params, self.cfg, nxt[None, None],
+                        jnp.full((1, 1), start_pos + i, jnp.int32),
+                        cache, last_only=True)
+                    return new_logits[0, -1], cache, toks
+                logits, cache, toks = jax.lax.fori_loop(
+                    0, FAST_DECODE_K, body,
+                    (logits0, cache, jnp.zeros((FAST_DECODE_K,), jnp.int32)))
+                return toks, logits, cache
+
+            self._greedy_chunk = jax.jit(_greedy_chunk,
+                                         donate_argnames=("cache",))
             self._forward_flash = jax.jit(
                 partial(model_llama.forward, cfg=self.cfg, flash_prefill=True),
                 static_argnames=(),
@@ -430,6 +453,24 @@ class Engine:
         self.cache = _kv_shift_jit(self.cache, start, end, n_used, freqs,
                                    self.cfg.rope_type, self.cfg.rope_dim)
 
+    def _fast_greedy_ok(self, params: GenParams, grammar) -> bool:
+        """Device-side K-token greedy decode is bit-identical to the host
+        loop only when no logit-modifying host sampler is active (at temp 0
+        rep-pen/DRY/bias/XTC/mirostat can change the argmax); token bans are
+        handled with an on-device mask. Disable with KCPP_FAST_DECODE=0."""
+        import os
+
+        if os.environ.get("KCPP_FAST_DECODE", "1") != "1":
+            return False
+        if not getattr(self, "_std_path", False):
+            return False
+        sp = params.sampler
+        return (grammar is None and not params.banned_phrases
+                and sp.temperature == 0.0 and sp.rep_pen == 1.0
+                and sp.presence_penalty == 0.0 and sp.dry_multiplier == 0.0
+                and not sp.logit_biases and sp.xtc_probability == 0.0
+                and sp.mirostat == 0)
+
     # -- grammar -----------------------------------------------------------
     def _get_grammar(self, params: GenParams) -> TokenFilter | None:
         if not params.grammar:
@@ -555,6 +596,56 @@ class Engine:
             stream_delay = 3 + max(
                 (len(tk.encode(p)) for p in params.banned_phrases), default=0)
         stream_q: list[tuple[int, int, str]] = []  # (token_index, tok, piece)
+
+        if self._fast_greedy_ok(params, grammar):
+            # ---- device-side greedy chunks (FAST_DECODE_K tokens/call) ----
+            ban = np.zeros(self.cfg.vocab_size, np.float32)
+            for b in sampler_banned:
+                if 0 <= b < self.cfg.vocab_size:
+                    ban[b] = np.float32(-1e30)
+            ban_mask = jnp.asarray(ban)
+            logits_dev = jnp.asarray(logits)
+            done = False
+            while len(out_tokens) < max_len and not done:
+                if self.abort_event.is_set():
+                    stop_reason = "abort"
+                    break
+                toks, logits_dev, self.cache = self._greedy_chunk(
+                    self.model.params, logits_dev, self.cache,
+                    len(self.context_tokens), ban_mask)
+                for tok in np.asarray(toks).tolist():
+                    if self.abort_event.is_set():
+                        stop_reason = "abort"
+                        done = True
+                        break
+                    if len(out_tokens) >= max_len:
+                        done = True
+                        break
+                    out_tokens.append(tok)
+                    piece = utf8.decode(
+                        tk.decode_token_bytes(tok, skip_special=False))
+                    if piece:
+                        out_text += piece
+                        self.stream_tokens.append(piece)
+                        if on_token:
+                            on_token(tok, piece)
+                    if not params.bypass_eos and tok in eos_ids:
+                        stop_reason = "eos"
+                        done = True
+                        break
+                    if params.stop_sequences:
+                        hit = _find_stop(out_text, params.stop_sequences)
+                        if hit is not None:
+                            if params.trim_stop:
+                                out_text = out_text[:hit]
+                            stop_reason = "stop_sequence"
+                            done = True
+                            break
+                    self.context_tokens.append(tok)
+            # chunk overshoot beyond a stop wrote cache slots past
+            # len(context_tokens); slot==position masking makes them
+            # invisible and later tokens overwrite them
+            max_len = 0  # skip the host loop below
 
         for _ in range(max_len):
             if self.abort_event.is_set():

@@ -251,6 +251,11 @@ async def _sse_stream(state: ServerState, request: web.Request, genparams: dict,
             await emit(piece)
 
         result = await task
+        if gen is None and result.get("text"):
+            # generation completed before the poller attached (device-side
+            # chunked decode can finish in one call): deliver the text as a
+            # single message event rather than dropping it
+            await emit(result["text"])
         finish = "stop" if result.get("stopreason") in ("eos", "stop_sequence") else "length"
         await emit("", finish_reason=finish)
         if api_format in (3, 4):

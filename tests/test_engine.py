@@ -269,3 +269,36 @@ def test_antislop_phrase_ban(engine):
     engine.reset_context()
     r3 = engine.generate([1, 5, 9], greedy(max_length=8, banned_phrases=[phrase]))
     assert r3.tokens == r2.tokens
+
+
+def test_fast_greedy_matches_host_loop(engine):
+    """Device-side K-token greedy chunks produce bit-identical output to the
+    per-token host loop (incl. eos handling and context bookkeeping)."""
+    import os
+
+    from koboldcpp_tpu.engine.engine import Engine, GenParams
+    from koboldcpp_tpu.sampling.samplers import SamplerParams
+
+    sp = SamplerParams(temperature=0.0, rep_pen=1.0, dry_multiplier=0.0)
+    params = GenParams(max_length=13, sampler=sp, use_default_badwordsids=True)
+    engine_model = engine.model
+
+    eng1 = Engine(engine_model, max_context=128, cache_dtype=jnp.float32)
+    r_fast = eng1.generate([1, 5, 9, 42], params)
+    ctx_fast = list(eng1.context_tokens)
+
+    os.environ["KCPP_FAST_DECODE"] = "0"
+    try:
+        eng2 = Engine(engine_model, max_context=128, cache_dtype=jnp.float32)
+        r_host = eng2.generate([1, 5, 9, 42], params)
+        ctx_host = list(eng2.context_tokens)
+    finally:
+        os.environ.pop("KCPP_FAST_DECODE", None)
+
+    assert r_fast.tokens == r_host.tokens
+    assert r_fast.text == r_host.text
+    assert ctx_fast == ctx_host
+    # follow-up request fast-forwards identically after a chunked generation
+    r2 = eng1.generate(ctx_fast + [7], params)
+    r3 = eng2.generate(ctx_host + [7], params)
+    assert r2.tokens == r3.tokens
