@@ -148,7 +148,7 @@ class Engine:
         self.generation_finished = True
 
         if self.embedding:
-            if self.cfg.arch == "bert":
+            if self.cfg.arch in ("bert", "nomic-bert", "jina-bert-v2"):
                 from ..models import bert as _emb
 
                 self._embed_fn = jax.jit(

@@ -8,6 +8,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Mapping
 
+import numpy as np
+
 from ..gguf.constants import Keys
 
 
@@ -15,8 +17,16 @@ def _get(md: Mapping[str, Any], key: str, arch: str, default=None):
     v = md.get(key.format(arch=arch), default)
     try:
         return v.item()  # numpy scalar
-    except AttributeError:
+    except (AttributeError, ValueError):
         return v
+
+
+def _int_max(v, default: int) -> int:
+    """Scalar int, or max over a per-layer array (openelm head counts)."""
+    if v is None:
+        return default
+    a = np.atleast_1d(np.asarray(v))
+    return int(a.max())
 
 
 @dataclass
@@ -87,7 +97,7 @@ class ModelConfig:
     def is_embedding(self) -> bool:
         """Encoder-only embedding archs (served via the embeddings
         endpoints, not the generation loop)."""
-        return self.arch in ("bert", "t5encoder")
+        return self.arch in ("bert", "t5encoder", "nomic-bert", "jina-bert-v2")
 
     @property
     def is_recurrent(self) -> bool:
@@ -97,17 +107,19 @@ class ModelConfig:
 
 
 # archs whose GGUF weights expect NEOX-style (split-half) rope
+# (llama_rope_type, /root/reference/src/llama.cpp:19687-19745)
 _NEOX_ROPE_ARCHS = {
     "falcon", "gptneox", "qwen", "qwen2", "qwen2moe", "phi2", "phi3", "stablelm",
     "gemma", "gemma2", "starcoder2", "olmo", "olmoe", "minicpm3", "deepseek2",
-    "dbrx", "nemotron",
+    "dbrx", "nemotron", "exaone", "codeshell", "openelm", "grok", "bitnet",
+    "nomic-bert",
 }
 
 
 def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
     arch = str(md.get(Keys.General.ARCHITECTURE, "llama"))
     hidden = int(_get(md, Keys.EMBEDDING_LENGTH, arch, 4096))
-    n_heads = int(_get(md, Keys.HEAD_COUNT, arch, 32))
+    n_heads = _int_max(_get(md, Keys.HEAD_COUNT, arch, None), 32)
     head_dim = int(_get(md, Keys.KEY_LENGTH, arch, hidden // max(n_heads, 1)) or hidden // n_heads)
     n_layers = int(_get(md, Keys.BLOCK_COUNT, arch, 32))
     tokens = md.get(Keys.Tokenizer.TOKENS)
@@ -231,6 +243,60 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
             norm_type="layer", use_rope=False,
             extras={"rescale_every": int(_get(
                 md, "{arch}.rescale_every_n_layers", arch, 0) or 0)})
+    elif arch == "refact":
+        # build_refact (/root/reference/src/llama.cpp:11345): rms + gated silu
+        # like llama but NO rope; ALiBi max bias hardcoded 8.0 (:5623)
+        extras = dict(use_rope=False, use_alibi=True)
+    elif arch == "plamo":
+        # build_plamo (:12657): single attn_norm feeds BOTH attention and FFN;
+        # layer out = x + attn_out + ffn_out (no second norm)
+        extras = dict(extras={"plamo_parallel": True})
+    elif arch == "codeshell":
+        # build_codeshell (:12866): starcoder-style LN+bias / non-gated gelu
+        # FFN with biases, but NEOX rope instead of learned positions
+        extras = dict(norm_type="layer", ffn_gated=False, act="gelu")
+    elif arch == "grok":
+        # build_grok (:10958): embd x78.38367176906169, kq_scale 1.0, GELU MoE,
+        # rms post-norms on attention and MoE outputs, logits x(1/sqrt(3))
+        extras = dict(embedding_scale=78.38367176906169, attn_scale=1.0,
+                      logit_scale=0.5773502691896257,
+                      extras={"moe_act": "gelu"})
+    elif arch == "jais":
+        # build_jais (:15507): LN+bias, fused wqkv, ALiBi (metadata max bias),
+        # gated-silu FFN with biases on gate/up/down, kq_scale = 1/head_dim
+        hd = int(_get(md, Keys.KEY_LENGTH, arch, hidden // max(n_heads, 1))
+                 or hidden // n_heads)
+        extras = dict(norm_type="layer", use_rope=False, use_alibi=True,
+                      attn_scale=1.0 / hd,
+                      alibi_bias_max=float(_get(
+                          md, "{arch}.attention.max_alibi_bias", arch, 8.0) or 8.0))
+    elif arch == "bitnet":
+        # build_bitnet (:15020): optional scalar weight-scales per projection,
+        # rms sub-norms before wo and before ffn_down, tied lm head
+        extras = dict(extras={"bitnet": True})
+    elif arch == "openelm":
+        # build_openelm (:14393): per-layer head counts, head-major fused
+        # wqkv, per-head-dim QK RMSNorm, NEOX rope, tied lm head
+        hc = md.get(Keys.HEAD_COUNT.format(arch=arch))
+        kvc = md.get(Keys.HEAD_COUNT_KV.format(arch=arch))
+        hc = [int(x) for x in np.atleast_1d(np.asarray(hc))]
+        kvc = [int(x) for x in np.atleast_1d(np.asarray(kvc))]
+        n_heads = max(hc)
+        extras = dict(extras={"head_counts": hc, "kv_head_counts": kvc,
+                              "qk_head_rms": True})
+    elif arch == "nomic-bert":
+        # build_bert NOMIC_BERT branch (:11507): post-norm encoder with NEOX
+        # rope (no learned positions), fused unbias wqkv, gated-silu FFN
+        extras = dict(norm_type="layer", ffn_gated=True, act="silu",
+                      extras={"pooling": int(_get(
+                          md, "{arch}.pooling_type", arch, 1) or 1)})
+    elif arch == "jina-bert-v2":
+        # build_bert JINA_BERT_V2 branch: post-norm encoder, ALiBi (8.0,
+        # :5652), gated-gelu FFN with down bias, optional QK LayerNorm
+        extras = dict(norm_type="layer", use_rope=False, use_alibi=True,
+                      ffn_gated=True, act="gelu",
+                      extras={"pooling": int(_get(
+                          md, "{arch}.pooling_type", arch, 1) or 1)})
     elif arch == "mpt":
         extras = dict(norm_type="layer", ffn_gated=False, act="gelu_exact",
                       use_rope=False, use_alibi=True,
@@ -245,9 +311,10 @@ def config_from_metadata(md: Mapping[str, Any]) -> ModelConfig:
         hidden_size=hidden,
         n_layers=n_layers,
         n_heads=n_heads,
-        n_kv_heads=int(_get(md, Keys.HEAD_COUNT_KV, arch, n_heads)),
+        n_kv_heads=_int_max(_get(md, Keys.HEAD_COUNT_KV, arch, None), n_heads),
         head_dim=head_dim,
-        intermediate_size=int(_get(md, Keys.FEED_FORWARD_LENGTH, arch, 11008)),
+        intermediate_size=_int_max(
+            _get(md, Keys.FEED_FORWARD_LENGTH, arch, None), 11008),
         max_position_embeddings=int(_get(md, Keys.CONTEXT_LENGTH, arch, 4096)),
         rms_norm_eps=float(_get(md, Keys.LAYERNORM_RMS_EPS, arch,
                                 _get(md, Keys.LAYERNORM_EPS, arch, 1e-5))),

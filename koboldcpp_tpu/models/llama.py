@@ -113,8 +113,15 @@ def alibi_slopes(n_heads: int, bias_max: float = 8.0) -> jnp.ndarray:
     return slopes
 
 
+def _scaled(y: jnp.ndarray, layer: Params, key: str) -> jnp.ndarray:
+    """bitnet per-projection scalar weight scale (wq_scale & co,
+    build_bitnet, /root/reference/src/llama.cpp:15048-15145)."""
+    s = layer.get(key)
+    return y if s is None else y * s.astype(y.dtype)
+
+
 def _ffn(x: jnp.ndarray, layer: Params, act_name: str = "silu",
-         gated: bool = True) -> jnp.ndarray:
+         gated: bool = True, eps: float = 1e-5) -> jnp.ndarray:
     actf = {"silu": jax.nn.silu,
             "gelu_exact": partial(jax.nn.gelu, approximate=False),
             "relu2": lambda v: jnp.square(jax.nn.relu(v))}.get(
@@ -133,10 +140,19 @@ def _ffn(x: jnp.ndarray, layer: Params, act_name: str = "silu",
         F = gu.shape[-1] // 2
         gate, up = gu[..., :F], gu[..., F:]
     else:
-        gate = linear.matmul(x, layer["w_gate"])
-        up = linear.matmul(x, layer["w_up"])
+        gate = _scaled(linear.matmul(x, layer["w_gate"]), layer, "ffn_gate_scale")
+        up = _scaled(linear.matmul(x, layer["w_up"]), layer, "ffn_up_scale")
+    if "b_gate" in layer:  # jais gated FFN carries biases on all three mats
+        gate = gate + layer["b_gate"].astype(gate.dtype)
+    if "b_up" in layer:
+        up = up + layer["b_up"].astype(up.dtype)
     act = actf(gate.astype(jnp.float32)).astype(x.dtype) * up
-    return linear.matmul(act, layer["w_down"])
+    if "ffn_sub_norm" in layer:  # bitnet: rms between activation and down-proj
+        act = rms_norm(act, layer["ffn_sub_norm"], eps)
+    down = _scaled(linear.matmul(act, layer["w_down"]), layer, "ffn_down_scale")
+    if "b_down" in layer:
+        down = down + layer["b_down"].astype(down.dtype)
+    return down
 
 
 def _moe_ffn(x: jnp.ndarray, layer: Params, cfg: ModelConfig) -> jnp.ndarray:
@@ -152,6 +168,8 @@ def _moe_ffn(x: jnp.ndarray, layer: Params, cfg: ModelConfig) -> jnp.ndarray:
       expert parallelism without ragged all-to-all.
     """
     B, T, C = x.shape
+    moe_act = {"gelu": partial(jax.nn.gelu, approximate=True)}.get(
+        (cfg.extras or {}).get("moe_act", "silu"), jax.nn.silu)  # grok: GELU
     xt = x.reshape(-1, C)
     router = linear.matmul(xt, layer["ffn_gate_inp"]).astype(jnp.float32)  # (N, E)
     weights = jax.nn.softmax(router, axis=-1)
@@ -170,7 +188,7 @@ def _moe_ffn(x: jnp.ndarray, layer: Params, cfg: ModelConfig) -> jnp.ndarray:
         dense_w = dense_w.at[jnp.arange(xt.shape[0])[:, None], topi].set(topw)
         g = jnp.einsum("nc,efc->nef", xt, wg, preferred_element_type=jnp.float32)
         u = jnp.einsum("nc,efc->nef", xt, wu, preferred_element_type=jnp.float32)
-        a = (jax.nn.silu(g) * u).astype(xt.dtype)
+        a = (moe_act(g) * u).astype(xt.dtype)
         d = jnp.einsum("nef,ecf->nec", a, wd, preferred_element_type=jnp.float32)
         out = jnp.einsum("nec,ne->nc", d, dense_w)
     else:
@@ -178,7 +196,7 @@ def _moe_ffn(x: jnp.ndarray, layer: Params, cfg: ModelConfig) -> jnp.ndarray:
                        preferred_element_type=jnp.float32)
         u = jnp.einsum("nc,nkfc->nkf", xt, wu[topi],
                        preferred_element_type=jnp.float32)
-        a = jax.nn.silu(g) * u
+        a = moe_act(g) * u
         d = jnp.einsum("nkf,nkcf->nkc", a.astype(xt.dtype), wd[topi],
                        preferred_element_type=jnp.float32)
         out = jnp.einsum("nkc,nk->nc", d, topw)
@@ -243,9 +261,24 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         alibi = (alibi_slopes(cfg.n_heads, cfg.alibi_bias_max)[None, :, None, None]
                  * dist[:, None, :, :])  # (B, H, T, S)
     swin_norm = bool(cfg.extras.get("swin_norm")) if cfg.extras else False
+    ex = cfg.extras or {}
+    head_counts = ex.get("head_counts")  # openelm per-layer head counts
+    kv_head_counts = ex.get("kv_head_counts")
     for li, layer in enumerate(params["layers"]):
+        x0 = x  # layer input (arctic MoE branch reads it, build_arctic :14750)
+        nh = head_counts[li] if head_counts else cfg.n_heads
+        nkv = kv_head_counts[li] if kv_head_counts else cfg.n_kv_heads
         h = x if swin_norm else _norm(x, layer, "attn_norm", cfg)
-        if "wqkv" in layer:  # fused projection (one kernel launch)
+        if "wqkv" in layer and head_counts:
+            # openelm head-major fused projection: rows ordered
+            # [q heads | k heads | v heads] of head_dim each (build_openelm,
+            # src/llama.cpp:14425-14437)
+            qkv = linear.matmul(h, layer["wqkv"])
+            qkv = qkv.reshape(B, T, nh + 2 * nkv, cfg.head_dim)
+            q = qkv[:, :, :nh]
+            k = qkv[:, :, nh:nh + nkv]
+            v = qkv[:, :, nh + nkv:]
+        elif "wqkv" in layer:  # fused projection (one kernel launch)
             qkv = linear.matmul(h, layer["wqkv"])
             if "bqkv" in layer:
                 qkv = qkv + layer["bqkv"].astype(qkv.dtype)
@@ -253,9 +286,9 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             k = qkv[..., qdim:qdim + kvdim]
             v = qkv[..., qdim + kvdim:]
         else:
-            q = linear.matmul(h, layer["wq"])
-            k = linear.matmul(h, layer["wk"])
-            v = linear.matmul(h, layer["wv"])
+            q = _scaled(linear.matmul(h, layer["wq"]), layer, "wq_scale")
+            k = _scaled(linear.matmul(h, layer["wk"]), layer, "wk_scale")
+            v = _scaled(linear.matmul(h, layer["wv"]), layer, "wv_scale")
         if "bq" in layer:
             q = q + layer["bq"].astype(q.dtype)
             k = k + layer["bk"].astype(k.dtype)
@@ -263,14 +296,19 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         if cfg.clamp_kqv > 0:  # mpt clip_qkv
             c = cfg.clamp_kqv
             q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
-        per_head_qk = bool(cfg.extras.get("qk_norm_per_head")) if cfg.extras else False
-        if "attn_q_norm" in layer and not per_head_qk:
+        per_head_qk = bool(ex.get("qk_norm_per_head"))
+        qk_head_rms = bool(ex.get("qk_head_rms"))  # openelm (D,)-affine RMS
+        if "attn_q_norm" in layer and not (per_head_qk or qk_head_rms):
             # olmoe flat-projection QK RMSNorm
             q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, layer["attn_k_norm"], cfg.rms_norm_eps)
-        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        q = q.reshape(B, T, nh, cfg.head_dim)
+        k = k.reshape(B, T, nkv, cfg.head_dim)
+        v = v.reshape(B, T, nkv, cfg.head_dim)
+        if "attn_q_norm" in layer and qk_head_rms:
+            # openelm per-head RMSNorm with a shared (head_dim,) weight
+            q = rms_norm(q, layer["attn_q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, layer["attn_k_norm"], cfg.rms_norm_eps)
         if "attn_q_norm" in layer and per_head_qk:
             # chameleon per-head LayerNorm with (H, D) affine
             # (build_chameleon, src/llama.cpp:14463-14486)
@@ -287,13 +325,25 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             cfg.sliding_window_pattern == 0 or li % cfg.sliding_window_pattern == 0)
         layer_mask = local_mask if is_local else mask
 
-        cache = kv_write(cache, li, positions, k, v)
+        if nkv < cfg.n_kv_heads:  # openelm: pad up to the cache's head count
+            pad = jnp.zeros((B, T, cfg.n_kv_heads - nkv, cfg.head_dim), k.dtype)
+            cache = kv_write(cache, li, positions,
+                             jnp.concatenate([k, pad], axis=2),
+                             jnp.concatenate([v, pad.astype(v.dtype)], axis=2))
+        else:
+            cache = kv_write(cache, li, positions, k, v)
+        layer_alibi = None
+        if alibi is not None:
+            layer_alibi = alibi if nh == cfg.n_heads else \
+                (alibi_slopes(nh, cfg.alibi_bias_max)[None, :, None, None]
+                 * (slot_ids[None, None, :] - positions[:, :, None]
+                    ).astype(jnp.float32)[:, None, :, :])
         if (flash_prefill and not cfg.attn_logit_softcap and not is_local
                 and alibi is None):
             # prefill-from-zero: chunk == entire context, no cache read needed
             attn_out = flash_prefill_attention(q, k, v, positions, scale)
         elif (B == 1 and T == 1 and not is_local and alibi is None
-              and isinstance(cache, KVCache)
+              and nkv == cfg.n_kv_heads and isinstance(cache, KVCache)
               and _flash_decode_ok(cfg)):
             # single-token decode: fused rope-less attention kernel over the
             # cache (ops/flash_decode.py, the fattn-vec equivalent)
@@ -301,38 +351,53 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
             out = flash_decode.decode_attention(
                 q[0, 0], cache.k[li, 0], cache.v[li, 0], positions[0, 0],
-                cfg.n_heads, scale, cfg.attn_logit_softcap,
+                nh, scale, cfg.attn_logit_softcap,
                 interpret=jax.default_backend() == "cpu")
             attn_out = out[None, None].astype(x.dtype)
         else:
             ck, cv = kv_read(cache, li)
+            if nkv < cfg.n_kv_heads:
+                ck, cv = ck[:, :, :nkv], cv[:, :, :nkv]
             attn_out = attention(q, ck, cv, layer_mask, scale,
-                                 cfg.attn_logit_softcap, bias=alibi)
-        attn_out = attn_out.reshape(B, T, cfg.n_heads * cfg.head_dim)
-        attn_out = linear.matmul(attn_out, layer["wo"])
+                                 cfg.attn_logit_softcap, bias=layer_alibi)
+        attn_out = attn_out.reshape(B, T, nh * cfg.head_dim)
+        if "attn_sub_norm" in layer:  # bitnet: rms between attention and wo
+            attn_out = rms_norm(attn_out, layer["attn_sub_norm"], cfg.rms_norm_eps)
+        attn_out = _scaled(linear.matmul(attn_out, layer["wo"]), layer, "wo_scale")
         if "bo" in layer:
             attn_out = attn_out + layer["bo"].astype(attn_out.dtype)
-        if "attn_post_norm" in layer:  # gemma2 sandwich norm
+        if "attn_post_norm" in layer:  # gemma2 sandwich norm (grok attn_out_norm)
             attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_norm_eps)
         if swin_norm:  # chameleon-30b: norm after the branch, not before
             attn_out = _norm(attn_out, layer, "attn_norm", cfg)
 
         res_s = cfg.residual_scale or 1.0  # granite scales branch adds
-        if cfg.parallel_residual:  # neox/gptj: both branches read the same x
+        if ex.get("plamo_parallel"):
+            # plamo: FFN reads the SAME attn_norm output; layer out =
+            # x + attn_out + ffn_out (build_plamo, src/llama.cpp:12713-12737)
+            ffn_in = h
+            x = x + res_s * attn_out
+        elif cfg.parallel_residual:  # neox/gptj: both branches read the same x
             ffn_in = _norm(x, layer, "ffn_norm", cfg)
             x = x + res_s * attn_out
         else:
             x = x + res_s * attn_out
             ffn_in = x if swin_norm else _norm(x, layer, "ffn_norm", cfg)
-        if "ffn_gate_inp" in layer:
+        if "ffn_gate_inp" in layer and "ffn_norm_exps" not in layer:
             ffn_out = _moe_ffn(ffn_in, layer, cfg)
         else:
-            ffn_out = _ffn(ffn_in, layer, cfg.act, cfg.ffn_gated)
+            ffn_out = _ffn(ffn_in, layer, cfg.act, cfg.ffn_gated,
+                           eps=cfg.rms_norm_eps)
         if "ffn_post_norm" in layer:
             ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_norm_eps)
         if swin_norm:
             ffn_out = _norm(ffn_out, layer, "ffn_norm", cfg)
         x = x + res_s * ffn_out
+        if "ffn_norm_exps" in layer:
+            # arctic: residual MoE branch on the LAYER INPUT, added after the
+            # dense FFN residual (build_arctic, src/llama.cpp:14746-14766)
+            moe_in = rms_norm(x0, layer["ffn_norm_exps"], cfg.rms_norm_eps)
+            x = x + _moe_ffn(moe_in, layer, cfg)
 
     if last_index is not None:
         x = x[jnp.arange(B), last_index][:, None, :]

@@ -158,12 +158,17 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
         layer: dict[str, Any] = {
             "attn_norm": _load_dense(reader, p + "attn_norm.weight"),
             "wo": qt(p + "attn_output.weight"),
-            "ffn_norm": _load_dense(reader, p + "ffn_norm.weight"),
         }
+        if p + "ffn_norm.weight" in names:  # absent for plamo (one shared norm)
+            layer["ffn_norm"] = _load_dense(reader, p + "ffn_norm.weight")
+        # bitnet carries per-projection scalar weight scales; fusing would
+        # merge differently-scaled projections, so keep them split
+        has_scales = p + "attn_q.scale" in names or p + "ffn_up.scale" in names
         if p + "attn_qkv.weight" in names:  # phi3-style pre-fused projection
             layer["wqkv"] = qt(p + "attn_qkv.weight")
         else:
-            qkv = fused([p + "attn_q.weight", p + "attn_k.weight", p + "attn_v.weight"])
+            qkv = None if has_scales else fused(
+                [p + "attn_q.weight", p + "attn_k.weight", p + "attn_v.weight"])
             if qkv is not None:
                 layer["wqkv"] = qkv
             else:
@@ -175,11 +180,27 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
                            ("attn_q_norm", "attn_q_norm.weight"),
                            ("attn_k_norm", "attn_k_norm.weight"),
                            ("attn_q_norm_bias", "attn_q_norm.bias"),
-                           ("attn_k_norm_bias", "attn_k_norm.bias")):
+                           ("attn_k_norm_bias", "attn_k_norm.bias"),
+                           # grok rms post-norms (build_grok :11045,:11076)
+                           ("attn_post_norm", "attn_output_norm.weight"),
+                           ("ffn_post_norm", "layer_output_norm.weight"),
+                           # bitnet sub-norms + scales (build_bitnet)
+                           ("attn_sub_norm", "attn_sub_norm.weight"),
+                           ("ffn_sub_norm", "ffn_sub_norm.weight"),
+                           ("wq_scale", "attn_q.scale"),
+                           ("wk_scale", "attn_k.scale"),
+                           ("wv_scale", "attn_v.scale"),
+                           ("wo_scale", "attn_output.scale"),
+                           ("ffn_gate_scale", "ffn_gate.scale"),
+                           ("ffn_up_scale", "ffn_up.scale"),
+                           ("ffn_down_scale", "ffn_down.scale"),
+                           # arctic residual-MoE norm (build_arctic :14750)
+                           ("ffn_norm_exps", "ffn_norm_exps.weight")):
             opt(layer, key, p + tname, "dense")
         for key, tname in (("bq", "attn_q.bias"), ("bk", "attn_k.bias"),
                            ("bv", "attn_v.bias"), ("bqkv", "attn_qkv.bias"),
                            ("bo", "attn_output.bias"),
+                           ("b_gate", "ffn_gate.bias"),  # jais
                            ("b_up", "ffn_up.bias"), ("b_down", "ffn_down.bias"),
                            ("attn_norm_bias", "attn_norm.bias"),
                            ("ffn_norm_bias", "ffn_norm.bias")):
@@ -199,14 +220,18 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, packed: bool = True,
                 info = reader.tensors[p + tname]
                 layer[key] = linear.from_gguf(reader.tensor_raw(p + tname),
                                               info.ggml_type, info.shape, packed=False, dtype=dtype)
-        else:
+        # dense FFN (also alongside MoE for arctic's residual-MoE layers)
+        if p + "ffn_up.weight" in names:
             up_info = reader.tensors.get(p + "ffn_up.weight")
             if (p + "ffn_gate.weight" not in names and up_info is not None
-                    and up_info.shape[0] == 2 * cfg.intermediate_size):
-                # phi3-style pre-fused [gate; up]
+                    and up_info.shape[0] == 2 * cfg.intermediate_size
+                    and cfg.ffn_gated):
+                # phi3/chatglm-style pre-fused [gate; up]
                 layer["w_gateup"] = qt(p + "ffn_up.weight")
             elif p + "ffn_gate.weight" in names:
-                gu = fused([p + "ffn_gate.weight", p + "ffn_up.weight"])
+                gu = None
+                if not has_scales and p + "ffn_gate.bias" not in names:
+                    gu = fused([p + "ffn_gate.weight", p + "ffn_up.weight"])
                 if gu is not None:
                     layer["w_gateup"] = gu
                 else:
@@ -250,7 +275,7 @@ def load_model(path: str, packed: bool = True, dtype=jnp.bfloat16,
     with _Reader(path) as r:
         cfg = config_from_metadata(r.metadata)
         tokenizer = Tokenizer.from_metadata(r.metadata)
-        if cfg.arch == "bert":
+        if cfg.arch in ("bert", "nomic-bert", "jina-bert-v2"):
             from . import bert
 
             params = bert.load_params(r, cfg, packed=packed, dtype=dtype)
