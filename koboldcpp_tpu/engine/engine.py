@@ -471,6 +471,52 @@ class Engine:
                 and not sp.logit_biases and sp.xtc_probability == 0.0
                 and sp.mirostat == 0)
 
+    def _fast_stoch_ok(self, params: GenParams, grammar) -> bool:
+        """Device-side K-token stochastic decode covers the common preset:
+        temp/top-k/top-p/min-p/rep-pen/bias/ban with rep-pen leading the
+        order. Distribution-identical to the host chain (different PRNG
+        draw). Anything fancier (DRY, XTC, mirostat, dynatemp, smoothing,
+        top-a, TFS, typical, grammar, anti-slop) falls back to the host
+        loop. Disable with KCPP_FAST_DECODE=0."""
+        import os
+
+        from .device_sampler import supported_order
+
+        if os.environ.get("KCPP_FAST_DECODE", "1") != "1":
+            return False
+        if not getattr(self, "_std_path", False):
+            return False
+        sp = params.sampler
+        if not (grammar is None and not params.banned_phrases
+                and sp.temperature > 0.0 and sp.mirostat == 0
+                and sp.dry_multiplier == 0.0 and sp.xtc_probability == 0.0
+                and sp.top_a == 0.0 and sp.tfs >= 1.0 and sp.typical_p >= 1.0
+                and sp.dynatemp_range == 0.0 and sp.smoothing_factor == 0.0):
+            return False
+        rep_active = sp.rep_pen != 1.0 or sp.presence_penalty != 0.0
+        return supported_order(sp.sampler_order, rep_active)
+
+    def _get_stoch_chunk(self, order: tuple):
+        """Jitted stochastic chunk, cached per effective stage order (only
+        the relative order of top-k/top-p/temp changes the dataflow)."""
+        from ..sampling.samplers import (KCPP_SAMPLER_TEMP, KCPP_SAMPLER_TOP_K,
+                                         KCPP_SAMPLER_TOP_P)
+        from .device_sampler import make_stoch_chunk
+
+        key = tuple(s for s in order if s in (
+            KCPP_SAMPLER_TOP_K, KCPP_SAMPLER_TOP_P, KCPP_SAMPLER_TEMP))
+        if not hasattr(self, "_stoch_chunks"):
+            self._stoch_chunks = {}
+        fn = self._stoch_chunks.get(key)
+        if fn is None:
+            def fwd(params, tokens, positions, cache):
+                return model_llama.forward(params, self.cfg, tokens,
+                                           positions, cache, last_only=True)
+
+            fn = make_stoch_chunk(fwd, self.cfg, FAST_DECODE_K, key)
+            self._stoch_chunks[key] = fn
+        return fn
+
     # -- grammar -----------------------------------------------------------
     def _get_grammar(self, params: GenParams) -> TokenFilter | None:
         if not params.grammar:
@@ -597,22 +643,53 @@ class Engine:
                 (len(tk.encode(p)) for p in params.banned_phrases), default=0)
         stream_q: list[tuple[int, int, str]] = []  # (token_index, tok, piece)
 
+        fast_kind = None
         if self._fast_greedy_ok(params, grammar):
-            # ---- device-side greedy chunks (FAST_DECODE_K tokens/call) ----
-            ban = np.zeros(self.cfg.vocab_size, np.float32)
+            fast_kind = "greedy"
+        elif self._fast_stoch_ok(params, grammar):
+            fast_kind = "stoch"
+        if fast_kind is not None:
+            # ---- device-side decode chunks (FAST_DECODE_K tokens/call) ----
+            bias = np.zeros(self.cfg.vocab_size, np.float32)
+            for tid, bv in sampler.logit_biases.items():
+                if 0 <= tid < self.cfg.vocab_size:
+                    bias[tid] += np.float32(bv)
             for b in sampler_banned:
                 if 0 <= b < self.cfg.vocab_size:
-                    ban[b] = np.float32(-1e30)
-            ban_mask = jnp.asarray(ban)
+                    bias[b] = np.float32(-1e30)
+            bias_mask = jnp.asarray(bias)
             logits_dev = jnp.asarray(logits)
+            if fast_kind == "stoch":
+                from .device_sampler import make_dyn
+
+                W = self.max_context
+                rec = np.zeros(W, np.int32)
+                tail = self.context_tokens[-W:]
+                if tail:
+                    rec[-len(tail):] = tail
+                recent = jnp.asarray(rec)
+                count = jnp.int32(min(len(self.context_tokens), W))
+                seed = sampler.seed
+                key = jax.random.PRNGKey(
+                    seed if seed >= 0
+                    else int(np.random.default_rng().integers(2 ** 31)))
+                dyn = make_dyn(sampler, self.max_context)
+                stoch_chunk = self._get_stoch_chunk(sampler.sampler_order)
             done = False
             while len(out_tokens) < max_len and not done:
                 if self.abort_event.is_set():
                     stop_reason = "abort"
                     break
-                toks, logits_dev, self.cache = self._greedy_chunk(
-                    self.model.params, logits_dev, self.cache,
-                    len(self.context_tokens), ban_mask)
+                if fast_kind == "greedy":
+                    toks, logits_dev, self.cache = self._greedy_chunk(
+                        self.model.params, logits_dev, self.cache,
+                        len(self.context_tokens), bias_mask)
+                else:
+                    (toks, logits_dev, self.cache, recent, count,
+                     key) = stoch_chunk(
+                        self.model.params, logits_dev, self.cache,
+                        jnp.int32(len(self.context_tokens)), bias_mask,
+                        recent, count, key, dyn)
                 for tok in np.asarray(toks).tolist():
                     if self.abort_event.is_set():
                         stop_reason = "abort"
