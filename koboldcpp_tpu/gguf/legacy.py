@@ -313,7 +313,8 @@ _GPTJ_FORMATS = tuple(f for f in FileFormat if f.name.startswith("GPTJ_"))
 _GPT2_FORMATS = tuple(f for f in FileFormat if f.name.startswith("GPT2_"))
 _NEOX_FORMATS = (FileFormat.NEOX, FileFormat.NEOX_LEGACY)
 
-LEGACY_OTHERARCH_FORMATS = _GPTJ_FORMATS + _GPT2_FORMATS + _NEOX_FORMATS
+LEGACY_OTHERARCH_FORMATS = (_GPTJ_FORMATS + _GPT2_FORMATS + _NEOX_FORMATS
+                            + (FileFormat.MPT_1,))
 
 
 def _gptj_name(name: str) -> list[tuple[str, str | None]]:
@@ -411,6 +412,28 @@ def _neox_name(name: str) -> list[tuple[str, str | None]]:
     return [(f"blk.{i}.{g}", t) for g, t in sub]
 
 
+def _mpt_name(name: str) -> list[tuple[str, str | None]]:
+    """MPT .bin tensor names (otherarch/mpt_v3.cpp:175-194) -> GGUF names.
+    wte doubles as the (tied) LM head; the loader falls back to token_embd
+    when output.weight is absent, so only the embedding mapping is needed."""
+    if name == "transformer.wte.weight":
+        return [("token_embd.weight", None)]
+    if name == "transformer.norm_f.weight":
+        return [("output_norm.weight", None)]
+    if not name.startswith("transformer.blocks."):
+        return []
+    _, _, i, rest = name.split(".", 3)
+    sub = {
+        "norm_1.weight": "attn_norm.weight",
+        "attn.Wqkv.weight": "attn_qkv.weight",  # plain [Q;K;V] concat
+        "attn.out_proj.weight": "attn_output.weight",
+        "norm_2.weight": "ffn_norm.weight",
+        "ffn.up_proj.weight": "ffn_up.weight",
+        "ffn.down_proj.weight": "ffn_down.weight",
+    }.get(rest)
+    return [(f"blk.{i}.{sub}", None)] if sub else []
+
+
 class LegacyOtherArchReader:
     """GGUFReader-compatible view over legacy GPT-J / GPT-NeoX .bin files.
 
@@ -418,9 +441,11 @@ class LegacyOtherArchReader:
     standards and the fused NeoX QKV needs a de-interleave anyway, mirroring
     the HF converter's (head, [q,k,v], hd) split)."""
 
-    def __init__(self, path: str | os.PathLike):
+    def __init__(self, path: str | os.PathLike,
+                 fmt: FileFormat | None = None):
         self.path = os.fspath(path)
-        fmt = check_file_format(self.path)
+        if fmt is None:
+            fmt = check_file_format(self.path)
         if fmt in _GPTJ_FORMATS:
             self.arch = "gptj"
             self._map = _gptj_name
@@ -430,6 +455,9 @@ class LegacyOtherArchReader:
         elif fmt in _NEOX_FORMATS:
             self.arch = "gptneox"
             self._map = _neox_name
+        elif fmt is FileFormat.MPT_1:
+            self.arch = "mpt"
+            self._map = _mpt_name
         else:
             raise ValueError(f"{self.path}: not a legacy gptj/neox file ({fmt})")
         self.file_format = fmt
@@ -453,7 +481,19 @@ class LegacyOtherArchReader:
     def _parse(self):
         mm = self._mm
         pos = 4
-        if self.arch == "gptj":
+        alibi_bias_max = clip_qkv = 0.0
+        if self.arch == "mpt":
+            # mpt_v3.cpp:50-57 — d_model max_seq_len n_heads n_layers n_vocab
+            # (5 x i32), alibi_bias_max clip_qkv (2 x f32), ftype (i32)
+            n_embd, n_ctx, n_head, n_layer, n_vocab = \
+                struct.unpack_from("<5i", mm, pos)
+            pos += 20
+            alibi_bias_max, clip_qkv = struct.unpack_from("<2f", mm, pos)
+            pos += 8
+            (ftype,) = struct.unpack_from("<i", mm, pos)
+            pos += 4
+            n_rot, par_res = 0, 0
+        elif self.arch == "gptj":
             n_vocab, n_ctx, n_embd, n_head, n_layer, n_rot, ftype = \
                 struct.unpack_from("<7i", mm, pos)
             pos += 28
@@ -471,8 +511,11 @@ class LegacyOtherArchReader:
         qntvr = ftype // 1000
         self.qver = {0: "v1", 1: "v2", 2: "v3"}.get(qntvr, "v3")
 
-        (count,) = struct.unpack_from("<I", mm, pos)
-        pos += 4
+        if self.arch == "mpt":  # no redundant count prefix (mpt_v3.cpp:76-83)
+            count = n_vocab
+        else:
+            (count,) = struct.unpack_from("<I", mm, pos)
+            pos += 4
         tokens: list[str] = []
         for _ in range(count):
             (ln,) = struct.unpack_from("<I", mm, pos)
@@ -501,6 +544,10 @@ class LegacyOtherArchReader:
             "tokenizer.ggml.eos_token_id": np.uint32(0),
             "tokenizer.ggml.add_bos_token": False,
         }
+        if self.arch == "mpt":
+            self.metadata["mpt.attention.max_alibi_bias"] = \
+                np.float32(alibi_bias_max)
+            self.metadata["mpt.attention.clamp_kqv"] = np.float32(clip_qkv)
         self.architecture = self.arch
         self._n_head = n_head
         self._n_embd = n_embd

@@ -14,12 +14,15 @@ from koboldcpp_tpu.models.loader import load_model
 TOKENS = np.array([[1, 5, 9, 42, 7, 300]], dtype=np.int32)
 
 
-def write_otherarch(path, arch, hparams, tensors, n_vocab):
-    """hparams: tuple of i32s after magic; tensors: {legacy_name: np.ndarray}
-    written as F16 (2-D) / F32 (1-D), ftype qntvr=2."""
+def write_otherarch(path, arch, hparams, tensors, n_vocab,
+                    vocab_count=True):
+    """hparams: tuple of i32s (f32 where float) after magic; tensors:
+    {legacy_name: np.ndarray} written as F16 (2-D) / F32 (1-D), qntvr=2."""
     buf = bytearray(struct.pack("<I", 0x67676D6C))
-    buf += struct.pack(f"<{len(hparams)}i", *hparams)
-    buf += struct.pack("<I", n_vocab)
+    for h in hparams:
+        buf += struct.pack("<f" if isinstance(h, float) else "<i", h)
+    if vocab_count:
+        buf += struct.pack("<I", n_vocab)
     for i in range(n_vocab):
         tok = f"t{i}".encode()
         buf += struct.pack("<I", len(tok)) + tok
@@ -132,6 +135,54 @@ def test_legacy_neox(tmp_path):
     with _t.no_grad():
         ref = model(_t.tensor(TOKENS, dtype=_t.long)).logits.numpy()
     np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_legacy_mpt(tmp_path, monkeypatch):
+    """MPT .bin (mpt_v3.cpp header: 5 i32 + 2 f32 + i32, no vocab-count
+    prefix, tied wte head). Sniffing keys off d_model∈{4096,7168}
+    (model_adapter.cpp:102), so tiny files patch the sniffer."""
+    import torch
+    from transformers import MptConfig, MptForCausalLM
+
+    torch.manual_seed(64)
+    cfg = MptConfig(d_model=64, n_heads=4, n_layers=2, vocab_size=512,
+                    max_seq_len=128)
+    cfg.attn_config.clip_qkv = 6.0
+    model = MptForCausalLM(cfg).eval().float()
+    st = {k: v.numpy() for k, v in model.state_dict().items()}
+    tensors = {k: v for k, v in st.items() if k != "lm_head.weight"}
+    path = str(tmp_path / "mpt_legacy.bin")
+    # hparams: d_model max_seq_len n_heads n_layers n_vocab (i32),
+    #          alibi_bias_max clip_qkv (f32), ftype
+    write_otherarch(path, "mpt", (64, 128, 4, 2, 512, 8.0, 6.0, 2001),
+                    tensors, 512, vocab_count=False)
+    from koboldcpp_tpu.gguf import legacy, sniff
+    monkeypatch.setattr(sniff, "check_file_format",
+                        lambda p: FileFormat.MPT_1)
+    monkeypatch.setattr(legacy, "check_file_format",
+                        lambda p: FileFormat.MPT_1)
+    m, ours = run_ours(path)
+    assert m.cfg.arch == "mpt" and m.cfg.use_alibi and not m.cfg.use_rope
+    assert m.cfg.clamp_kqv == 6.0 and m.cfg.alibi_bias_max == 8.0
+    import torch as _t
+
+    with _t.no_grad():
+        ref = model(_t.tensor(TOKENS, dtype=_t.long)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_sniff_mpt_header():
+    import io, os, tempfile
+    buf = struct.pack("<I", 0x67676D6C) + struct.pack(
+        "<5i", 4096, 2048, 32, 32, 50432) + struct.pack("<2f", 8.0, 0.0) \
+        + struct.pack("<i", 2001)
+    fd, p = tempfile.mkstemp()
+    os.write(fd, buf)
+    os.close(fd)
+    try:
+        assert check_file_format(p) is FileFormat.MPT_1
+    finally:
+        os.unlink(p)
 
 
 def test_legacy_gpt2(tmp_path):
