@@ -257,6 +257,9 @@ class Engine:
         if self.cfg.arch == "mamba":
             from ..models import mamba
             return mamba
+        if self.cfg.arch == "rwkv4":
+            from ..models import rwkv4
+            return rwkv4
         from ..models import rwkv6
         return rwkv6
 

@@ -627,3 +627,259 @@ class LegacyOtherArchReader:
 
     def tensor_data(self, name: str, dtype=np.float32) -> np.ndarray:
         return self._dequant(self.tensors[name]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# legacy RWKV v4 .bin containers (rwkv.cpp format)
+# ---------------------------------------------------------------------------
+
+LEGACY_RWKV_FORMATS = (FileFormat.RWKV_1, FileFormat.RWKV_2)
+
+# rwkv_type enum (/root/reference/otherarch/rwkv_v3.cpp:183-195) -> GGMLType;
+# None = dropped upstream (Q4_1_O/Q4_2/Q4_3, ":188-190 Unsupported")
+_RWKV_TYPES: list = [
+    GGMLType.F32, GGMLType.F16, GGMLType.Q4_0, GGMLType.Q4_1,
+    None, None, None, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0,
+]
+
+_RWKV_NAME_MAP = {
+    "emb.weight": "token_embd.weight",
+    "blocks.0.ln0.weight": "token_embd_norm.weight",
+    "blocks.0.ln0.bias": "token_embd_norm.bias",
+    "ln_out.weight": "output_norm.weight",
+    "ln_out.bias": "output_norm.bias",
+    "head.weight": "output.weight",
+}
+_RWKV_LAYER_MAP = {
+    "ln1.weight": "attn_norm.weight",
+    "ln1.bias": "attn_norm.bias",
+    "ln2.weight": "attn_norm_2.weight",
+    "ln2.bias": "attn_norm_2.bias",
+    "att.time_mix_k": "time_mix_lerp_k.weight",
+    "att.time_mix_v": "time_mix_lerp_v.weight",
+    "att.time_mix_r": "time_mix_lerp_r.weight",
+    "att.time_first": "time_mix_first.weight",
+    "att.time_decay": "time_mix_decay.weight",
+    "att.key.weight": "time_mix_key.weight",
+    "att.value.weight": "time_mix_value.weight",
+    "att.receptance.weight": "time_mix_receptance.weight",
+    "att.output.weight": "time_mix_output.weight",
+    "ffn.time_mix_k": "channel_mix_lerp_k.weight",
+    "ffn.time_mix_r": "channel_mix_lerp_r.weight",
+    "ffn.key.weight": "channel_mix_key.weight",
+    "ffn.value.weight": "channel_mix_value.weight",
+    "ffn.receptance.weight": "channel_mix_receptance.weight",
+}
+
+
+def _rwkv_name(name: str) -> str:
+    if name in _RWKV_NAME_MAP:
+        return _RWKV_NAME_MAP[name]
+    if name.startswith("blocks."):
+        _, idx, rest = name.split(".", 2)
+        mapped = _RWKV_LAYER_MAP.get(rest)
+        if mapped:
+            return f"blk.{idx}.{mapped}"
+    return name
+
+
+# byte -> GPT-2 unicode char (the `special` table in
+# /root/reference/otherarch/rwkv_vocab.cpp:9 is exactly this mapping's
+# codomain, indexed by byte value)
+def _gpt2_byte_encoder() -> dict[int, str]:
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(0xA1, 0xAD)) + list(range(0xAE, 0x100)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+def find_rwkv_vocab_file(model_path: str, world: bool) -> str | None:
+    """Locate the vocab sidecar the same way the reference does
+    (executable-dir rwkv_vocab.embd / rwkv_world_vocab.embd,
+    otherarch/rwkv_vocab.cpp:34,64), extended with an env override and the
+    model's own directory."""
+    fname = "rwkv_world_vocab.embd" if world else "rwkv_vocab.embd"
+    explicit = os.environ.get("KCPP_RWKV_VOCAB_PATH")
+    if explicit and os.path.isfile(explicit):
+        return explicit
+    for d in (os.path.dirname(os.path.abspath(model_path)),
+              os.getcwd(),
+              os.path.dirname(os.path.dirname(os.path.abspath(__file__)))):
+        p = os.path.join(d, fname)
+        if os.path.isfile(p):
+            return p
+    return None
+
+
+def load_rwkv_vocab(path: str, world: bool) -> list[str]:
+    """Parse a vocab sidecar into token strings.
+
+    World files (read_rwkv_world_vocab, rwkv_vocab.cpp:60-89): one hex-encoded
+    byte string per line, ids shifted by one behind a <<UNUSED_TOKEN>> at 0.
+    Tokens are emitted repr-escaped, the convention our RWKVTokenizer/the GGUF
+    converter use for byte strings.
+
+    Pile/20B files (read_rwkv_vocab, :31-57): one GPT-2-unicode-encoded token
+    per line, decoded to raw bytes via the byte decoder; emitted
+    surrogateescape-decoded for the greedy legacy tokenizer."""
+    tokens: list[str] = []
+    if world:
+        tokens.append("<<UNUSED_TOKEN>>")
+        with open(path, "rb") as f:
+            for line in f.read().splitlines():
+                bs = bytes.fromhex(line.decode("ascii")) if line else b""
+                tokens.append(repr(bs)[2:-1])
+        return tokens
+    dec = {c: b for b, c in _gpt2_byte_encoder().items()}
+    with open(path, "rb") as f:
+        for line in f.read().splitlines():
+            text = line.decode("utf-8", errors="replace")
+            bs = bytes(dec.get(ch, ord("?") if ord(ch) > 255 else ord(ch))
+                       for ch in text)
+            tokens.append(bs.decode("utf-8", errors="surrogateescape"))
+    return tokens
+
+
+class LegacyRwkvReader:
+    """GGUFReader-compatible view over rwkv.cpp .bin files (RWKV v4).
+
+    Container (/root/reference/otherarch/rwkv_v3.cpp:242-345): header
+    {magic 'ggmf', version 100|101, n_vocab, n_embed, n_layer, data_type},
+    then tensors {dim_count u32, key_length u32, data_type u32, width u32,
+    [height u32 if 2-D], key bytes, data}.  Version 101 quant layouts equal
+    modern GGUF layouts (ggml_v3), so quantized matrices pass through packed;
+    version 100 is float-only (the reference's own v3 loader asserts
+    quantized => version 101, :273-280).
+
+    The vocab is NOT in the file: the reference ships rwkv_vocab.embd /
+    rwkv_world_vocab.embd beside the executable and picks world when
+    n_vocab > 60000 (gpttype_adapter.cpp:2031-2049).  We look beside the
+    model / $KCPP_RWKV_VOCAB_PATH and synthesize tokenizer metadata."""
+
+    def __init__(self, path: str | os.PathLike,
+                 fmt: FileFormat | None = None):
+        self.path = os.fspath(path)
+        if fmt is None:
+            fmt = check_file_format(self.path)
+        if fmt not in LEGACY_RWKV_FORMATS:
+            raise ValueError(f"{self.path}: not a legacy RWKV file ({fmt})")
+        self.file_format = fmt
+        self._f = open(self.path, "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        self._parse()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def close(self):
+        try:
+            self._mm.close()
+        except BufferError:
+            pass
+        self._f.close()
+
+    def _parse(self):
+        mm = self._mm
+        magic, version, n_vocab, n_embd, n_layer, dtype_id = \
+            struct.unpack_from("<6I", mm, 0)
+        pos = 24
+        self._version = version
+
+        self.tensors: dict[str, _LegacyTensor] = {}
+        end = len(mm)
+        while pos + 16 <= end:
+            dim_count, key_length, ttype_id = struct.unpack_from("<3I", mm, pos)
+            pos += 12
+            (width,) = struct.unpack_from("<I", mm, pos)
+            pos += 4
+            if dim_count == 2:
+                (height,) = struct.unpack_from("<I", mm, pos)
+                pos += 4
+            else:
+                height = 1
+            name = bytes(mm[pos:pos + key_length]).decode("utf-8")
+            pos += key_length
+            if ttype_id >= len(_RWKV_TYPES) or _RWKV_TYPES[ttype_id] is None:
+                raise ValueError(
+                    f"{self.path}: tensor {name!r} uses dropped quant type "
+                    f"id {ttype_id} (Q4_1_O-era); requantize with a newer "
+                    "rwkv.cpp")
+            gt = _RWKV_TYPES[ttype_id]
+            if gt not in (GGMLType.F32, GGMLType.F16) and version == 100:
+                raise ValueError(
+                    f"{self.path}: version-100 RWKV files only support "
+                    "float tensors (quantized requires version 101, "
+                    "rwkv_v3.cpp:273-280)")
+            blk, sz = GGML_BLOCK_SIZES[gt]
+            nbytes = width // blk * sz * height
+            t = _LegacyTensor()
+            t.name = _rwkv_name(name)
+            t.shape = (height, width) if dim_count == 2 else (width,)
+            t.stored_type = gt
+            t.ggml_type = gt  # pass-through (v101 layouts == modern)
+            t.qver = "v3"
+            t.nbytes = nbytes
+            t.offset = pos
+            self.tensors[t.name] = t
+            pos += nbytes
+
+        world = n_vocab > 60000
+        vocab_path = find_rwkv_vocab_file(self.path, world)
+        tokens: list[str] = []
+        if vocab_path is not None:
+            tokens = load_rwkv_vocab(vocab_path, world)[:n_vocab]
+        if len(tokens) < n_vocab:  # pad (or no sidecar found: id-only ops)
+            tokens += [f"<unused{i}>" for i in range(len(tokens), n_vocab)]
+        token_type = np.full(len(tokens), 1, np.int32)
+        for special in ("<|endoftext|>", "<|padding|>", "<<UNUSED_TOKEN>>"):
+            try:
+                token_type[tokens.index(special)] = 3  # CONTROL
+            except ValueError:
+                pass
+
+        self.architecture = "rwkv4"
+        self.metadata: dict[str, Any] = {
+            "general.architecture": "rwkv4",
+            "general.name": os.path.basename(self.path),
+            # non-GGUF context clamp mirrors the reference's 16k cap
+            # (gpttype_adapter.cpp:1662-1667); RWKV state is unbounded anyway
+            "rwkv4.context_length": np.uint32(16384),
+            "rwkv4.embedding_length": np.uint32(n_embd),
+            "rwkv4.block_count": np.uint32(n_layer),
+            "rwkv4.feed_forward_length": np.uint32(4 * n_embd),
+            "rwkv4.attention.head_count": np.uint32(1),
+            "rwkv4.attention.head_count_kv": np.uint32(1),
+            "rwkv4.attention.layer_norm_epsilon": np.float32(1e-5),
+            "rwkv4.vocab_size": np.uint32(n_vocab),
+            "tokenizer.ggml.model": "rwkv" if world else "kcpp_legacy_greedy",
+            "tokenizer.ggml.tokens": tokens,
+            "tokenizer.ggml.token_type": token_type,
+            "tokenizer.ggml.bos_token_id": np.uint32(0),
+            "tokenizer.ggml.eos_token_id": np.uint32(0),
+            "tokenizer.ggml.unknown_token_id": np.uint32(0),
+            "tokenizer.ggml.add_bos_token": False,
+        }
+
+    def tensor_raw(self, name: str) -> np.ndarray:
+        t = self.tensors[name]
+        raw = np.frombuffer(self._mm, np.uint8, count=t.nbytes,
+                            offset=t.offset)
+        blk, sz = GGML_BLOCK_SIZES[t.stored_type]
+        row_bytes = t.shape[-1] // blk * sz
+        return raw.reshape(t.shape[:-1] + (row_bytes,))
+
+    def tensor_data(self, name: str, dtype=np.float32) -> np.ndarray:
+        from . import quants
+
+        t = self.tensors[name]
+        x = quants.dequantize(self.tensor_raw(name), t.stored_type)
+        return x.reshape(t.shape).astype(dtype)

@@ -120,9 +120,11 @@ def describe_or_raise(path: str) -> None:
     if fmt is FileFormat.BADFORMAT:
         raise ValueError(f"{path}: not a recognized model file "
                          "(no GGUF or legacy ggml magic)")
-    from .legacy import LEGACY_LLAMA_FORMATS, LEGACY_OTHERARCH_FORMATS
+    from .legacy import (LEGACY_LLAMA_FORMATS, LEGACY_OTHERARCH_FORMATS,
+                         LEGACY_RWKV_FORMATS)
 
-    if fmt in LEGACY_LLAMA_FORMATS or fmt in LEGACY_OTHERARCH_FORMATS:
+    if (fmt in LEGACY_LLAMA_FORMATS or fmt in LEGACY_OTHERARCH_FORMATS
+            or fmt in LEGACY_RWKV_FORMATS):
         return  # loadable via gguf/legacy.py readers
     raise ValueError(
         f"{path}: detected {fmt.value} — this legacy pre-GGUF format is not "

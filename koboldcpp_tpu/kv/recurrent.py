@@ -64,3 +64,36 @@ def init_rwkv_state(n_layers: int, batch: int, n_embd: int, n_heads: int,
         ffn_shift=jnp.zeros((n_layers, batch, n_embd), jnp.float32),
         wkv=jnp.zeros((n_layers, batch, n_heads, head_dim, head_dim),
                       jnp.float32))
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["att_shift", "ffn_shift", "aa", "bb", "pp"],
+         meta_fields=[])
+@dataclass
+class RWKV4State:
+    """RWKV v4 per-layer state, mirroring the reference's 5 x n_embed layout
+    (rwkv_init_state, /root/reference/otherarch/rwkv_v3.cpp:1767: ffn_xx,
+    att_xx, aa, bb, pp): token-shift carries for time-mix and channel-mix,
+    and the numerically-stabilized wkv accumulators (aa = numerator,
+    bb = denominator, pp = running max exponent, init -1e30F)."""
+
+    att_shift: jnp.ndarray  # (L, B, n_embd)
+    ffn_shift: jnp.ndarray  # (L, B, n_embd)
+    aa: jnp.ndarray         # (L, B, n_embd) f32
+    bb: jnp.ndarray         # (L, B, n_embd) f32
+    pp: jnp.ndarray         # (L, B, n_embd) f32
+
+    @property
+    def batch(self) -> int:
+        return self.att_shift.shape[1]
+
+
+def init_rwkv4_state(n_layers: int, batch: int, n_embd: int) -> RWKV4State:
+    # four distinct buffers: the engine jits with donate_argnames=("cache",)
+    # and XLA rejects donating one buffer twice
+    def z():
+        return jnp.zeros((n_layers, batch, n_embd), jnp.float32)
+
+    return RWKV4State(att_shift=z(), ffn_shift=z(), aa=z(), bb=z(),
+                      pp=jnp.full((n_layers, batch, n_embd), -1e30,
+                                  jnp.float32))

@@ -103,7 +103,7 @@ class ModelConfig:
     def is_recurrent(self) -> bool:
         """Stateful (non-attention-cache) archs; mirrors llama.cpp's
         recurrent flag (src/llama.cpp:2775)."""
-        return self.arch in ("mamba", "rwkv6")
+        return self.arch in ("mamba", "rwkv6", "rwkv4")
 
 
 # archs whose GGUF weights expect NEOX-style (split-half) rope

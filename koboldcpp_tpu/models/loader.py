@@ -268,6 +268,8 @@ def load_model(path: str, packed: bool = True, dtype=jnp.bfloat16,
 
         if fmt in legacy.LEGACY_OTHERARCH_FORMATS:
             _Reader = legacy.LegacyOtherArchReader
+        elif fmt in legacy.LEGACY_RWKV_FORMATS:
+            _Reader = legacy.LegacyRwkvReader
         else:
             _Reader = legacy.LegacyLlamaReader
     else:
@@ -299,6 +301,10 @@ def load_model(path: str, packed: bool = True, dtype=jnp.bfloat16,
             from . import rwkv6
 
             params = rwkv6.load_params(r, cfg, packed=packed, dtype=dtype)
+        elif cfg.arch == "rwkv4":
+            from . import rwkv4
+
+            params = rwkv4.load_params(r, cfg, packed=packed, dtype=dtype)
         else:
             params = load_params(r, cfg, packed=packed, dtype=dtype,
                                  loras=adapters or None)

@@ -28,6 +28,10 @@ class Tokenizer:
             self.core = RWKVTokenizer(vocab)
         elif vocab.model == "t5":
             self.core = UGMTokenizer(vocab)
+        elif vocab.model == "kcpp_legacy_greedy":
+            from .legacy_greedy import LegacyGreedyTokenizer
+
+            self.core = LegacyGreedyTokenizer(vocab)
         elif vocab.model == "no_vocab":
             self.core = None
         else:

@@ -48,12 +48,11 @@ def test_describe_or_raise(tmp_path):
     p = tmp_path / "legacy.bin"
     p.write_bytes(hdr(GGJT, 2, 32000, 4096, 256, 32, 32, 128, 1))
     describe_or_raise(str(p))
-    # still-unsupported legacy arch raises precisely (RWKV v1 magic)
+    # RWKV .bin containers are loadable now (LegacyRwkvReader) -> no raise
     import struct
     p3 = tmp_path / "rwkv.bin"
     p3.write_bytes(struct.pack("<II", 0x67676D66, 100))
-    with pytest.raises(ValueError, match="not .*supported|supported yet"):
-        describe_or_raise(str(p3))
+    describe_or_raise(str(p3))
     p2 = tmp_path / "junk.bin"
     p2.write_bytes(b"nope")
     with pytest.raises(ValueError, match="not a recognized"):
