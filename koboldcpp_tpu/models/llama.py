@@ -136,6 +136,15 @@ def _ffn(x: jnp.ndarray, layer: Params, act_name: str = "silu",
             down = down + layer["b_down"].astype(down.dtype)
         return down
     if "w_gateup" in layer:  # fused gate+up (one kernel launch)
+        if (act_name == "silu" and "b_gate" not in layer and "b_up" not in layer
+                and "b_down" not in layer and "ffn_sub_norm" not in layer
+                and "ffn_down_scale" not in layer):
+            # T=1 decode: whole FFN as ONE pallas call (ops/ffn_fused.py)
+            from ..ops.ffn_fused import ffn_fused
+
+            y = ffn_fused(x, layer["w_gateup"], layer["w_down"])
+            if y is not None:
+                return y
         gu = linear.matmul(x, layer["w_gateup"])
         F = gu.shape[-1] // 2
         gate, up = gu[..., :F], gu[..., F:]

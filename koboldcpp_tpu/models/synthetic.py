@@ -35,15 +35,25 @@ def _rand_dense(rng, shape, scale=0.02, dtype=jnp.bfloat16) -> QTensor:
 
 def _rand_q4k(rng, out_f: int, in_f: int) -> QTensor:
     nsb = in_f // QK_K
-    qs = rng.integers(0, 256, size=(out_f, in_f // 2), dtype=np.uint8)
+    qs2 = rng.integers(0, 256, size=(out_f, in_f // 2), dtype=np.uint8)
     scale = (rng.random((out_f, nsb * 8), dtype=np.float32) * 0.004).astype(np.float32)
     mn = (rng.random((out_f, nsb * 8), dtype=np.float32) * 0.004).astype(np.float32)
+    s4 = scale.reshape(out_f, nsb, 2, 4)
+    m4 = mn.reshape(out_f, nsb, 2, 4)
+    s_lo = s4[:, :, 0].reshape(out_f, nsb * 4)
+    s_hi = s4[:, :, 1].reshape(out_f, nsb * 4)
+    m_lo = m4[:, :, 0].reshape(out_f, nsb * 4)
+    m_hi = m4[:, :, 1].reshape(out_f, nsb * 4)
     return QTensor(kind="q4_k", shape=(out_f, in_f), data={
-        "qs": jnp.asarray(qs),
+        "qs2": jnp.asarray(qs2),
         "scale": jnp.asarray(scale, dtype=jnp.bfloat16),
         "min": jnp.asarray(mn, dtype=jnp.bfloat16),
-        "scale_lo": jnp.asarray(scale[:, 0::2], dtype=jnp.bfloat16),
-        "scale_hi": jnp.asarray(scale[:, 1::2], dtype=jnp.bfloat16),
+        "scale_lo": jnp.asarray(s_lo, dtype=jnp.bfloat16),
+        "scale_hi": jnp.asarray(s_hi, dtype=jnp.bfloat16),
+        "slo_t": jnp.asarray(s_lo.T, dtype=jnp.bfloat16),
+        "shi_t": jnp.asarray(s_hi.T, dtype=jnp.bfloat16),
+        "mlo_t": jnp.asarray(m_lo.T, dtype=jnp.bfloat16),
+        "mhi_t": jnp.asarray(m_hi.T, dtype=jnp.bfloat16),
     })
 
 

@@ -64,10 +64,19 @@ def _unpack_k_scales_np(raw_scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]
 
 
 def pack_q4_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
-    """Q4_K: packed nibbles (ggml sub-block order) + pre-decoded bf16 scales/mins.
+    """Q4_K: contiguous-plane nibble packing + pre-decoded bf16 scales/mins.
 
-    qs layout per superblock: byte j of group g packs cols (64g+j | 64g+32+j<<4);
-    the kernel unpacks with a static reshape, no shuffles.
+    Byte j of superblock s packs logical cols (256s+j | 256s+128+j << 4), so a
+    kernel splits activations into nibble planes with contiguous 128-col
+    slices instead of ggml's 32-col interleave (Mosaic cannot reshape
+    minor-dim groups < 128 in-kernel; PERF_NOTES megakernel note).  The split
+    stays *within* each 256-col superblock so TP col-sharding at superblock
+    granularity keeps every shard self-consistent.
+
+    Plane scale order: lo-plane scale groups of superblock s are logical
+    sub-blocks 8s..8s+3, hi-plane 8s+4..8s+7 (byte b -> scale b//32 in both
+    planes).  `*_t` fields are lane-transposed (group, row) copies for the
+    row-output decode kernel / FFN megakernel.
     """
     rows, cols = shape
     nsb = cols // QK_K
@@ -77,14 +86,30 @@ def pack_q4_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     sc, mn = _unpack_k_scales_np(blocks[:, :, 4:16].reshape(-1, 12))
     scales = (d.reshape(-1, 1) * sc).reshape(rows, nsb * 8)
     mins = (dmin.reshape(-1, 1) * mn).reshape(rows, nsb * 8)
-    qs = blocks[:, :, 16:].reshape(rows, cols // 2)
+    qs = blocks[:, :, 16:].reshape(rows, nsb, 4, 32)
+    lo = qs & 0xF
+    hi = qs >> 4
+    # logical col order: ggml byte j of 64-group g holds cols 64g+j | 64g+32+j
+    q = np.stack([lo, hi], axis=3).reshape(rows, nsb, QK_K)
+    qs2 = (q[:, :, :128] | (q[:, :, 128:] << 4)).reshape(rows, cols // 2)
+    s4 = scales.reshape(rows, nsb, 2, 4)   # (R, S, plane, sub)
+    m4 = mins.reshape(rows, nsb, 2, 4)
+    s_lo = s4[:, :, 0].reshape(rows, nsb * 4)
+    s_hi = s4[:, :, 1].reshape(rows, nsb * 4)
+    m_lo = m4[:, :, 0].reshape(rows, nsb * 4)
+    m_hi = m4[:, :, 1].reshape(rows, nsb * 4)
     return QTensor(kind="q4_k", shape=shape, data={
-        "qs": jnp.asarray(qs),
-        "scale": jnp.asarray(scales, dtype=jnp.bfloat16),  # per 32-col sub-block
+        "qs2": jnp.asarray(qs2),
+        "scale": jnp.asarray(scales, dtype=jnp.bfloat16),  # logical, dequant/xs
         "min": jnp.asarray(mins, dtype=jnp.bfloat16),
-        # kernel-layout views: per-nibble-plane scales (even/odd sub-blocks)
-        "scale_lo": jnp.asarray(scales[:, 0::2], dtype=jnp.bfloat16),
-        "scale_hi": jnp.asarray(scales[:, 1::2], dtype=jnp.bfloat16),
+        # plane-ordered per-32-col scales for the 2-D kernel
+        "scale_lo": jnp.asarray(s_lo, dtype=jnp.bfloat16),
+        "scale_hi": jnp.asarray(s_hi, dtype=jnp.bfloat16),
+        # lane-transposed (group, row) copies for the row decode kernel
+        "slo_t": jnp.asarray(s_lo.T, dtype=jnp.bfloat16),
+        "shi_t": jnp.asarray(s_hi.T, dtype=jnp.bfloat16),
+        "mlo_t": jnp.asarray(m_lo.T, dtype=jnp.bfloat16),
+        "mhi_t": jnp.asarray(m_hi.T, dtype=jnp.bfloat16),
     })
 
 
@@ -205,11 +230,10 @@ def dequant_xla(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
         m = qt.data["min"].astype(jnp.float32)[..., None]
         return (q * s - m).reshape(rows, cols).astype(dtype)
     if qt.kind == "q4_k":
-        qs = qt.data["qs"].reshape(rows, -1, 32)  # (rows, n32pairs, 32)
-        lo = (qs & 0xF).astype(jnp.int8)
-        hi = (qs >> 4).astype(jnp.int8)
-        # bytes group g holds cols [64g, 64g+32) lo and [64g+32, 64g+64) hi
-        q = jnp.stack([lo, hi], axis=2).reshape(rows, cols)  # sub-block order
+        qs = qt.data["qs2"].reshape(rows, -1, 128)  # (rows, nsb, 128)
+        lo = (qs & 0xF).astype(jnp.int8)    # cols 256s + [0, 128)
+        hi = (qs >> 4).astype(jnp.int8)     # cols 256s + [128, 256)
+        q = jnp.concatenate([lo, hi], axis=2).reshape(rows, cols)
         s = qt.data["scale"].astype(jnp.float32).reshape(rows, -1, 1)
         m = qt.data["min"].astype(jnp.float32).reshape(rows, -1, 1)
         qf = q.astype(jnp.float32).reshape(rows, -1, 32)

@@ -74,6 +74,9 @@ def _sexp(s, E):
 
 
 def _q4k_kernel(xl_ref, xh_ref, xs_ref, qs_ref, slo_ref, shi_ref, m_ref, o_ref):
+    """v2 (contiguous-plane) layout: byte b of superblock s holds logical
+    cols 256s+b (lo) and 256s+128+b (hi); byte b's scale group is b//32 in
+    plane-ordered scale_lo/scale_hi, so E is the same sequential expansion."""
     qs = qs_ref[:].astype(jnp.int32)
     C2 = qs.shape[1]
     lo = (qs & 0xF).astype(jnp.bfloat16)
@@ -85,51 +88,51 @@ def _q4k_kernel(xl_ref, xh_ref, xs_ref, qs_ref, slo_ref, shi_ref, m_ref, o_ref):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-def _q4k_decode_kernel(ml_ref, mh_ref, xsl_ref, xsh_ref, xs_ref,
-                       qs_ref, slo_ref, shi_ref, m_ref, o_ref):
-    """Small-T (decode/batched-decode) matvec variant: magic-number dequant
-    (bit-OR nibbles into bf16 mantissas, value = 128 + 8n — no int->float
-    converts, no per-weight scale muls) + per-group partial dots against the
-    activation-masked expansion stack Ml/Mh (T*GS, C2) built by XLA prep;
-    scales combine on (R, T*GS)-sized tensors. Output is (R, T) (the caller
-    transposes) so no in-kernel transpose is needed.
+def _q4k_row_math(ml, mh, xsl, xsh, q, slo_t, shi_t, mlo_t, mhi_t):
+    """Shared T=1 q4_k matvec math producing a ROW (1, R) output: magic-number
+    dequant (bit-OR nibbles into bf16 mantissas, value = 128 + 8n — no
+    int->float converts, no per-weight scale muls) + per-group partial dots
+    against the activation-masked expansion stacks Ml/Mh (GS, C2); scales and
+    mins arrive lane-transposed (GS, R) so every combine is an MXU dot or an
+    elementwise op — no in-kernel transposes anywhere.
 
-      y_rt = sum_g s_rg/8 * (P_r,tg - 128*xs_tg) - sum_G m_rG * xs_tG
-    with P_r,tg = sum_{c in g} magic(q_rc) * x_tc.
+      y_r = sum_g s_gr/8 * (P_gr - 128*xsl_g) - sum_g m_gr * xs_g
+    with P_gr = sum_{c in g} magic(q_rc) * x_c.
     """
-    q = qs_ref[:].astype(jnp.int32)
     lo = jax.lax.bitcast_convert_type(
         (((q & 0xF) << 3) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
     hi = jax.lax.bitcast_convert_type(
         (((q >> 1) & 0x78) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
-    Pl = jax.lax.dot_general(lo, ml_ref[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (R, T*GS)
-    Ph = jax.lax.dot_general(hi, mh_ref[:], (((1,), (1,)), ((), ())),
+    Pl = jax.lax.dot_general(ml, lo, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (GS, R)
+    Ph = jax.lax.dot_general(mh, hi, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    slo = slo_ref[:].astype(jnp.float32)  # (R, GS)
-    shi = shi_ref[:].astype(jnp.float32)
-    GS = slo.shape[1]
-    TGS = Pl.shape[1]
-    T = TGS // GS
-    slo_t = pltpu.repeat(slo, T, axis=1)  # (R, T*GS), t-major blocks
-    shi_t = pltpu.repeat(shi, T, axis=1)
-    w = Pl * slo_t + Ph * shi_t           # (R, T*GS)
-    # segment-sum the GS-sized blocks per token via a 0/1 dot
-    bidx = jax.lax.broadcasted_iota(jnp.int32, (TGS, T), 0) // GS
-    tidx = jax.lax.broadcasted_iota(jnp.int32, (TGS, T), 1)
-    B = (bidx == tidx).astype(jnp.float32)
-    t = jax.lax.dot_general(w, B, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (R, T)
+    slo = slo_t.astype(jnp.float32)  # (GS, R)
+    shi = shi_t.astype(jnp.float32)
+    t = jnp.sum(Pl * slo + Ph * shi, axis=0, keepdims=True)  # (1, R)
     t *= 0.125
+    xslf = xsl.astype(jnp.float32)  # (1, GS)
+    xshf = xsh.astype(jnp.float32)
     t -= 16.0 * jax.lax.dot_general(
-        slo, xsl_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        xslf, slo, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     t -= 16.0 * jax.lax.dot_general(
-        shi, xsh_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        xshf, shi, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     t -= jax.lax.dot_general(
-        m_ref[:].astype(jnp.float32), xs_ref[:].astype(jnp.float32),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        xslf, mlo_t.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t -= jax.lax.dot_general(
+        xshf, mhi_t.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return t
+
+
+def _q4k_decode_kernel(ml_ref, mh_ref, xsl_ref, xsh_ref,
+                       qs_ref, slo_ref, shi_ref, mlo_ref, mhi_ref, o_ref):
+    t = _q4k_row_math(ml_ref[:], mh_ref[:], xsl_ref[:], xsh_ref[:],
+                      qs_ref[:].astype(jnp.int32), slo_ref[:], shi_ref[:],
+                      mlo_ref[:], mhi_ref[:])
     o_ref[:] = t.astype(o_ref.dtype)
 
 
@@ -235,12 +238,12 @@ def _q4k_i8_kernel(x_ref, xs_ref, q_ref, s_ref, m_ref, o_ref):
 # ---------------------------------------------------------------------------
 
 def _plane_split2(x: jnp.ndarray, in_f: int):
-    """x (T, C) -> (xl, xh) in ggml nibble order: byte b of group g pairs
-    cols 64g+j (lo) and 64g+32+j (hi)."""
+    """x (T, C) -> (xl, xh) in v2 contiguous-plane order: byte b of
+    superblock s pairs cols 256s+b (lo) and 256s+128+b (hi)."""
     T = x.shape[0]
-    x3 = x.reshape(T, in_f // 64, 64)
-    xl = x3[:, :, :32].reshape(T, in_f // 2)
-    xh = x3[:, :, 32:].reshape(T, in_f // 2)
+    x3 = x.reshape(T, in_f // 256, 256)
+    xl = x3[:, :, :128].reshape(T, in_f // 2)
+    xh = x3[:, :, 128:].reshape(T, in_f // 2)
     return xl, xh
 
 
@@ -261,28 +264,57 @@ def _specs_w(shapes):
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
+def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
+                       interpret: bool):
+    """T=1 q4_k matvec through the row-output kernel. Returns (1, out_f)."""
+    xl, xh = _plane_split2(x, in_f)
+    GS = in_f // 64
+    E = _expand_mat(GS, in_f // 2, 32)  # (GS, C2) 0/1
+    # activation-masked expansion stacks: Ml[g, c] = E[g,c]*xl[0,c]
+    ml = E * xl.astype(jnp.bfloat16)
+    mh = E * xh.astype(jnp.bfloat16)
+    x_args = (ml, mh, _group_sums(xl, in_f // 2, 32),
+              _group_sums(xh, in_f // 2, 32))
+    x_rows = (GS, GS, 1, 1)
+    x_shapes = (in_f // 2, in_f // 2, GS, GS)
+    # row tile: big tiles pipeline better, but the double-buffered qs tile
+    # plus the (GS, C2) Ml/Mh stacks must fit scoped VMEM (~16M)
+    budget = 13 * 1024 * 1024 - 2 * 2 * GS * (in_f // 2) * 2
+    rt = ROW_TILE
+    for cand in (DECODE_ROW_TILE, ROW_TILE, 128):
+        if out_f % cand == 0 and 2 * cand * (in_f // 2 + 8 * GS) <= budget:
+            rt = cand
+            break
+    qs2, slo_t, shi_t, mlo_t, mhi_t = fields
+    return pl.pallas_call(
+        _q4k_decode_kernel,
+        grid=(out_f // rt,),
+        in_specs=[pl.BlockSpec((r, s), lambda o: (0, 0),
+                               memory_space=pltpu.VMEM)
+                  for r, s in zip(x_rows, x_shapes)]
+        + [pl.BlockSpec((rt, in_f // 2), lambda o: (o, 0),
+                        memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((GS, rt), lambda o: (0, o),
+                        memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec((1, rt), lambda o: (0, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, out_f), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * in_f * out_f,
+            bytes_accessed=sum(f.nbytes for f in fields) + x.nbytes
+            + out_f * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(*x_args, qs2, slo_t, shi_t, mlo_t, mhi_t)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
 def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
                    interpret: bool):
-    """Small-T fast path through the *_decode_kernel variants; x: (T, in_f)
-    with T <= 8 for q4_k (single decode + batched-decode slots), T == 1 for
-    q6_k/q8_0. Returns (T, out_f)."""
+    """T=1 fast path through the *_decode_kernel variants for q6_k/q8_0;
+    returns (T, out_f)."""
     T = x.shape[0]
-    if kind == "q4_k":
-        xl, xh = _plane_split2(x, in_f)
-        GS = in_f // 64
-        E = _expand_mat(GS, in_f // 2, 32)  # (GS, C2) 0/1
-        # activation-masked expansion stacks: Ml[t*GS+g, c] = E[g,c]*xl[t,c]
-        ml = (E[None, :, :] * xl.astype(jnp.bfloat16)[:, None, :]
-              ).reshape(T * GS, in_f // 2)
-        mh = (E[None, :, :] * xh.astype(jnp.bfloat16)[:, None, :]
-              ).reshape(T * GS, in_f // 2)
-        x_args = (ml, mh, _group_sums(xl, in_f // 2, 32),
-                  _group_sums(xh, in_f // 2, 32), _group_sums(x, in_f, 32))
-        x_rows = (T * GS, T * GS, T, T, T)
-        x_shapes = (in_f // 2, in_f // 2, in_f // 64, in_f // 64, in_f // 32)
-        kernel = _q4k_decode_kernel
-        w_shapes = (in_f // 2, in_f // 64, in_f // 64, in_f // 32)
-    elif kind == "q6_k":
+    if kind == "q6_k":
         x4 = x.reshape(1, in_f // 128, 128)
         planes = [x4[:, :, i * 32:(i + 1) * 32].reshape(1, in_f // 4)
                   for i in range(4)]
@@ -333,7 +365,7 @@ def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
 
     if kind == "q4_k":
         xl, xh = _plane_split2(x, in_f)
-        xs = _group_sums(x, in_f, 32)
+        xs = _group_sums(x, in_f, 32)  # logical groups (min term)
         x_args = (xl, xh, xs)
         x_shapes = (in_f // 2, in_f // 2, in_f // 32)
         kernel = _q4k_kernel
@@ -379,11 +411,12 @@ def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
 
 
 _FIELD_LISTS = {
-    "q4_k": ("qs", "scale_lo", "scale_hi", "min"),
+    "q4_k": ("qs2", "scale_lo", "scale_hi", "min"),
     "q4_k_i8": ("q", "scale", "min"),
     "q6_k": ("ql2", "qh2", "scale_p"),
     "q8_0": ("q", "scale"),
 }
+_MATVEC_FIELDS_Q4K = ("qs2", "slo_t", "shi_t", "mlo_t", "mhi_t")
 
 
 def matmul_packed(x: jnp.ndarray, qt: QTensor):
@@ -403,15 +436,21 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
     if x2.dtype != jnp.bfloat16:
         x2 = x2.astype(jnp.bfloat16)
     # T<=8 was tried for the batched-decode slots and measured SLOWER than
-    # the standard kernel at T=8 (1240 vs 2095 t/s batched: the (R, T*GS)
-    # f32 combine + low-utilization segment dots outweigh the dequant
-    # savings), so the matvec path is T==1 only.
-    max_t = int(os.environ.get("KCPP_MATVEC_MAX_T", "1"))
-    if (qt.kind in ("q4_k", "q6_k", "q8_0") and x2.shape[0] <= max_t
+    # the standard kernel at T=8 (1240 vs 2095 t/s batched: the per-group
+    # combine + low-utilization segment dots outweigh the dequant savings),
+    # so the matvec path is T==1 only.
+    if (x2.shape[0] == 1
             and os.environ.get("KCPP_Q4K_DECODE", "1") == "1"):
-        y = _packed_matvec(x2, fields, kind=qt.kind, out_f=out_f, in_f=in_f,
-                           interpret=_use_interpret())
-        return y.reshape(*lead, out_f)
+        if qt.kind == "q4_k" and all(n in qt.data for n in _MATVEC_FIELDS_Q4K):
+            y = _packed_matvec_q4k(
+                x2, tuple(qt.data[n] for n in _MATVEC_FIELDS_Q4K),
+                kind=qt.kind, out_f=out_f, in_f=in_f,
+                interpret=_use_interpret())
+            return y.reshape(*lead, out_f)
+        if qt.kind in ("q6_k", "q8_0"):
+            y = _packed_matvec(x2, fields, kind=qt.kind, out_f=out_f,
+                               in_f=in_f, interpret=_use_interpret())
+            return y.reshape(*lead, out_f)
     y = _packed_matmul_2d(x2, fields, kind=qt.kind, out_f=out_f, in_f=in_f,
                           interpret=_use_interpret())
     return y.reshape(*lead, out_f)

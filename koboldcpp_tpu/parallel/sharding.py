@@ -52,16 +52,25 @@ _EXPERT_SHARDED = {"ffn_gate_exps", "ffn_up_exps", "ffn_down_exps"}
 
 def _qt_spec(qt: QTensor, axis: int) -> dict[str, P]:
     """PartitionSpec for each array inside a QTensor, sharding the logical
-    `axis` (0=out rows, 1=in cols) over tp."""
+    `axis` (0=out rows, 1=in cols) over tp.  Fields named `*_t` are
+    lane-transposed (in-group, out-row) sidecars (ops/linear.py pack_q4_k),
+    so their dims swap."""
     specs = {}
     for name, arr in qt.data.items():
         nd = getattr(arr, "ndim", 0)
+        transposed = name.endswith("_t") and nd == 2
         if axis == 0:
-            # every packed field carries the out-dim as axis 0
-            specs[name] = P("tp") if nd == 1 else P("tp", *([None] * (nd - 1)))
+            # out-dim is axis 0 of every packed field (last axis if _t)
+            if transposed:
+                specs[name] = P(None, "tp")
+            else:
+                specs[name] = P("tp") if nd == 1 else P("tp", *([None] * (nd - 1)))
         else:
-            # in-dim is the last axis of every packed field
-            specs[name] = P(*([None] * (nd - 1)), "tp") if nd >= 1 else P()
+            # in-dim is the last axis of every packed field (axis 0 if _t)
+            if transposed:
+                specs[name] = P("tp", None)
+            else:
+                specs[name] = P(*([None] * (nd - 1)), "tp") if nd >= 1 else P()
     return specs
 
 
@@ -77,8 +86,8 @@ def _shard_qtensor(qt: QTensor, mesh: Mesh, axis: int | None) -> QTensor:
             spec = specs[name]
             # replicate arrays whose sharded dim doesn't divide the tp axis
             # (tiny scale sidecars of small layers)
-            dim = 0 if axis == 0 else arr.ndim - 1
-            if arr.shape[dim] % tp:
+            dim = next((i for i, s in enumerate(spec) if s == "tp"), None)
+            if dim is not None and arr.shape[dim] % tp:
                 spec = P()
             data[name] = jax.device_put(arr, NamedSharding(mesh, spec))
     return QTensor(kind=qt.kind, shape=qt.shape, data=data)

@@ -1,0 +1,79 @@
+"""FFN megakernel (ops/ffn_fused.py) vs the composed gateup/SwiGLU/down path
+(interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from koboldcpp_tpu.gguf import GGMLType, quants
+from koboldcpp_tpu.ops import linear
+from koboldcpp_tpu.ops.ffn_fused import ffn_fused
+
+
+def make_pair(C=512, F=768, seed=0):
+    rng = np.random.default_rng(seed)
+    wgu = (rng.standard_normal((2 * F, C)) * 0.1).astype(np.float32)
+    wdn = (rng.standard_normal((C, F)) * 0.1).astype(np.float32)
+    qgu = linear.from_gguf(quants.quantize(wgu, GGMLType.Q4_K),
+                           GGMLType.Q4_K, (2 * F, C), packed=True)
+    qdn = linear.from_gguf(quants.quantize(wdn, GGMLType.Q4_K),
+                           GGMLType.Q4_K, (C, F), packed=True)
+    gu_ref = quants.dequantize(quants.quantize(wgu, GGMLType.Q4_K),
+                               GGMLType.Q4_K).reshape(2 * F, C)
+    dn_ref = quants.dequantize(quants.quantize(wdn, GGMLType.Q4_K),
+                               GGMLType.Q4_K).reshape(C, F)
+    return qgu, qdn, gu_ref, dn_ref
+
+
+def ref_ffn(x, gu_ref, dn_ref):
+    gu = x @ gu_ref.T
+    F = gu.shape[-1] // 2
+    g, u = gu[:, :F], gu[:, F:]
+    act = u * g / (1.0 + np.exp(-g))
+    return act @ dn_ref.T
+
+
+def test_megakernel_matches_composed(monkeypatch):
+    monkeypatch.setenv("KCPP_FFN_FUSED", "1")  # opt-in (neutral on TPU A/B)
+    qgu, qdn, gu_ref, dn_ref = make_pair()
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((1, 512)) * 0.5).astype(np.float32)
+    y = ffn_fused(jnp.asarray(x, jnp.bfloat16), qgu, qdn)
+    assert y is not None, "megakernel should cover this shape"
+    want = ref_ffn(x, gu_ref, dn_ref)
+    got = np.asarray(y, np.float32)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 0.03
+
+
+def test_megakernel_3d_lead_and_fallbacks(monkeypatch):
+    monkeypatch.setenv("KCPP_FFN_FUSED", "1")
+    qgu, qdn, gu_ref, dn_ref = make_pair(seed=2)
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((1, 1, 512)) * 0.5).astype(np.float32)
+    y = ffn_fused(jnp.asarray(x, jnp.bfloat16), qgu, qdn)
+    assert y is not None and y.shape == (1, 1, 512)
+    want = ref_ffn(x.reshape(1, 512), gu_ref, dn_ref)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(np.asarray(y, np.float32).reshape(1, 512) - want
+                  ).max() / scale < 0.03
+    # T > 1 falls back to the composed path
+    xT = jnp.zeros((3, 512), jnp.bfloat16)
+    assert ffn_fused(xT, qgu, qdn) is None
+
+
+def test_ffn_path_in_llama_matches_xla(monkeypatch):
+    """models/llama.py _ffn with the megakernel == with it disabled."""
+    from koboldcpp_tpu.models.llama import _ffn
+
+    qgu, qdn, _, _ = make_pair(seed=4)
+    layer = {"w_gateup": qgu, "w_down": qdn}
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((1, 1, 512)) * 0.3,
+                    jnp.bfloat16)
+    monkeypatch.setenv("KCPP_FFN_FUSED", "1")
+    y_fused = _ffn(x, layer, "silu", True)
+    monkeypatch.setenv("KCPP_FFN_FUSED", "0")
+    y_plain = _ffn(x, layer, "silu", True)
+    a = np.asarray(y_fused, np.float32)
+    b = np.asarray(y_plain, np.float32)
+    scale = np.abs(b).max() + 1e-6
+    assert np.abs(a - b).max() / scale < 0.02

@@ -80,8 +80,11 @@ def test_quantized_params_shard(setup):
     wqkv = sp["layers"][0]["wqkv"]
     assert wqkv.kind == "q4_k"
     # row-sharded: first axis split over tp
-    shard_shape = wqkv.data["qs"].sharding.shard_shape(wqkv.data["qs"].shape)
+    shard_shape = wqkv.data["qs2"].sharding.shard_shape(wqkv.data["qs2"].shape)
     assert shard_shape[0] == wqkv.shape[0] // 8
+    # lane-transposed scale sidecars shard their LAST axis (out rows)
+    st = wqkv.data["slo_t"]
+    assert st.sharding.shard_shape(st.shape)[1] == st.shape[1] // 8
 
 
 def test_moe_dense_ep_sharded_matches_gather():
