@@ -202,6 +202,98 @@ class GGUFReader:
         return out.reshape(t.shape)
 
 
+class ShardedGGUFReader:
+    """Merged view over a gguf-split shard set.
+
+    Counterpart of the reference's split-file loading (split KV constants in
+    /root/reference/examples/gguf-split/gguf-split.cpp: `split.no`,
+    `split.count`, `split.tensors.count`; filename pattern
+    `<prefix>-%05d-of-%05d.gguf`). Shard 1 carries the model metadata; every
+    shard has its own tensor index. Exposes the GGUFReader API.
+    """
+
+    SPLIT_NO = "split.no"
+    SPLIT_COUNT = "split.count"
+    SPLIT_TENSORS_COUNT = "split.tensors.count"
+
+    def __init__(self, first_shard: str | os.PathLike):
+        self.path = os.fspath(first_shard)
+        first = GGUFReader(self.path)
+        count = int(first.metadata.get(self.SPLIT_COUNT, 0))
+        no = int(first.metadata.get(self.SPLIT_NO, 0))
+        if count < 2:
+            self.shards = [first]
+        else:
+            if no != 0:
+                first.close()
+                raise ValueError(
+                    f"{self.path}: is shard {no + 1}/{count}; pass the first "
+                    "shard (…-00001-of-…)")
+            prefix = _split_prefix(self.path, no, count)
+            self.shards = [first]
+            for i in range(1, count):
+                self.shards.append(GGUFReader(split_path(prefix, i, count)))
+        self.version = first.version
+        self.metadata: dict[str, Any] = {}
+        self.tensors: dict[str, TensorInfo] = {}
+        self._owner: dict[str, GGUFReader] = {}
+        for shard in self.shards:
+            for k, v in shard.metadata.items():
+                self.metadata.setdefault(k, v)
+            for name, info in shard.tensors.items():
+                if name in self.tensors:
+                    raise ValueError(f"duplicate tensor {name!r} across shards")
+                self.tensors[name] = info
+                self._owner[name] = shard
+
+    def close(self):
+        for shard in self.shards:
+            shard.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    @property
+    def architecture(self) -> str:
+        return str(self.metadata.get(Keys.General.ARCHITECTURE, ""))
+
+    def arch_key(self, template: str) -> Any:
+        return self.metadata.get(template.format(arch=self.architecture))
+
+    def tensor_raw(self, name: str) -> np.ndarray:
+        return self._owner[name].tensor_raw(name)
+
+    def tensor_data(self, name: str, dtype=np.float32) -> np.ndarray:
+        return self._owner[name].tensor_data(name, dtype=dtype)
+
+
+def split_path(prefix: str, no: int, count: int) -> str:
+    """Shard filename, reference pattern `%s-%05d-of-%05d.gguf`
+    (llama_split_path, /root/reference/src/llama.cpp)."""
+    return f"{prefix}-{no + 1:05d}-of-{count:05d}.gguf"
+
+
+def _split_prefix(path: str, no: int, count: int) -> str:
+    suffix = f"-{no + 1:05d}-of-{count:05d}.gguf"
+    if not path.endswith(suffix):
+        raise ValueError(
+            f"{path}: split shard filename must end with {suffix!r}")
+    return path[: -len(suffix)]
+
+
+def open_gguf(path: str | os.PathLike) -> GGUFReader | ShardedGGUFReader:
+    """Open a GGUF file; transparently merges gguf-split shard sets when the
+    file carries `split.count` > 1."""
+    r = GGUFReader(path)
+    if int(r.metadata.get(ShardedGGUFReader.SPLIT_COUNT, 0)) >= 2:
+        r.close()
+        return ShardedGGUFReader(path)
+    return r
+
+
 def read_header_metadata(path: str | os.PathLike) -> dict[str, Any]:
     """Cheap header-only metadata read (no tensor index needed by callers).
 

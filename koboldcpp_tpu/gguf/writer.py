@@ -88,6 +88,13 @@ class GGUFWriter:
             ggml_type = t
         self.tensors.append((name, shape, GGMLType(ggml_type), raw))
 
+    def add_tensor_raw(self, name: str, shape: tuple[int, ...],
+                       ggml_type: GGMLType, raw: np.ndarray):
+        """Add a tensor from already-packed bytes with an explicit logical
+        shape (pass-through copy path used by gguf-split)."""
+        self.tensors.append((name, tuple(shape), GGMLType(ggml_type),
+                             np.ascontiguousarray(raw).reshape(-1)))
+
     # -- serialization -----------------------------------------------------
     def _w_str(self, f: BinaryIO, s: str):
         b = s.encode("utf-8")

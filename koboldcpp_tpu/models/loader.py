@@ -273,7 +273,9 @@ def load_model(path: str, packed: bool = True, dtype=jnp.bfloat16,
         else:
             _Reader = legacy.LegacyLlamaReader
     else:
-        _Reader = GGUFReader
+        from ..gguf.reader import open_gguf
+
+        _Reader = open_gguf  # transparently merges gguf-split shard sets
     with _Reader(path) as r:
         cfg = config_from_metadata(r.metadata)
         tokenizer = Tokenizer.from_metadata(r.metadata)
