@@ -105,10 +105,12 @@ def main():
     decode_compile_s = time.perf_counter() - t0
     cache2 = init_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads, cfg.head_dim)
     logits, cache2 = prefill(params, ptoks, ppos, cache2)
-    t0 = time.perf_counter()
-    tok, cache2, acc = decode_n(dparams, cache2, tok0, prefill_len)
-    _ = float(acc)
-    dt = max(time.perf_counter() - t0 - latency, 1e-6)
+    dt = 1e9  # min over repeats: the shared chip has contention spikes
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tok, _c, acc = decode_n(dparams, cache2, tok0, prefill_len)
+        _ = float(acc)
+        dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
     decode_tps = n_decode / dt
 
     # ---- batched decode (continuous-batching throughput, 8 slots) ---------
@@ -134,10 +136,12 @@ def main():
     tok, bcache, acc = decode_n_batched(dparams, bcache, btok, 64)
     _ = float(acc)
     bcache2 = init_cache(cfg.n_layers, B, max_seq, cfg.n_kv_heads, cfg.head_dim)
-    t0 = time.perf_counter()
-    tok, bcache2, acc = decode_n_batched(dparams, bcache2, btok, 64)
-    _ = float(acc)
-    dt = max(time.perf_counter() - t0 - latency, 1e-6)
+    dt = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tok, _c, acc = decode_n_batched(dparams, bcache2, btok, 64)
+        _ = float(acc)
+        dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
     batched_tps = B * n_decode / dt
 
     # ---- roofline ---------------------------------------------------------

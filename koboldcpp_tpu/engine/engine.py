@@ -869,9 +869,12 @@ class Engine:
                 max_context=self.max_context,
                 **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)})
             return
+        from ..kv.cache import stack_cache
+
+        stacked = stack_cache(self.cache)
         np.savez_compressed(
             path,
-            k=np.asarray(self.cache.k), v=np.asarray(self.cache.v),
+            k=np.asarray(stacked.k), v=np.asarray(stacked.v),
             context_tokens=np.asarray(self.context_tokens, dtype=np.int64),
             max_context=self.max_context)
 
@@ -890,8 +893,12 @@ class Engine:
                       for i in range(treedef.num_leaves)]
             self.cache = jax.tree_util.tree_unflatten(treedef, leaves)
         else:
-            self.cache = KVCache(k=jnp.asarray(data["k"], dtype=self.cache_dtype),
-                                 v=jnp.asarray(data["v"], dtype=self.cache_dtype))
+            from ..kv.cache import _is_layers, unstack_cache
+
+            loaded = KVCache(k=jnp.asarray(data["k"], dtype=self.cache_dtype),
+                             v=jnp.asarray(data["v"], dtype=self.cache_dtype))
+            self.cache = (unstack_cache(loaded)
+                          if _is_layers(self.cache.k) else loaded)
         self.context_tokens = [int(t) for t in data["context_tokens"]]
 
 
@@ -920,36 +927,50 @@ def _kv_shift_jit(cache: KVCache, start: int, end: int, n_used: int,
                   freqs: jnp.ndarray, rope_type: str, rot_dim: int) -> KVCache:
     """Slide cache slots [end, n_used) down to start and RoPE-re-rotate K by
     -delta. Positions are static per call (retraces per unique shift); the
-    continuous-batching paged cache replaces this with page-table remaps."""
+    continuous-batching paged cache replaces this with page-table remaps.
+
+    Works on either cache layout: per-layer tuples of (B, S, H, D) or a
+    stacked (L, B, S, H, D) array (deepseek2) — S is axis -3 in both."""
     delta = end - start
-    S = cache.k.shape[2]
-    idx = jnp.arange(S)
-    src = jnp.where(idx >= start, idx + delta, idx)  # slot i reads old i+delta
-    src = jnp.minimum(src, S - 1)
-    k = cache.k[:, :, src]
-    v = cache.v[:, :, src]
-    # re-rotate moved keys by -delta
-    angle = -delta * freqs  # (rot/2,)
-    cos = jnp.cos(angle)
-    sin = jnp.sin(angle)
-    d = cache.k.shape[-1]
-    rot = rot_dim or d
-    kf = k.astype(jnp.float32)
-    if rope_type == "neox":
-        k1 = kf[..., : rot // 2]
-        k2 = kf[..., rot // 2: rot]
-        r1 = k1 * cos - k2 * sin
-        r2 = k1 * sin + k2 * cos
-        k_rot = jnp.concatenate([r1, r2, kf[..., rot:]], axis=-1)
-    else:
-        kr = kf[..., :rot].reshape(kf.shape[:-1] + (rot // 2, 2))
-        k1 = kr[..., 0]
-        k2 = kr[..., 1]
-        r1 = k1 * cos - k2 * sin
-        r2 = k1 * sin + k2 * cos
-        k_rot = jnp.concatenate(
-            [jnp.stack([r1, r2], axis=-1).reshape(kf.shape[:-1] + (rot,)),
-             kf[..., rot:]], axis=-1)
-    moved = (idx >= start)[None, None, :, None, None]
-    k = jnp.where(moved, k_rot.astype(cache.k.dtype), k)
+
+    def shift_one(kl, vl):
+        S = kl.shape[-3]
+        idx = jnp.arange(S)
+        src = jnp.where(idx >= start, idx + delta, idx)  # slot i reads i+delta
+        src = jnp.minimum(src, S - 1)
+        k = jnp.take(kl, src, axis=-3)
+        v = jnp.take(vl, src, axis=-3)
+        # re-rotate moved keys by -delta
+        angle = -delta * freqs  # (rot/2,)
+        cos = jnp.cos(angle)
+        sin = jnp.sin(angle)
+        d = kl.shape[-1]
+        rot = rot_dim or d
+        kf = k.astype(jnp.float32)
+        if rope_type == "neox":
+            k1 = kf[..., : rot // 2]
+            k2 = kf[..., rot // 2: rot]
+            r1 = k1 * cos - k2 * sin
+            r2 = k1 * sin + k2 * cos
+            k_rot = jnp.concatenate([r1, r2, kf[..., rot:]], axis=-1)
+        else:
+            kr = kf[..., :rot].reshape(kf.shape[:-1] + (rot // 2, 2))
+            k1 = kr[..., 0]
+            k2 = kr[..., 1]
+            r1 = k1 * cos - k2 * sin
+            r2 = k1 * sin + k2 * cos
+            k_rot = jnp.concatenate(
+                [jnp.stack([r1, r2], axis=-1).reshape(kf.shape[:-1] + (rot,)),
+                 kf[..., rot:]], axis=-1)
+        moved = (idx >= start)[:, None, None]
+        k = jnp.where(moved, k_rot.astype(kl.dtype), k)
+        return k, v
+
+    from ..kv.cache import _is_layers
+
+    if _is_layers(cache.k):
+        pairs = [shift_one(kl, vl) for kl, vl in zip(cache.k, cache.v)]
+        return KVCache(k=tuple(p[0] for p in pairs),
+                       v=tuple(p[1] for p in pairs))
+    k, v = shift_one(cache.k, cache.v)
     return KVCache(k=k, v=v)

@@ -359,7 +359,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             from ..ops import flash_decode
 
             out = flash_decode.decode_attention(
-                q[0, 0], cache.k[li, 0], cache.v[li, 0], positions[0, 0],
+                q[0, 0], cache.k[li][0], cache.v[li][0], positions[0, 0],
                 nh, scale, cfg.attn_logit_softcap,
                 interpret=jax.default_backend() == "cpu")
             attn_out = out[None, None].astype(x.dtype)
@@ -634,9 +634,16 @@ def forward_stacked(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         x = x + ffn_out
         return x, (k_cache, v_cache)
 
+    from ..kv.cache import _is_layers, unstack_cache
+
+    per_layer = _is_layers(cache.k)
+    k_st = jnp.stack(cache.k) if per_layer else cache.k
+    v_st = jnp.stack(cache.v) if per_layer else cache.v
     x, (k_all, v_all) = jax.lax.scan(
-        body, x, (stacked, local_flags, cache.k, cache.v))
+        body, x, (stacked, local_flags, k_st, v_st))
     new_cache = KVCache(k=k_all, v=v_all)
+    if per_layer:
+        new_cache = unstack_cache(new_cache)
 
     if last_only:
         x = x[:, -1:, :]

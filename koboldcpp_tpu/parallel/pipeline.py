@@ -42,6 +42,9 @@ def shard_stacked_for_pp(params: dict, cache: KVCache, mesh: Mesh,
         if k in out:
             out[k] = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, rep), out[k])
+    from ..kv.cache import stack_cache
+
+    cache = stack_cache(cache)  # PP shards the layer axis: stacked layout
     cache = KVCache(k=jax.device_put(cache.k, lspec),
                     v=jax.device_put(cache.v, lspec))
     return out, cache

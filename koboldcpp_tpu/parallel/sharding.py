@@ -122,15 +122,19 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 
 
 def cache_sharding(mesh: Mesh) -> NamedSharding:
-    """KV cache (L, B, S, H_kv, D): batch over dp, heads over tp."""
-    return NamedSharding(mesh, P(None, "dp", None, "tp", None))
+    """KV cache layer buffer (B, S, H_kv, D): batch over dp, heads over tp."""
+    return NamedSharding(mesh, P("dp", None, "tp", None))
 
 
 def shard_cache(cache, mesh: Mesh):
-    from ..kv.cache import KVCache
+    from ..kv.cache import KVCache, _is_layers
 
     s = cache_sharding(mesh)
-    return KVCache(k=jax.device_put(cache.k, s), v=jax.device_put(cache.v, s))
+    if _is_layers(cache.k):
+        return KVCache(k=tuple(jax.device_put(x, s) for x in cache.k),
+                       v=tuple(jax.device_put(x, s) for x in cache.v))
+    s5 = NamedSharding(mesh, P(None, "dp", None, "tp", None))
+    return KVCache(k=jax.device_put(cache.k, s5), v=jax.device_put(cache.v, s5))
 
 
 def token_sharding(mesh: Mesh) -> NamedSharding:
