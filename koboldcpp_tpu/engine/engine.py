@@ -13,6 +13,7 @@ the continuous-batching scheduler builds on the same jitted step functions.
 from __future__ import annotations
 
 import codecs
+import os
 import threading
 import time
 from dataclasses import dataclass, field
@@ -32,7 +33,11 @@ from ..ops.rope import rope_frequencies
 from ..sampling import SamplerParams, build_dry_sequences, make_state, sample_logits
 
 PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512)
-FAST_DECODE_K = 8  # tokens per device call on the greedy fast path
+# Tokens per device call on the greedy/stochastic fast paths. Each call costs
+# one host->device dispatch (~30 ms over the axon tunnel, ~100 us locally);
+# overshoot past a stop condition is computed-then-discarded, so larger K
+# trades a little wasted tail compute for fewer round trips.
+FAST_DECODE_K = int(os.environ.get("KCPP_FAST_DECODE_K", "16"))
 
 
 @dataclass

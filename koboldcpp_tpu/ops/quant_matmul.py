@@ -37,6 +37,12 @@ ROW_TILE = int(__import__("os").environ.get("KCPP_ROW_TILE", "256"))  # output-f
 # batched-8 throughput from VMEM pressure)
 DECODE_ROW_TILE = int(__import__("os").environ.get("KCPP_DECODE_ROW_TILE", "512"))
 T_TILE = 256    # token tile for prefill
+# Largest batch the q4_k row kernel serves (T*GS masked-stack P-dots); above
+# this the 2-D scale-expansion kernel takes over. In-situ decode-step A/B on
+# v5e (TinyLlama shapes): row kernel wins 2.8x at T=1, ~1.5x at T=2, neutral
+# at T=4, loses at T=8 (P-dot MACs scale with T while the 2-D kernel's
+# per-tile structural cost is T-flat).
+MATVEC_MAX_T = int(__import__("os").environ.get("KCPP_MATVEC_MAX_T", "4"))
 
 
 def _use_interpret() -> bool:
@@ -89,27 +95,38 @@ def _q4k_kernel(xl_ref, xh_ref, xs_ref, qs_ref, slo_ref, shi_ref, m_ref, o_ref):
 
 
 def _q4k_row_math(ml, mh, xsl, xsh, q, slo_t, shi_t, mlo_t, mhi_t):
-    """Shared T=1 q4_k matvec math producing a ROW (1, R) output: magic-number
+    """Shared T<=8 q4_k matvec math producing a ROW (T, R) output: magic-number
     dequant (bit-OR nibbles into bf16 mantissas, value = 128 + 8n — no
     int->float converts, no per-weight scale muls) + per-group partial dots
-    against the activation-masked expansion stacks Ml/Mh (GS, C2); scales and
-    mins arrive lane-transposed (GS, R) so every combine is an MXU dot or an
-    elementwise op — no in-kernel transposes anywhere.
+    against the activation-masked expansion stacks Ml/Mh (T*GS, C2); scales
+    and mins arrive lane-transposed (GS, R) so every combine is an MXU dot or
+    an elementwise op — no in-kernel transposes anywhere.
 
-      y_r = sum_g s_gr/8 * (P_gr - 128*xsl_g) - sum_g m_gr * xs_g
-    with P_gr = sum_{c in g} magic(q_rc) * x_c.
+      y_tr = sum_g s_gr/8 * (P_tgr - 128*xsl_tg) - sum_g m_gr * xs_tg
+    with P_tgr = sum_{c in g} magic(q_rc) * x_tc.
+
+    The P-dot MACs scale with T*GS rows, so this is the decode path (T small);
+    prefill keeps the scale-expansion 2-D kernel.
     """
     lo = jax.lax.bitcast_convert_type(
         (((q & 0xF) << 3) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
     hi = jax.lax.bitcast_convert_type(
         (((q >> 1) & 0x78) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
     Pl = jax.lax.dot_general(ml, lo, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (GS, R)
+                             preferred_element_type=jnp.float32)  # (T*GS, R)
     Ph = jax.lax.dot_general(mh, hi, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     slo = slo_t.astype(jnp.float32)  # (GS, R)
     shi = shi_t.astype(jnp.float32)
-    t = jnp.sum(Pl * slo + Ph * shi, axis=0, keepdims=True)  # (1, R)
+    GS = slo_t.shape[0]
+    T = xsl.shape[0]
+    if T == 1:
+        t = jnp.sum(Pl * slo + Ph * shi, axis=0, keepdims=True)  # (1, R)
+    else:
+        slo_r = jnp.concatenate([slo] * T, axis=0)  # (T*GS, R) lane-aligned
+        shi_r = jnp.concatenate([shi] * T, axis=0)
+        prod = Pl * slo_r + Ph * shi_r
+        t = prod.reshape(T, GS, prod.shape[1]).sum(axis=1)  # (T, R)
     t *= 0.125
     xslf = xsl.astype(jnp.float32)  # (1, GS)
     xshf = xsh.astype(jnp.float32)
@@ -266,23 +283,30 @@ def _specs_w(shapes):
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
 def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
                        interpret: bool):
-    """T=1 q4_k matvec through the row-output kernel. Returns (1, out_f)."""
+    """T<=8 q4_k matvec through the row-output kernel. Returns (T, out_f)."""
+    T = x.shape[0]
     xl, xh = _plane_split2(x, in_f)
     GS = in_f // 64
-    E = _expand_mat(GS, in_f // 2, 32)  # (GS, C2) 0/1
-    # activation-masked expansion stacks: Ml[g, c] = E[g,c]*xl[0,c]
-    ml = E * xl.astype(jnp.bfloat16)
-    mh = E * xh.astype(jnp.bfloat16)
-    x_args = (ml, mh, _group_sums(xl, in_f // 2, 32),
-              _group_sums(xh, in_f // 2, 32))
-    x_rows = (GS, GS, 1, 1)
-    x_shapes = (in_f // 2, in_f // 2, GS, GS)
+    C2 = in_f // 2
+    E = _expand_mat(GS, C2, 32)  # (GS, C2) 0/1
+    # activation-masked expansion stacks: Ml[t*GS+g, c] = E[g,c]*xl[t,c]
+    if T == 1:
+        ml = E * xl.astype(jnp.bfloat16)
+        mh = E * xh.astype(jnp.bfloat16)
+    else:
+        ml = (E[None] * xl.astype(jnp.bfloat16)[:, None, :]).reshape(
+            T * GS, C2)
+        mh = (E[None] * xh.astype(jnp.bfloat16)[:, None, :]).reshape(
+            T * GS, C2)
+    x_args = (ml, mh, _group_sums(xl, C2, 32), _group_sums(xh, C2, 32))
+    x_rows = (T * GS, T * GS, T, T)
+    x_shapes = (C2, C2, GS, GS)
     # row tile: big tiles pipeline better, but the double-buffered qs tile
-    # plus the (GS, C2) Ml/Mh stacks must fit scoped VMEM (~16M)
-    budget = 13 * 1024 * 1024 - 2 * 2 * GS * (in_f // 2) * 2
+    # plus the (T*GS, C2) Ml/Mh stacks must fit scoped VMEM (~16M)
+    budget = 13 * 1024 * 1024 - 2 * 2 * T * GS * C2 * 2
     rt = ROW_TILE
     for cand in (DECODE_ROW_TILE, ROW_TILE, 128):
-        if out_f % cand == 0 and 2 * cand * (in_f // 2 + 8 * GS) <= budget:
+        if out_f % cand == 0 and 2 * cand * (C2 + 8 * GS) <= budget:
             rt = cand
             break
     qs2, slo_t, shi_t, mlo_t, mhi_t = fields
@@ -292,17 +316,17 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
         in_specs=[pl.BlockSpec((r, s), lambda o: (0, 0),
                                memory_space=pltpu.VMEM)
                   for r, s in zip(x_rows, x_shapes)]
-        + [pl.BlockSpec((rt, in_f // 2), lambda o: (o, 0),
+        + [pl.BlockSpec((rt, C2), lambda o: (o, 0),
                         memory_space=pltpu.VMEM)]
         + [pl.BlockSpec((GS, rt), lambda o: (0, o),
                         memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec((1, rt), lambda o: (0, o),
+        out_specs=pl.BlockSpec((T, rt), lambda o: (0, o),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, out_f), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((T, out_f), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * in_f * out_f,
+            flops=2 * T * in_f * out_f,
             bytes_accessed=sum(f.nbytes for f in fields) + x.nbytes
-            + out_f * 2,
+            + T * out_f * 2,
             transcendentals=0),
         interpret=interpret,
     )(*x_args, qs2, slo_t, shi_t, mlo_t, mhi_t)
@@ -435,11 +459,12 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
     x2 = x.reshape(-1, in_f)
     if x2.dtype != jnp.bfloat16:
         x2 = x2.astype(jnp.bfloat16)
-    # T<=8 was tried for the batched-decode slots and measured SLOWER than
-    # the standard kernel at T=8 (1240 vs 2095 t/s batched: the per-group
-    # combine + low-utilization segment dots outweigh the dequant savings),
-    # so the matvec path is T==1 only.
-    if (x2.shape[0] == 1
+    # The q4_k row kernel generalizes to small T by stacking per-token masked
+    # expansions (T*GS rows) — its P-dot MACs grow with T, but the 2-D
+    # scale-expansion kernel's per-tile structural cost is ~2.2x the row
+    # kernel's streaming time regardless of T (profiled in-situ), so small
+    # batches stay ahead. MATVEC_MAX_T bounds the trade.
+    if (x2.shape[0] <= MATVEC_MAX_T
             and os.environ.get("KCPP_Q4K_DECODE", "1") == "1"):
         if qt.kind == "q4_k" and all(n in qt.data for n in _MATVEC_FIELDS_Q4K):
             y = _packed_matvec_q4k(
@@ -447,7 +472,7 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
                 kind=qt.kind, out_f=out_f, in_f=in_f,
                 interpret=_use_interpret())
             return y.reshape(*lead, out_f)
-        if qt.kind in ("q6_k", "q8_0"):
+        if qt.kind in ("q6_k", "q8_0") and x2.shape[0] == 1:
             y = _packed_matvec(x2, fields, kind=qt.kind, out_f=out_f,
                                in_f=in_f, interpret=_use_interpret())
             return y.reshape(*lead, out_f)

@@ -70,3 +70,19 @@ def test_batched_3d_input():
     want = x @ wref.T
     scale = np.abs(want).max() + 1e-6
     assert np.abs(np.asarray(y, np.float32) - want).max() / scale < 0.02
+
+
+@pytest.mark.parametrize("T", [2, 4, 8])
+def test_q4k_row_kernel_small_batch(T, monkeypatch):
+    """The T<=8 generalization of the q4_k row matvec kernel (masked T*GS
+    expansion stacks) must match the reference for every batch it covers."""
+    monkeypatch.setattr(quant_matmul, "MATVEC_MAX_T", 8)
+    qt, wref = make_qt(GGMLType.Q4_K)
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((T, qt.in_features)) * 0.5).astype(np.float32)
+    y = quant_matmul.matmul_packed(jnp.asarray(x, dtype=jnp.bfloat16), qt)
+    assert y is not None
+    want = x @ wref.T
+    got = np.asarray(y, dtype=np.float32)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 0.02
