@@ -153,6 +153,35 @@ def _q4k_decode_kernel(ml_ref, mh_ref, xsl_ref, xsh_ref,
     o_ref[:] = t.astype(o_ref.dtype)
 
 
+def _q4k_decode_kernel_raw(x_ref, qs_ref, slo_ref, shi_ref, mlo_ref, mhi_ref,
+                           o_ref):
+    """T=1 variant taking RAW x: the plane split, group sums and masked
+    expansion build in-kernel (v2 contiguous-plane layout makes them plain
+    128-aligned reshapes/slices, legal in Mosaic) — saves the per-call XLA
+    x-prep fusions, ~130 us/step of decode glue on a 22-layer model."""
+    x = x_ref[:]                      # (1, in_f) bf16
+    in_f = x.shape[1]
+    nsb = in_f // 256
+    C2 = in_f // 2
+    GS = in_f // 64
+    x3 = x.reshape(nsb, 256)
+    xl = x3[:, :128].reshape(1, C2)
+    xh = x3[:, 128:].reshape(1, C2)
+    E = _expand_mat(GS, C2, 32)
+    ml = E * xl
+    mh = E * xh
+    # per-32-group sums as an MXU dot against E (contract over columns)
+    xsl = jax.lax.dot_general(xl, E, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (1, GS)
+    xsh = jax.lax.dot_general(xh, E, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    t = _q4k_row_math(ml, mh, xsl.astype(jnp.bfloat16),
+                      xsh.astype(jnp.bfloat16),
+                      qs_ref[:].astype(jnp.int32), slo_ref[:], shi_ref[:],
+                      mlo_ref[:], mhi_ref[:])
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
 def _q6k_decode_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
                        ql_ref, qh_ref, s_ref, o_ref):
     """T=1 Q6_K matvec: magic bf16 values (128 + 2*q6), group-dot scale
@@ -285,22 +314,30 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
                        interpret: bool):
     """T<=8 q4_k matvec through the row-output kernel. Returns (T, out_f)."""
     T = x.shape[0]
-    xl, xh = _plane_split2(x, in_f)
     GS = in_f // 64
     C2 = in_f // 2
-    E = _expand_mat(GS, C2, 32)  # (GS, C2) 0/1
-    # activation-masked expansion stacks: Ml[t*GS+g, c] = E[g,c]*xl[t,c]
-    if T == 1:
-        ml = E * xl.astype(jnp.bfloat16)
-        mh = E * xh.astype(jnp.bfloat16)
+    raw = T == 1 and in_f % 256 == 0 and os.environ.get(
+        "KCPP_Q4K_RAW_X", "1") == "1"
+    if raw:
+        # kernel does its own plane split / group sums / masked expansion
+        x_args = (x,)
+        x_rows = (1,)
+        x_shapes = (in_f,)
     else:
-        ml = (E[None] * xl.astype(jnp.bfloat16)[:, None, :]).reshape(
-            T * GS, C2)
-        mh = (E[None] * xh.astype(jnp.bfloat16)[:, None, :]).reshape(
-            T * GS, C2)
-    x_args = (ml, mh, _group_sums(xl, C2, 32), _group_sums(xh, C2, 32))
-    x_rows = (T * GS, T * GS, T, T)
-    x_shapes = (C2, C2, GS, GS)
+        xl, xh = _plane_split2(x, in_f)
+        E = _expand_mat(GS, C2, 32)  # (GS, C2) 0/1
+        # activation-masked expansion stacks: Ml[t*GS+g, c] = E[g,c]*xl[t,c]
+        if T == 1:
+            ml = E * xl.astype(jnp.bfloat16)
+            mh = E * xh.astype(jnp.bfloat16)
+        else:
+            ml = (E[None] * xl.astype(jnp.bfloat16)[:, None, :]).reshape(
+                T * GS, C2)
+            mh = (E[None] * xh.astype(jnp.bfloat16)[:, None, :]).reshape(
+                T * GS, C2)
+        x_args = (ml, mh, _group_sums(xl, C2, 32), _group_sums(xh, C2, 32))
+        x_rows = (T * GS, T * GS, T, T)
+        x_shapes = (C2, C2, GS, GS)
     # row tile: big tiles pipeline better, but the double-buffered qs tile
     # plus the (T*GS, C2) Ml/Mh stacks must fit scoped VMEM (~16M)
     budget = 13 * 1024 * 1024 - 2 * 2 * T * GS * C2 * 2
@@ -311,7 +348,7 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
             break
     qs2, slo_t, shi_t, mlo_t, mhi_t = fields
     return pl.pallas_call(
-        _q4k_decode_kernel,
+        _q4k_decode_kernel_raw if raw else _q4k_decode_kernel,
         grid=(out_f // rt,),
         in_specs=[pl.BlockSpec((r, s), lambda o: (0, 0),
                                memory_space=pltpu.VMEM)
