@@ -902,7 +902,9 @@ class Engine:
 
             loaded = KVCache(k=jnp.asarray(data["k"], dtype=self.cache_dtype),
                              v=jnp.asarray(data["v"], dtype=self.cache_dtype))
-            self.cache = (unstack_cache(loaded)
+            self.cache = (unstack_cache(loaded,
+                                        heads=getattr(self.cache, "heads",
+                                                      None))
                           if _is_layers(self.cache.k) else loaded)
         self.context_tokens = [int(t) for t in data["context_tokens"]]
 
@@ -971,11 +973,18 @@ def _kv_shift_jit(cache: KVCache, start: int, end: int, n_used: int,
         k = jnp.where(moved, k_rot.astype(kl.dtype), k)
         return k, v
 
-    from ..kv.cache import _is_layers
+    from ..kv.cache import _is_layers, _leaf4
 
     if _is_layers(cache.k):
-        pairs = [shift_one(kl, vl) for kl, vl in zip(cache.k, cache.v)]
+        h = getattr(cache, "heads", None)
+
+        def one(kl, vl):
+            shp = kl.shape
+            k4, v4 = shift_one(_leaf4(kl, h), _leaf4(vl, h))
+            return k4.reshape(shp), v4.reshape(shp)
+
+        pairs = [one(kl, vl) for kl, vl in zip(cache.k, cache.v)]
         return KVCache(k=tuple(p[0] for p in pairs),
-                       v=tuple(p[1] for p in pairs))
+                       v=tuple(p[1] for p in pairs), heads=h)
     k, v = shift_one(cache.k, cache.v)
     return KVCache(k=k, v=v)

@@ -27,11 +27,19 @@ def _is_layers(x) -> bool:
     return isinstance(x, (tuple, list))
 
 
-@partial(jax.tree_util.register_dataclass, data_fields=["k", "v"], meta_fields=[])
+@partial(jax.tree_util.register_dataclass, data_fields=["k", "v"],
+         meta_fields=["heads"])
 @dataclass
 class KVCache:
-    k: tuple  # L x (B, S, H_kv, D), or a stacked (L, B, S, H_kv, D) array
+    """Per-layer tuples of (B, S, H_kv*D) FUSED-head buffers (heads set), or
+    L x (B, S, H_kv, D) tuples / a stacked (L, B, S, H_kv, D) array
+    (heads=None). The fused layout lets the flash-decode kernel take a cache
+    buffer as a custom-call operand with zero reshapes — reshaping a
+    custom-call operand materializes a copy of the whole buffer."""
+
+    k: tuple
     v: tuple
+    heads: int | None = None  # n_kv_heads when leaves are (B, S, H*D)
 
     @property
     def max_seq(self) -> int:
@@ -66,8 +74,8 @@ class QuantKVCache:
 
 def init_cache(n_layers: int, batch: int, max_seq: int, n_kv_heads: int,
                head_dim: int, dtype=jnp.bfloat16, quantized: bool = False):
-    shape = (batch, max_seq, n_kv_heads, head_dim)
     if quantized:
+        shape = (batch, max_seq, n_kv_heads, head_dim)
         return QuantKVCache(
             k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
             v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
@@ -75,24 +83,43 @@ def init_cache(n_layers: int, batch: int, max_seq: int, n_kv_heads: int,
                           for _ in range(n_layers)),
             v_scale=tuple(jnp.zeros(shape[:-1], jnp.bfloat16)
                           for _ in range(n_layers)))
+    shape = (batch, max_seq, n_kv_heads * head_dim)
     return KVCache(k=tuple(jnp.zeros(shape, dtype) for _ in range(n_layers)),
-                   v=tuple(jnp.zeros(shape, dtype) for _ in range(n_layers)))
+                   v=tuple(jnp.zeros(shape, dtype) for _ in range(n_layers)),
+                   heads=n_kv_heads)
+
+
+def _leaf4(leaf, heads):
+    """(B, S, H*D) fused leaf -> (B, S, H, D) view; 4-D leaves pass through."""
+    if leaf.ndim == 3 and heads:
+        B, S, KD = leaf.shape
+        return leaf.reshape(B, S, heads, KD // heads)
+    return leaf
 
 
 def stack_cache(cache: KVCache) -> KVCache:
-    """Per-layer tuple cache -> stacked-array cache (for scan/pipeline)."""
+    """Per-layer tuple cache -> stacked (L, B, S, H, D) array cache (for
+    scan/pipeline)."""
     if not _is_layers(cache.k):
         return cache
-    return KVCache(k=jnp.stack(cache.k), v=jnp.stack(cache.v))
+    h = getattr(cache, "heads", None)
+    return KVCache(k=jnp.stack([_leaf4(x, h) for x in cache.k]),
+                   v=jnp.stack([_leaf4(x, h) for x in cache.v]))
 
 
-def unstack_cache(cache: KVCache) -> KVCache:
-    """Stacked-array cache -> per-layer tuple cache."""
+def unstack_cache(cache: KVCache, heads: int | None = None) -> KVCache:
+    """Stacked (L, B, S, H, D) array cache -> per-layer tuple cache; with
+    `heads`, leaves come out fused (B, S, H*D)."""
     if _is_layers(cache.k):
         return cache
-    L = cache.k.shape[0]
-    return KVCache(k=tuple(cache.k[i] for i in range(L)),
-                   v=tuple(cache.v[i] for i in range(L)))
+    L, B, S = cache.k.shape[:3]
+
+    def leaf(x):
+        return x.reshape(B, S, -1) if heads else x
+
+    return KVCache(k=tuple(leaf(cache.k[i]) for i in range(L)),
+                   v=tuple(leaf(cache.v[i]) for i in range(L)),
+                   heads=heads)
 
 
 def _replace(tup, i: int, new):
@@ -135,23 +162,28 @@ def write(cache, layer: int, positions: jnp.ndarray,
             k_scale=cache.k_scale.at[layer, b_idx, positions].set(sk, mode="drop"),
             v_scale=cache.v_scale.at[layer, b_idx, positions].set(sv, mode="drop"))
     if _is_layers(cache.k):
-        k = cache.k[layer].at[b_idx, positions].set(
-            k_new.astype(cache.k[layer].dtype), mode="drop")
-        v = cache.v[layer].at[b_idx, positions].set(
-            v_new.astype(cache.v[layer].dtype), mode="drop")
+        kl, vl = cache.k[layer], cache.v[layer]
+        if kl.ndim == 3:  # fused (B, S, H*D) leaf: scatter fused rows
+            B, T = k_new.shape[:2]
+            k_new = k_new.reshape(B, T, -1)
+            v_new = v_new.reshape(B, T, -1)
+        k = kl.at[b_idx, positions].set(k_new.astype(kl.dtype), mode="drop")
+        v = vl.at[b_idx, positions].set(v_new.astype(vl.dtype), mode="drop")
         return KVCache(k=_replace(tuple(cache.k), layer, k),
-                       v=_replace(tuple(cache.v), layer, v))
+                       v=_replace(tuple(cache.v), layer, v),
+                       heads=getattr(cache, "heads", None))
     k = cache.k.at[layer, b_idx, positions].set(k_new.astype(cache.k.dtype), mode="drop")
     v = cache.v.at[layer, b_idx, positions].set(v_new.astype(cache.v.dtype), mode="drop")
     return KVCache(k=k, v=v)
 
 
 def read(cache, layer: int):
-    """Layer view as bf16 (dequantized when Q8)."""
+    """Layer view as (B, S, H, D) bf16 (dequantized when Q8)."""
     if isinstance(cache, QuantKVCache):
         k = (cache.k[layer].astype(jnp.float32)
              * cache.k_scale[layer].astype(jnp.float32)[..., None])
         v = (cache.v[layer].astype(jnp.float32)
              * cache.v_scale[layer].astype(jnp.float32)[..., None])
         return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
-    return cache.k[layer], cache.v[layer]
+    h = getattr(cache, "heads", None)
+    return _leaf4(cache.k[layer], h), _leaf4(cache.v[layer], h)

@@ -8,6 +8,7 @@ the Pallas flash-decode kernel plugs in via ops.attention.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any
 
@@ -31,17 +32,15 @@ def _norm(x: jnp.ndarray, store: Params, key: str, cfg: ModelConfig) -> jnp.ndar
 
 
 def _flash_decode_ok(cfg: ModelConfig) -> bool:
-    import os
-
-    # default OFF: in-situ the pallas call forces copies of the carried
-    # cache slices (~150us/layer) while XLA's attention overlaps with weight
-    # prefetch (~13us/layer in context) — see PERF_NOTES.md round-1 notes.
-    # CPU tests exercise the kernel via interpret mode with the env set.
-    if os.environ.get("KCPP_FLASH_DECODE", "0") != "1":
+    # Default ON since the fused-KD cache layout + in-kernel aliased writes
+    # (no XLA copies): decode 752 -> 800 t/s, batched-8 2457 -> 2732 on v5e.
+    # The kernel's DMA clamps at each sequence's position, so attention
+    # bandwidth scales with live context, not max_seq.
+    if os.environ.get("KCPP_FLASH_DECODE", "1") != "1":
         return False
     from ..ops import flash_decode
 
-    return flash_decode.supported(1, 1, cfg.n_kv_heads, cfg.head_dim)
+    return flash_decode.supported_batched(1, cfg.n_kv_heads, cfg.head_dim)
 
 
 def _softcap(x: jnp.ndarray, cap: float) -> jnp.ndarray:
@@ -334,12 +333,17 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             cfg.sliding_window_pattern == 0 or li % cfg.sliding_window_pattern == 0)
         layer_mask = local_mask if is_local else mask
 
+        use_flash_dec = (T == 1 and not is_local and alibi is None
+                         and nkv == cfg.n_kv_heads
+                         and isinstance(cache, KVCache)
+                         and getattr(cache, "heads", None)  # fused-KD leaves
+                         and _flash_decode_ok(cfg))
         if nkv < cfg.n_kv_heads:  # openelm: pad up to the cache's head count
             pad = jnp.zeros((B, T, cfg.n_kv_heads - nkv, cfg.head_dim), k.dtype)
             cache = kv_write(cache, li, positions,
                              jnp.concatenate([k, pad], axis=2),
                              jnp.concatenate([v, pad.astype(v.dtype)], axis=2))
-        else:
+        elif not use_flash_dec:
             cache = kv_write(cache, li, positions, k, v)
         layer_alibi = None
         if alibi is not None:
@@ -351,18 +355,27 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                 and alibi is None):
             # prefill-from-zero: chunk == entire context, no cache read needed
             attn_out = flash_prefill_attention(q, k, v, positions, scale)
-        elif (B == 1 and T == 1 and not is_local and alibi is None
-              and nkv == cfg.n_kv_heads and isinstance(cache, KVCache)
-              and _flash_decode_ok(cfg)):
-            # single-token decode: fused rope-less attention kernel over the
-            # cache (ops/flash_decode.py, the fattn-vec equivalent)
+        elif use_flash_dec:
+            # single-token decode: fused position-bounded attention kernel
+            # over the per-layer cache buffers (ops/flash_decode.py, the
+            # fattn-vec equivalent); DMA clamps at each sequence's position.
+            # The kernel also WRITES this step's K/V into the cache through
+            # aliased outputs (one block written back per sequence) — an XLA
+            # scatter after a custom-call read of the same buffer cannot
+            # alias and copies the whole cache every layer.
+            from ..kv.cache import _replace
             from ..ops import flash_decode
 
-            out = flash_decode.decode_attention(
-                q[0, 0], cache.k[li][0], cache.v[li][0], positions[0, 0],
-                nh, scale, cfg.attn_logit_softcap,
+            out, k_upd, v_upd = flash_decode.decode_attention_batched(
+                q[:, 0], k[:, 0].astype(cache.k[li].dtype),
+                v[:, 0].astype(cache.v[li].dtype),
+                cache.k[li], cache.v[li], positions[:, 0],
+                nh, nkv, scale, cfg.attn_logit_softcap,
                 interpret=jax.default_backend() == "cpu")
-            attn_out = out[None, None].astype(x.dtype)
+            attn_out = out[:, None].astype(x.dtype)
+            cache = KVCache(k=_replace(tuple(cache.k), li, k_upd),
+                            v=_replace(tuple(cache.v), li, v_upd),
+                            heads=cache.heads)
         else:
             ck, cv = kv_read(cache, li)
             if nkv < cfg.n_kv_heads:
@@ -634,16 +647,16 @@ def forward_stacked(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         x = x + ffn_out
         return x, (k_cache, v_cache)
 
-    from ..kv.cache import _is_layers, unstack_cache
+    from ..kv.cache import _is_layers, stack_cache, unstack_cache
 
     per_layer = _is_layers(cache.k)
-    k_st = jnp.stack(cache.k) if per_layer else cache.k
-    v_st = jnp.stack(cache.v) if per_layer else cache.v
+    heads = getattr(cache, "heads", None)
+    st = stack_cache(cache)
     x, (k_all, v_all) = jax.lax.scan(
-        body, x, (stacked, local_flags, k_st, v_st))
+        body, x, (stacked, local_flags, st.k, st.v))
     new_cache = KVCache(k=k_all, v=v_all)
     if per_layer:
-        new_cache = unstack_cache(new_cache)
+        new_cache = unstack_cache(new_cache, heads=heads)
 
     if last_only:
         x = x[:, -1:, :]

@@ -125,3 +125,190 @@ def supported(B: int, T: int, Hkv: int, D: int) -> bool:
     """Kernel applies to single-token single-sequence decode with a
     lane-aligned fused KV width."""
     return B == 1 and T == 1 and (Hkv * D) % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# batched, position-bounded variant
+# ---------------------------------------------------------------------------
+
+def _bkernel(pos_ref, q_ref, knew_ref, vnew_ref, k_ref, v_ref,
+             o_ref, ko_ref, vo_ref, m_ref, l_ref, acc_ref, *,
+             H: int, Hkv: int, D: int, BS: int, scale: float, softcap: float):
+    """Grid (B, S_blocks): per-sequence online softmax with DMA CLAMPED to the
+    live prefix — the k/v index maps clamp the block index at
+    (pos_b-1) // BS, so blocks past a sequence's position re-address the same
+    block (no refetch) and pl.when skips their compute. Decode attention
+    bandwidth scales with the actual context, not max_seq.
+
+    Reads the PRE-UPDATE cache (history < pos) and folds the current token's
+    self-attention in analytically from k_new/v_new; the cache WRITE also
+    happens in-kernel, into outputs that alias the cache inputs
+    (input_output_aliases) with a write-block index map that is constant per
+    sequence — so exactly ONE block per cache is written back. An XLA scatter
+    after a custom-call read of the same carried buffer cannot alias and
+    copies the whole cache every layer (profiled at ~3.7 ms/step on a
+    22-layer model); aliased in-kernel writes keep the chain in place."""
+    s = pl.program_id(1)
+    n_blocks = pl.num_programs(1)
+    b = pl.program_id(0)
+    KD = Hkv * D
+    G = H // Hkv
+    pos = pos_ref[b]
+    wblk = jnp.minimum(pos // BS, n_blocks - 1)
+
+    @pl.when(s == wblk)
+    def _write():
+        # the input block here IS the write block (clamped index map); copy
+        # it through and insert this step's K/V row. pos >= S (decode-chunk
+        # overshoot past the cache) copies through unchanged — kv_write's
+        # mode="drop" equivalent.
+        # row-blend instead of a dynamic row store (Mosaic needs 8-aligned
+        # sublane indices for stores; a masked full-block write doesn't)
+        row = pos - wblk * BS
+        in_range = pos < n_blocks * BS
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (BS, KD), 0)
+        sel = (ridx == row) & in_range
+        ko_ref[0] = jnp.where(sel, jnp.broadcast_to(knew_ref[0], (BS, KD)),
+                              k_ref[0])
+        vo_ref[0] = jnp.where(sel, jnp.broadcast_to(vnew_ref[0], (BS, KD)),
+                              v_ref[0])
+
+    def qexp_mask():
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 0) // G
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 1) // D
+        return hidx == bidx
+
+    @pl.when(s == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s * BS < pos)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # (H, D)
+        qrep = pltpu.repeat(q, Hkv, axis=1)  # (H, KD)
+        sel = qexp_mask()
+        qexp = jnp.where(sel, qrep, 0.0).astype(jnp.bfloat16)
+
+        scores = jax.lax.dot_general(
+            qexp, k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (H, BS)
+        if softcap > 0:
+            scores = softcap * jnp.tanh(scores / softcap)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (H, BS), 1) + s * BS
+        scores = jnp.where(sidx < pos, scores, -1e30)  # history only
+
+        m_prev = m_ref[:]                     # (H, 1)
+        m_blk = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_blk)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)           # (H, BS)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (H, KD)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(s == n_blocks - 1)
+    def _final():
+        q = q_ref[0].astype(jnp.float32)
+        qrep = pltpu.repeat(q, Hkv, axis=1)
+        sel = qexp_mask()
+        qexp = jnp.where(sel, qrep, 0.0)
+        # current token's self contribution (k_new/v_new, not yet in cache)
+        knew = knew_ref[0].astype(jnp.float32)   # (1, KD)
+        vnew = vnew_ref[0].astype(jnp.float32)
+        s_self = jax.lax.dot_general(
+            qexp, knew, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (H, 1)
+        if softcap > 0:
+            s_self = softcap * jnp.tanh(s_self / softcap)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, s_self)
+        alpha = jnp.exp(m_prev - m_new)
+        p_self = jnp.exp(s_self - m_new)         # (H, 1)
+        l = l_ref[:] * alpha + p_self
+        acc = acc_ref[:] * alpha + p_self * vnew  # (H, KD)
+        acc = acc / l
+        acc = jnp.where(sel, acc, 0.0)
+        kdi = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 0) % D
+        di = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 1)
+        R = (kdi == di).astype(jnp.float32)
+        o_ref[0] = jax.lax.dot_general(
+            acc, R, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "n_kv_heads", "scale",
+                                    "softcap", "interpret"))
+def decode_attention_batched(q: jnp.ndarray, k_new: jnp.ndarray,
+                             v_new: jnp.ndarray, k_layer: jnp.ndarray,
+                             v_layer: jnp.ndarray, positions: jnp.ndarray,
+                             n_heads: int, n_kv_heads: int, scale: float,
+                             softcap: float = 0.0,
+                             interpret: bool = False) -> jnp.ndarray:
+    """q: (B, H, D) post-rope; k_new/v_new: (B, Hkv, D) this step's post-rope
+    K/V (NOT yet written to the cache); k_layer/v_layer: (B, S, Hkv*D) bf16
+    FUSED cache buffers holding history < position (fused so the custom call
+    takes them with zero reshapes — reshaping a custom-call operand copies
+    the buffer); positions: (B,) i32. Returns (out (B, H, D) f32, k_upd,
+    v_upd (B, S, Hkv*D) updated caches aliasing the inputs)."""
+    B, S, KD = k_layer.shape
+    Hkv = n_kv_heads
+    D = KD // Hkv
+    H = n_heads
+    k2 = k_layer
+    v2 = v_layer
+    kn = k_new.reshape(B, 1, KD)
+    vn = v_new.reshape(B, 1, KD)
+    BS = min(256, S)
+    nb = pl.cdiv(S, BS)
+
+    def kv_map(b, s, pos_ref):
+        # clamp at the write block (pos // BS): covers all history blocks
+        # plus the block this step's K/V lands in
+        last = jnp.minimum(pos_ref[b] // BS, nb - 1)
+        return (b, jnp.minimum(s, last), 0)
+
+    def w_map(b, s, pos_ref):
+        return (b, jnp.minimum(pos_ref[b] // BS, nb - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nb),
+        in_specs=[pl.BlockSpec((1, H, D), lambda b, s, p: (b, 0, 0)),
+                  pl.BlockSpec((1, 1, KD), lambda b, s, p: (b, 0, 0)),
+                  pl.BlockSpec((1, 1, KD), lambda b, s, p: (b, 0, 0)),
+                  pl.BlockSpec((1, BS, KD), kv_map),
+                  pl.BlockSpec((1, BS, KD), kv_map)],
+        out_specs=[pl.BlockSpec((1, H, D), lambda b, s, p: (b, 0, 0)),
+                   pl.BlockSpec((1, BS, KD), w_map),
+                   pl.BlockSpec((1, BS, KD), w_map)],
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, KD), jnp.float32)],
+    )
+    out, k_upd, v_upd = pl.pallas_call(
+        functools.partial(_bkernel, H=H, Hkv=Hkv, D=D, BS=BS, scale=scale,
+                          softcap=softcap),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, H, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, S, KD), k_layer.dtype),
+                   jax.ShapeDtypeStruct((B, S, KD), v_layer.dtype)],
+        # operand indices INCLUDE the scalar-prefetch arg: 4 = k2, 5 = v2
+        input_output_aliases={4: 1, 5: 2},
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * D,
+            bytes_accessed=k2.nbytes + v2.nbytes,
+            transcendentals=B * H * S),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), q.astype(jnp.bfloat16),
+      kn.astype(jnp.bfloat16), vn.astype(jnp.bfloat16), k2, v2)
+    return out, k_upd, v_upd
+
+
+def supported_batched(T: int, Hkv: int, D: int) -> bool:
+    return T == 1 and (Hkv * D) % 128 == 0

@@ -122,17 +122,24 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 
 
 def cache_sharding(mesh: Mesh) -> NamedSharding:
-    """KV cache layer buffer (B, S, H_kv, D): batch over dp, heads over tp."""
-    return NamedSharding(mesh, P("dp", None, "tp", None))
+    """KV cache layer buffer: batch over dp, heads over tp. Fused (B, S, H*D)
+    leaves shard the fused axis over tp — head-major fusion means equal tp
+    chunks hold whole heads, identical to sharding the head axis."""
+    return NamedSharding(mesh, P("dp", None, "tp"))
 
 
 def shard_cache(cache, mesh: Mesh):
     from ..kv.cache import KVCache, _is_layers
 
-    s = cache_sharding(mesh)
     if _is_layers(cache.k):
-        return KVCache(k=tuple(jax.device_put(x, s) for x in cache.k),
-                       v=tuple(jax.device_put(x, s) for x in cache.v))
+        def put(x):
+            spec = (P("dp", None, "tp") if x.ndim == 3
+                    else P("dp", None, "tp", None))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        return KVCache(k=tuple(put(x) for x in cache.k),
+                       v=tuple(put(x) for x in cache.v),
+                       heads=getattr(cache, "heads", None))
     s5 = NamedSharding(mesh, P(None, "dp", None, "tp", None))
     return KVCache(k=jax.device_put(cache.k, s5), v=jax.device_put(cache.v, s5))
 

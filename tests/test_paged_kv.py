@@ -92,9 +92,12 @@ def test_paged_attention_matches_contiguous():
     pos = jnp.arange(T)[None, :]
     mask = jnp.arange(S)[None, None, :] <= pos[:, :, None]
 
+    from koboldcpp_tpu.kv.cache import read as cread
+
     ccache = init_cache(1, B, S, H, D, dtype=jnp.float32)
     ccache = cwrite(ccache, 0, pos, k, v)
-    ref = llama.attention(q, ccache.k[0], ccache.v[0], mask, 0.35)
+    ck, cv = cread(ccache, 0)
+    ref = llama.attention(q, ck, cv, mask, 0.35)
 
     pcache = init_paged_cache(1, 8, 4, H, D)
     table = jnp.asarray(np.array([[2, 5, 1, 7]], dtype=np.int32))
