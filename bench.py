@@ -41,11 +41,13 @@ def measure_latency() -> float:
 def main():
     from koboldcpp_tpu.kv.cache import init_cache
     from koboldcpp_tpu.models import llama
-    from koboldcpp_tpu.models.synthetic import TINYLLAMA_1_1B, synthetic_params
+    from koboldcpp_tpu.models.synthetic import (LLAMA2_7B, TINYLLAMA_1_1B,
+                                                synthetic_params)
 
     from koboldcpp_tpu.models.llama import stack_layers
 
-    cfg = TINYLLAMA_1_1B
+    cfg = (LLAMA2_7B if os.environ.get("KCPP_BENCH_MODEL", "") == "7b"
+           else TINYLLAMA_1_1B)
     params = synthetic_params(cfg, kind=os.environ.get("KCPP_BENCH_KIND", "q4_k"), seed=0)
     sparams = stack_layers(params)
     use_scan = False  # scan compiles ~10x faster but decode is ~30% slower (cache copies)
@@ -150,10 +152,34 @@ def main():
                    if hasattr(x, "nbytes"))
 
     weight_bytes = nbytes(params) - nbytes(params["tok_embd"])  # gather reads 1 row
+
+    def streamed_bytes(tree):
+        """Bytes the decode kernels actually read per step: packed QTensors
+        carry both kernel-layout and legacy/2-D fields; only one set streams.
+        (weight_bytes above counts ALL resident fields — kept for metric
+        continuity across rounds.)"""
+        from koboldcpp_tpu.ops.linear import QTensor
+        from koboldcpp_tpu.ops.quant_matmul import (_MATVEC_FIELDS,
+                                                    _MATVEC_FIELDS_Q4K)
+        total = 0
+        for leaf in jax.tree_util.tree_leaves(
+                params, is_leaf=lambda x: isinstance(x, QTensor)):
+            if not isinstance(leaf, QTensor):
+                continue
+            names = {"q4_k": _MATVEC_FIELDS_Q4K}.get(
+                leaf.kind) or _MATVEC_FIELDS.get(leaf.kind)
+            if names and all(n in leaf.data for n in names):
+                total += sum(leaf.data[n].nbytes for n in names)
+            else:
+                total += sum(v.nbytes for v in leaf.data.values())
+        return total
+
+    streamed = streamed_bytes(params) - nbytes(params["tok_embd"])
     kv_bytes = 2 * cfg.n_layers * (prefill_len + n_decode // 2) \
         * cfg.n_kv_heads * cfg.head_dim * 2
     hbm_bw = 819e9  # v5e HBM ~819 GB/s
     roofline_tps = hbm_bw / (weight_bytes + kv_bytes)
+    streamed_roofline_tps = hbm_bw / (streamed + kv_bytes)
 
     # ---- served greedy throughput (engine fast path, host in the loop) ----
     served_tps = 0.0
@@ -190,6 +216,9 @@ def main():
         "extra": {
             "roofline_tps": round(roofline_tps, 1),
             "weight_gb": round(weight_bytes / 1e9, 3),
+            "streamed_gb": round(streamed / 1e9, 3),
+            "streamed_roofline_tps": round(streamed_roofline_tps, 1),
+            "effective_gbs": round(decode_tps * (streamed + kv_bytes) / 1e9, 1),
             "prefill_tps": round(prefill_tps, 1),
             "batched_decode_tps_8slots": round(batched_tps, 1),
             "flash_prefill": use_flash,

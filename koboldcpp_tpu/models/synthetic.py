@@ -75,15 +75,17 @@ def _rand_q6k(rng, out_f: int, in_f: int) -> QTensor:
         "ql2": jnp.asarray(ql2),
         "qh2": jnp.asarray(qh),
         "scale_p": jnp.asarray(scale_p, dtype=jnp.bfloat16),
+        "scale_pt": jnp.asarray(scale_p.T, dtype=jnp.bfloat16),
     })
 
 
 def _rand_q8_0(rng, out_f: int, in_f: int) -> QTensor:
+    scale = (rng.random((out_f, in_f // 32), dtype=np.float32) * 0.002
+             ).astype(np.float32)
     return QTensor(kind="q8_0", shape=(out_f, in_f), data={
         "q": jnp.asarray(rng.integers(-127, 128, size=(out_f, in_f), dtype=np.int8)),
-        "scale": jnp.asarray(
-            (rng.random((out_f, in_f // 32), dtype=np.float32) * 0.002).astype(np.float32),
-            dtype=jnp.bfloat16),
+        "scale": jnp.asarray(scale, dtype=jnp.bfloat16),
+        "scale_t": jnp.asarray(scale.T, dtype=jnp.bfloat16),
     })
 
 

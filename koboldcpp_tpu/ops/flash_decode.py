@@ -264,7 +264,12 @@ def decode_attention_batched(q: jnp.ndarray, k_new: jnp.ndarray,
     v2 = v_layer
     kn = k_new.reshape(B, 1, KD)
     vn = v_new.reshape(B, 1, KD)
+    # S-block size bounded by scoped VMEM: 4 cache blocks live double-buffered
+    # (k/v in + aliased k/v out) at BS*KD*2 bytes each, plus the (H, KD) f32
+    # accumulator — MHA-wide KD (e.g. 7B: 32*128) needs smaller blocks
     BS = min(256, S)
+    while BS > 16 and 16 * BS * KD + 4 * H * KD > 8 * 1024 * 1024:
+        BS //= 2
     nb = pl.cdiv(S, BS)
 
     def kv_map(b, s, pos_ref):

@@ -52,9 +52,12 @@ def pack_q8_0(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     blocks = np.ascontiguousarray(raw).reshape(rows, cols // 32, 34)
     d = blocks[:, :, 0:2].copy().view(np.float16).astype(np.float32)[..., 0]
     q = blocks[:, :, 2:].copy().view(np.int8).reshape(rows, cols)
+    scale = d.reshape(rows, cols // 32)
     return QTensor(kind="q8_0", shape=shape, data={
         "q": jnp.asarray(q),
-        "scale": jnp.asarray(d, dtype=jnp.bfloat16).reshape(rows, cols // 32),
+        "scale": jnp.asarray(scale, dtype=jnp.bfloat16),
+        # lane-transposed sidecar for the row-output decode matvec
+        "scale_t": jnp.asarray(scale.T, dtype=jnp.bfloat16),
     })
 
 
@@ -157,6 +160,8 @@ def pack_q6_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
         "ql2": jnp.asarray(ql2),
         "qh2": jnp.asarray(qh),  # qh already [S, half, l] with plane shifts 0/2/4/6
         "scale_p": jnp.asarray(scale_p, dtype=jnp.bfloat16),
+        # lane-transposed sidecar for the row-output decode matvec
+        "scale_pt": jnp.asarray(scale_p.T, dtype=jnp.bfloat16),
     })
 
 

@@ -239,6 +239,60 @@ def _q8_0_decode_kernel(x_ref, q_ref, s_ref, o_ref):
     o_ref[:] = t.astype(o_ref.dtype)
 
 
+def _q8_0_row_kernel(x_ref, q_ref, st_ref, o_ref):
+    """Row-output (1, R) Q8_0 matvec: P-dot against the activation-masked
+    expansion stack + lane-transposed scales (GS, R) — no in-kernel
+    transposes, no (R, T)-oriented combines (the column-output orientation
+    capped streaming at ~330 GB/s; see PERF_NOTES round 1)."""
+    q = q_ref[:].astype(jnp.bfloat16)  # (R, C)
+    C = q.shape[1]
+    GS = C // 32
+    E = _expand_mat(GS, C, 32)
+    M = E * x_ref[0][None, :].astype(jnp.bfloat16)       # (GS, C)
+    P = jax.lax.dot_general(M, q, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (GS, R)
+    t = jnp.sum(P * st_ref[:].astype(jnp.float32), axis=0, keepdims=True)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _q6k_row_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
+                    ql_ref, qh_ref, st_ref, o_ref):
+    """Row-output (1, R) Q6_K matvec: magic bf16 plane decode (value =
+    128 + 2*q6) + per-plane P-dots against masked 16-group stacks, scales
+    lane-transposed (in/16, R) plane-major; s*(q6-32) = (s/2)*v - 96*s with
+    the constant folded into a group-sum dot."""
+    ql = ql_ref[:].astype(jnp.int32)
+    qh = qh_ref[:].astype(jnp.int32)
+    C2 = ql.shape[1]
+    C4 = C2 // 2
+    qlA, qlB = ql[:, :C4], ql[:, C4:]
+
+    def magic(nib_sh1, hi2_sh5):
+        return jax.lax.bitcast_convert_type(
+            (nib_sh1 | hi2_sh5 | 0x4300).astype(jnp.uint16), jnp.bfloat16)
+
+    p0 = magic((qlA << 1) & 0x1E, (qh & 3) << 5)
+    p1 = magic((qlB << 1) & 0x1E, ((qh >> 2) & 3) << 5)
+    p2 = magic((qlA >> 3) & 0x1E, ((qh >> 4) & 3) << 5)
+    p3 = magic((qlB >> 3) & 0x1E, ((qh >> 6) & 3) << 5)
+    GS = C4 // 16
+    E = _expand_mat(GS, C4, 16)
+    st = st_ref[:].astype(jnp.float32)  # (in/16, R) plane-major
+    n = st.shape[0] // 4
+    t = jnp.zeros((1, st.shape[1]), jnp.float32)
+    for i, (p, xp) in enumerate(((p0, x0_ref), (p1, x1_ref),
+                                 (p2, x2_ref), (p3, x3_ref))):
+        M = E * xp[0][None, :].astype(jnp.bfloat16)      # (GS, C4)
+        P = jax.lax.dot_general(M, p, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (GS, R)
+        t += jnp.sum(P * st[i * n:(i + 1) * n], axis=0, keepdims=True)
+    t *= 0.5
+    t -= 96.0 * jax.lax.dot_general(
+        xs_ref[:].astype(jnp.float32), st, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
 def _q6k_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
                 ql_ref, qh_ref, s_ref, o_ref):
     """Q6_K via 4 constant-shift bit planes; value = s * (q6 - 32), with the
@@ -384,8 +438,9 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
 def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
                    interpret: bool):
-    """T=1 fast path through the *_decode_kernel variants for q6_k/q8_0;
-    returns (T, out_f)."""
+    """T=1 fast path through the row-output *_row_kernel variants for
+    q6_k/q8_0 (lane-transposed scale sidecars; same design as the q4_k
+    decode kernel); returns (1, out_f)."""
     T = x.shape[0]
     if kind == "q6_k":
         x4 = x.reshape(1, in_f // 128, 128)
@@ -396,29 +451,39 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
         x_args = (*planes, xs)
         x_rows = (1,) * 5
         x_shapes = (in_f // 4,) * 4 + (in_f // 16,)
-        kernel = _q6k_decode_kernel
-        w_shapes = (in_f // 2, in_f // 4, in_f // 16)
+        kernel = _q6k_row_kernel
+        st_rows = in_f // 16
     elif kind == "q8_0":
         x_args = (x,)
         x_rows = (1,)
         x_shapes = (in_f,)
-        kernel = _q8_0_decode_kernel
-        w_shapes = (in_f, in_f // 32)
+        kernel = _q8_0_row_kernel
+        st_rows = in_f // 32
     else:
         raise ValueError(kind)
     rt = (DECODE_ROW_TILE if T == 1 and out_f % DECODE_ROW_TILE == 0
           else ROW_TILE)
-    y = pl.pallas_call(
+
+    def row_spec(width):
+        return pl.BlockSpec((rt, width), lambda o: (o, 0),
+                            memory_space=pltpu.VMEM)
+
+    if kind == "q6_k":
+        w_in_specs = [row_spec(in_f // 2), row_spec(in_f // 4)]
+    else:
+        w_in_specs = [row_spec(in_f)]
+    return pl.pallas_call(
         kernel,
         grid=(out_f // rt,),
         in_specs=[pl.BlockSpec((r, s), lambda o: (0, 0),
                                memory_space=pltpu.VMEM)
                   for r, s in zip(x_rows, x_shapes)]
-        + [pl.BlockSpec((rt, s), lambda o: (o, 0),
-                        memory_space=pltpu.VMEM) for s in w_shapes],
-        out_specs=pl.BlockSpec((rt, T), lambda o: (o, 0),
+        + w_in_specs
+        + [pl.BlockSpec((st_rows, rt), lambda o: (0, o),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, rt), lambda o: (0, o),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((out_f, T), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((1, out_f), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * in_f * out_f,
             bytes_accessed=sum(f.nbytes for f in fields) + x.nbytes
@@ -426,7 +491,6 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
             transcendentals=0),
         interpret=interpret,
     )(*x_args, *fields)
-    return y.T
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
@@ -490,6 +554,8 @@ _FIELD_LISTS = {
     "q8_0": ("q", "scale"),
 }
 _MATVEC_FIELDS_Q4K = ("qs2", "slo_t", "shi_t", "mlo_t", "mhi_t")
+_MATVEC_FIELDS = {"q6_k": ("ql2", "qh2", "scale_pt"),
+                  "q8_0": ("q", "scale_t")}
 
 
 def matmul_packed(x: jnp.ndarray, qt: QTensor):
@@ -521,9 +587,12 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
                 kind=qt.kind, out_f=out_f, in_f=in_f,
                 interpret=_use_interpret())
             return y.reshape(*lead, out_f)
-        if qt.kind in ("q6_k", "q8_0") and x2.shape[0] == 1:
-            y = _packed_matvec(x2, fields, kind=qt.kind, out_f=out_f,
-                               in_f=in_f, interpret=_use_interpret())
+        if (qt.kind in _MATVEC_FIELDS and x2.shape[0] == 1
+                and all(n in qt.data for n in _MATVEC_FIELDS[qt.kind])):
+            y = _packed_matvec(
+                x2, tuple(qt.data[n] for n in _MATVEC_FIELDS[qt.kind]),
+                kind=qt.kind, out_f=out_f, in_f=in_f,
+                interpret=_use_interpret())
             return y.reshape(*lead, out_f)
     y = _packed_matmul_2d(x2, fields, kind=qt.kind, out_f=out_f, in_f=in_f,
                           interpret=_use_interpret())
