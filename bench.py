@@ -15,6 +15,7 @@ the north-star target).
 from __future__ import annotations
 
 import json
+from functools import partial
 import os
 import sys
 import time
@@ -51,8 +52,11 @@ def main():
     params = synthetic_params(cfg, kind=os.environ.get("KCPP_BENCH_KIND", "q4_k"), seed=0)
     sparams = stack_layers(params)
     use_scan = False  # scan compiles ~10x faster but decode is ~30% slower (cache copies)
-    max_seq = 1024
-    prefill_len = 512
+    big = cfg.hidden_size >= 4096
+    # 7B-class: halve the cache working set (the chip is shared; B=8 MHA
+    # caches at S=1024 are 4.3 GB)
+    max_seq = 512 if big else 1024
+    prefill_len = 256 if big else 512
     n_decode = 256
     latency = measure_latency()
 
@@ -118,7 +122,7 @@ def main():
     # ---- batched decode (continuous-batching throughput, 8 slots) ---------
     B = 8
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(1,))
     def decode_n_batched(dparams, cache, tok0, start_pos):
         def body(i, carry):
             tok, cache, acc = carry
@@ -133,17 +137,22 @@ def main():
             0, n_decode, body, (tok0, cache, jnp.float32(0)))
         return tok, cache, acc
 
-    bcache = init_cache(cfg.n_layers, B, max_seq, cfg.n_kv_heads, cfg.head_dim)
+    # large models: one live batched cache at a time (B=8, long-S caches are
+    # GBs on 7B-class shapes); fresh zeros per repeat are ~free
     btok = jnp.full((B, 1), 7, jnp.int32)
+    bcache = init_cache(cfg.n_layers, B, max_seq, cfg.n_kv_heads, cfg.head_dim)
     tok, bcache, acc = decode_n_batched(dparams, bcache, btok, 64)
     _ = float(acc)
-    bcache2 = init_cache(cfg.n_layers, B, max_seq, cfg.n_kv_heads, cfg.head_dim)
+    del bcache
     dt = 1e9
     for _ in range(3):
+        bcache2 = init_cache(cfg.n_layers, B, max_seq, cfg.n_kv_heads,
+                             cfg.head_dim)
         t0 = time.perf_counter()
-        tok, _c, acc = decode_n_batched(dparams, bcache2, btok, 64)
+        tok, bcache2, acc = decode_n_batched(dparams, bcache2, btok, 64)
         _ = float(acc)
         dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
+        del bcache2
     batched_tps = B * n_decode / dt
 
     # ---- roofline ---------------------------------------------------------

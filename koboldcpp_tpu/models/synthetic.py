@@ -46,7 +46,6 @@ def _rand_q4k(rng, out_f: int, in_f: int) -> QTensor:
     m_hi = m4[:, :, 1].reshape(out_f, nsb * 4)
     return QTensor(kind="q4_k", shape=(out_f, in_f), data={
         "qs2": jnp.asarray(qs2),
-        "scale": jnp.asarray(scale, dtype=jnp.bfloat16),
         "min": jnp.asarray(mn, dtype=jnp.bfloat16),
         "scale_lo": jnp.asarray(s_lo, dtype=jnp.bfloat16),
         "scale_hi": jnp.asarray(s_hi, dtype=jnp.bfloat16),

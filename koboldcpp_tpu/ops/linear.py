@@ -101,9 +101,10 @@ def pack_q4_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     s_hi = s4[:, :, 1].reshape(rows, nsb * 4)
     m_lo = m4[:, :, 0].reshape(rows, nsb * 4)
     m_hi = m4[:, :, 1].reshape(rows, nsb * 4)
+    # NOTE: no logical-order "scale" field — dequant_xla reconstructs it from
+    # scale_lo/scale_hi (saves in_f/16 bytes/row of HBM on every q4_k tensor)
     return QTensor(kind="q4_k", shape=shape, data={
         "qs2": jnp.asarray(qs2),
-        "scale": jnp.asarray(scales, dtype=jnp.bfloat16),  # logical, dequant/xs
         "min": jnp.asarray(mins, dtype=jnp.bfloat16),
         # plane-ordered per-32-col scales for the 2-D kernel
         "scale_lo": jnp.asarray(s_lo, dtype=jnp.bfloat16),
@@ -153,12 +154,13 @@ def pack_q6_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     s5 = scales.reshape(rows, nsb, 2, 4, 2)
     scale_p = np.concatenate([s5[:, :, :, j, :].reshape(rows, -1)
                               for j in range(4)], axis=1)
+    qh_arr = jnp.asarray(qh)  # shared buffer: qh is already plane-shift layout
     return QTensor(kind="q6_k", shape=shape, data={
         "ql": jnp.asarray(ql),
-        "qh": jnp.asarray(qh),
+        "qh": qh_arr,
         "scale": jnp.asarray(scales, dtype=jnp.bfloat16),
         "ql2": jnp.asarray(ql2),
-        "qh2": jnp.asarray(qh),  # qh already [S, half, l] with plane shifts 0/2/4/6
+        "qh2": qh_arr,  # same device buffer as qh (no duplicate HBM)
         "scale_p": jnp.asarray(scale_p, dtype=jnp.bfloat16),
         # lane-transposed sidecar for the row-output decode matvec
         "scale_pt": jnp.asarray(scale_p.T, dtype=jnp.bfloat16),
@@ -239,7 +241,12 @@ def dequant_xla(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
         lo = (qs & 0xF).astype(jnp.int8)    # cols 256s + [0, 128)
         hi = (qs >> 4).astype(jnp.int8)     # cols 256s + [128, 256)
         q = jnp.concatenate([lo, hi], axis=2).reshape(rows, cols)
-        s = qt.data["scale"].astype(jnp.float32).reshape(rows, -1, 1)
+        if "scale" in qt.data:
+            s = qt.data["scale"].astype(jnp.float32).reshape(rows, -1, 1)
+        else:  # logical order = [lo-plane groups | hi-plane groups] per sb
+            slo = qt.data["scale_lo"].astype(jnp.float32).reshape(rows, -1, 4)
+            shi = qt.data["scale_hi"].astype(jnp.float32).reshape(rows, -1, 4)
+            s = jnp.concatenate([slo, shi], axis=2).reshape(rows, -1, 1)
         m = qt.data["min"].astype(jnp.float32).reshape(rows, -1, 1)
         qf = q.astype(jnp.float32).reshape(rows, -1, 32)
         return (qf * s - m).reshape(rows, cols).astype(dtype)
