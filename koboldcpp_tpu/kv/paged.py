@@ -2,13 +2,16 @@
 
 TPU-native counterpart of llama.cpp's cell-based unified KV cache +
 quantized K/V types (/root/reference/src/llama.cpp:2772 llama_kv_cache,
-type_k/type_v :2788, --quantkv gpttype_adapter.cpp:1958): a global page pool
-(L, n_pages, page_size, H_kv, D) and an int32 page table per slot. Pages are
-assigned by a host-side allocator; all device ops (write/gather) are static-
-shape gathers/scatters driven by the table, so the whole step stays jittable.
+type_k/type_v :2788, --quantkv gpttype_adapter.cpp:1958): a per-layer page
+pool and an int32 page table per slot. Pages are assigned by a host-side
+allocator; all device ops (write/gather) are static-shape gathers/scatters
+driven by the table, so the whole step stays jittable.
 
-Q8 mode stores values as int8 with a per-(page-row, head) bf16 scale —
-the --quantkv 1 equivalent (8.25 bits/value vs bf16's 16).
+Layout: per-layer TUPLE leaves (same reasoning as kv/cache.py — a stacked
+array forces slice copies per layer). bf16 pools are FUSED (NP*P, H*D) 2-D
+buffers: page p owns rows [p*P, (p+1)*P), which is exactly the block shape
+the paged flash-decode kernel addresses through the page table, zero-copy.
+Q8 pools stay (NP, P, H, D) int8 + per-row scales (gather path only).
 """
 from __future__ import annotations
 
@@ -22,40 +25,48 @@ import numpy as np
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["k", "v", "k_scale", "v_scale"],
-         meta_fields=["page_size", "quantized"])
+         meta_fields=["page_size", "quantized", "heads"])
 @dataclass
 class PagedKVCache:
-    k: jnp.ndarray        # (L, NP, P, H, D) bf16 | int8
-    v: jnp.ndarray
-    k_scale: jnp.ndarray  # (L, NP, P, H) bf16; dummy (1,) when not quantized
-    v_scale: jnp.ndarray
+    k: tuple              # L x (NP*P, H*D) bf16 | L x (NP, P, H, D) int8
+    v: tuple
+    k_scale: tuple        # L x (NP, P, H) bf16; dummy (1,) when not quantized
+    v_scale: tuple
     page_size: int
     quantized: bool
+    heads: int = 0        # n_kv_heads (fused bf16 leaves)
 
     @property
     def n_layers(self) -> int:
-        return self.k.shape[0]
+        return len(self.k)
 
     @property
     def n_pages(self) -> int:
-        return self.k.shape[1]
+        if self.quantized:
+            return self.k[0].shape[0]
+        return self.k[0].shape[0] // self.page_size
 
 
 def init_paged_cache(n_layers: int, n_pages: int, page_size: int,
                      n_kv_heads: int, head_dim: int,
                      quantized: bool = False) -> PagedKVCache:
-    shape = (n_layers, n_pages, page_size, n_kv_heads, head_dim)
     if quantized:
+        shape = (n_pages, page_size, n_kv_heads, head_dim)
         return PagedKVCache(
-            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
-            k_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
-            v_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
-            page_size=page_size, quantized=True)
+            k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
+            v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
+            k_scale=tuple(jnp.zeros(shape[:-1], jnp.bfloat16)
+                          for _ in range(n_layers)),
+            v_scale=tuple(jnp.zeros(shape[:-1], jnp.bfloat16)
+                          for _ in range(n_layers)),
+            page_size=page_size, quantized=True, heads=n_kv_heads)
+    shape = (n_pages * page_size, n_kv_heads * head_dim)
     return PagedKVCache(
-        k=jnp.zeros(shape, jnp.bfloat16), v=jnp.zeros(shape, jnp.bfloat16),
-        k_scale=jnp.zeros((1,), jnp.bfloat16),
-        v_scale=jnp.zeros((1,), jnp.bfloat16),
-        page_size=page_size, quantized=False)
+        k=tuple(jnp.zeros(shape, jnp.bfloat16) for _ in range(n_layers)),
+        v=tuple(jnp.zeros(shape, jnp.bfloat16) for _ in range(n_layers)),
+        k_scale=tuple(jnp.zeros((1,), jnp.bfloat16) for _ in range(n_layers)),
+        v_scale=tuple(jnp.zeros((1,), jnp.bfloat16) for _ in range(n_layers)),
+        page_size=page_size, quantized=False, heads=n_kv_heads)
 
 
 def _quantize_q8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -65,6 +76,10 @@ def _quantize_q8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
     q = jnp.round(x.astype(jnp.float32) * inv[..., None]).astype(jnp.int8)
     return q, scale.astype(jnp.bfloat16)
+
+
+def _rep(tup, i, new):
+    return tup[:i] + (new,) + tup[i + 1:]
 
 
 def write(cache: PagedKVCache, layer: int, page_table: jnp.ndarray,
@@ -79,20 +94,30 @@ def write(cache: PagedKVCache, layer: int, page_table: jnp.ndarray,
     page_idx = positions // P          # (B, T) index into the slot's table
     offset = positions % P
     gpage = page_table[b_idx, jnp.clip(page_idx, 0, page_table.shape[1] - 1)]
-    gpage = jnp.where(positions >= 0, gpage, -1)  # drop padding rows
+    valid = (positions >= 0) & (gpage >= 0)
     if cache.quantized:
+        gpage = jnp.where(valid, gpage, cache.n_pages)  # drop via OOB
         qk, sk = _quantize_q8(k_new)
         qv, sv = _quantize_q8(v_new)
-        k = cache.k.at[layer, gpage, offset].set(qk, mode="drop")
-        v = cache.v.at[layer, gpage, offset].set(qv, mode="drop")
-        ks = cache.k_scale.at[layer, gpage, offset].set(sk, mode="drop")
-        vs = cache.v_scale.at[layer, gpage, offset].set(sv, mode="drop")
-        return PagedKVCache(k=k, v=v, k_scale=ks, v_scale=vs,
-                            page_size=P, quantized=True)
-    k = cache.k.at[layer, gpage, offset].set(k_new.astype(cache.k.dtype), mode="drop")
-    v = cache.v.at[layer, gpage, offset].set(v_new.astype(cache.v.dtype), mode="drop")
-    return PagedKVCache(k=k, v=v, k_scale=cache.k_scale, v_scale=cache.v_scale,
-                        page_size=P, quantized=False)
+        k = cache.k[layer].at[gpage, offset].set(qk, mode="drop")
+        v = cache.v[layer].at[gpage, offset].set(qv, mode="drop")
+        ks = cache.k_scale[layer].at[gpage, offset].set(sk, mode="drop")
+        vs = cache.v_scale[layer].at[gpage, offset].set(sv, mode="drop")
+        return PagedKVCache(k=_rep(cache.k, layer, k),
+                            v=_rep(cache.v, layer, v),
+                            k_scale=_rep(cache.k_scale, layer, ks),
+                            v_scale=_rep(cache.v_scale, layer, vs),
+                            page_size=P, quantized=True, heads=cache.heads)
+    rows_total = cache.k[layer].shape[0]
+    rows = jnp.where(valid, gpage * P + offset, rows_total)  # OOB -> dropped
+    B, T = k_new.shape[:2]
+    k = cache.k[layer].at[rows].set(
+        k_new.reshape(B, T, -1).astype(jnp.bfloat16), mode="drop")
+    v = cache.v[layer].at[rows].set(
+        v_new.reshape(B, T, -1).astype(jnp.bfloat16), mode="drop")
+    return PagedKVCache(k=_rep(cache.k, layer, k), v=_rep(cache.v, layer, v),
+                        k_scale=cache.k_scale, v_scale=cache.v_scale,
+                        page_size=P, quantized=False, heads=cache.heads)
 
 
 def gather(cache: PagedKVCache, layer: int,
@@ -100,19 +125,27 @@ def gather(cache: PagedKVCache, layer: int,
     """Materialize per-slot K/V: (B, MP*P, H, D) bf16 (dequantized if Q8).
 
     The XLA-attention path consumes this directly; the paged flash-decode
-    Pallas kernel reads pages in place instead.
-    """
+    Pallas kernel reads pages in place instead."""
     P = cache.page_size
     B, MP = page_table.shape
-    k = cache.k[layer, page_table]  # (B, MP, P, H, D)
-    v = cache.v[layer, page_table]
+    tab = jnp.clip(page_table, 0, cache.n_pages - 1)
     if cache.quantized:
-        ks = cache.k_scale[layer, page_table].astype(jnp.float32)
-        vs = cache.v_scale[layer, page_table].astype(jnp.float32)
+        k = cache.k[layer][tab]  # (B, MP, P, H, D)
+        v = cache.v[layer][tab]
+        ks = cache.k_scale[layer][tab].astype(jnp.float32)
+        vs = cache.v_scale[layer][tab].astype(jnp.float32)
         k = (k.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
         v = (v.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
-    H, D = k.shape[-2], k.shape[-1]
-    return (k.reshape(B, MP * P, H, D), v.reshape(B, MP * P, H, D))
+        H, D = k.shape[-2], k.shape[-1]
+        return (k.reshape(B, MP * P, H, D), v.reshape(B, MP * P, H, D))
+    rows = (tab[:, :, None] * P
+            + jnp.arange(P)[None, None, :]).reshape(B, MP * P)
+    k = cache.k[layer][rows]  # (B, MP*P, KD)
+    v = cache.v[layer][rows]
+    H = cache.heads
+    KD = k.shape[-1]
+    return (k.reshape(B, MP * P, H, KD // H),
+            v.reshape(B, MP * P, H, KD // H))
 
 
 class PageAllocator:

@@ -489,10 +489,32 @@ def forward_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         if cfg.use_rope:
             q = apply_rope(q, positions, freqs, cfg.rope_type, cfg.rope_dim)
             k = apply_rope(k, positions, freqs, cfg.rope_type, cfg.rope_dim)
-        pcache = paged.write(pcache, li, page_table, positions, k, v)
-        ck, cv = paged.gather(pcache, li, page_table)
-        attn_out = attention(q, ck.astype(x.dtype), cv.astype(x.dtype),
-                             mask, scale, cfg.attn_logit_softcap)
+        use_flash_dec = (T == 1 and alibi is None and not pcache.quantized
+                         and _flash_decode_ok(cfg))
+        if use_flash_dec:
+            # paged flash-decode: pages addressed through the table, cache
+            # write in-kernel via aliased outputs (ops/flash_decode.py)
+            from ..ops import flash_decode
+
+            out, k_upd, v_upd = flash_decode.decode_attention_paged(
+                q[:, 0], k[:, 0].astype(jnp.bfloat16),
+                v[:, 0].astype(jnp.bfloat16),
+                pcache.k[li], pcache.v[li], page_table, positions[:, 0],
+                cfg.n_heads, cfg.n_kv_heads, pcache.page_size, scale,
+                cfg.attn_logit_softcap,
+                interpret=jax.default_backend() == "cpu")
+            pcache = paged.PagedKVCache(
+                k=paged._rep(pcache.k, li, k_upd),
+                v=paged._rep(pcache.v, li, v_upd),
+                k_scale=pcache.k_scale, v_scale=pcache.v_scale,
+                page_size=pcache.page_size, quantized=False,
+                heads=pcache.heads)
+            attn_out = out[:, None].astype(x.dtype)
+        else:
+            pcache = paged.write(pcache, li, page_table, positions, k, v)
+            ck, cv = paged.gather(pcache, li, page_table)
+            attn_out = attention(q, ck.astype(x.dtype), cv.astype(x.dtype),
+                                 mask, scale, cfg.attn_logit_softcap)
         attn_out = attn_out.reshape(B, T, qdim)
         x = x + linear.matmul(attn_out, layer["wo"])
         h = _norm(x, layer, "ffn_norm", cfg)

@@ -317,3 +317,172 @@ def decode_attention_batched(q: jnp.ndarray, k_new: jnp.ndarray,
 
 def supported_batched(T: int, Hkv: int, D: int) -> bool:
     return T == 1 and (Hkv * D) % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# paged variant: pages addressed through the slot page table
+# ---------------------------------------------------------------------------
+
+def _pkernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, k_ref, v_ref,
+             o_ref, ko_ref, vo_ref, m_ref, l_ref, acc_ref, *,
+             H: int, Hkv: int, D: int, P: int, scale: float, softcap: float):
+    """Paged decode attention: grid (B, MP); the k/v block for step s is the
+    PAGE tab[b, min(s, last)] of the fused (NP*P, KD) pool — the page table
+    drives the DMA directly (vLLM-style paged attention, TPU-native). Same
+    pre-update-read + analytic self-contribution + aliased write-block scheme
+    as _bkernel; the write block is the page holding pos."""
+    s = pl.program_id(1)
+    n_blocks = pl.num_programs(1)
+    b = pl.program_id(0)
+    KD = Hkv * D
+    G = H // Hkv
+    pos = pos_ref[b]
+    wblk = jnp.minimum(pos // P, n_blocks - 1)
+
+    @pl.when(s == wblk)
+    def _write():
+        row = pos - wblk * P
+        in_range = pos < n_blocks * P
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (P, KD), 0)
+        sel = (ridx == row) & in_range
+        ko_ref[:] = jnp.where(sel, jnp.broadcast_to(knew_ref[0], (P, KD)),
+                              k_ref[:])
+        vo_ref[:] = jnp.where(sel, jnp.broadcast_to(vnew_ref[0], (P, KD)),
+                              v_ref[:])
+
+    def qexp_mask():
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 0) // G
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 1) // D
+        return hidx == bidx
+
+    @pl.when(s == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s * P < pos)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # (H, D)
+        qrep = pltpu.repeat(q, Hkv, axis=1)
+        sel = qexp_mask()
+        qexp = jnp.where(sel, qrep, 0.0).astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            qexp, k_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (H, P)
+        if softcap > 0:
+            scores = softcap * jnp.tanh(scores / softcap)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (H, P), 1) + s * P
+        scores = jnp.where(sidx < pos, scores, -1e30)
+        m_prev = m_ref[:]
+        m_blk = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_blk)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(s == n_blocks - 1)
+    def _final():
+        q = q_ref[0].astype(jnp.float32)
+        qrep = pltpu.repeat(q, Hkv, axis=1)
+        sel = qexp_mask()
+        qexp = jnp.where(sel, qrep, 0.0)
+        knew = knew_ref[0].astype(jnp.float32)
+        vnew = vnew_ref[0].astype(jnp.float32)
+        s_self = jax.lax.dot_general(
+            qexp, knew, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if softcap > 0:
+            s_self = softcap * jnp.tanh(s_self / softcap)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, s_self)
+        alpha = jnp.exp(m_prev - m_new)
+        p_self = jnp.exp(s_self - m_new)
+        l = l_ref[:] * alpha + p_self
+        acc = acc_ref[:] * alpha + p_self * vnew
+        acc = acc / l
+        acc = jnp.where(sel, acc, 0.0)
+        kdi = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 0) % D
+        di = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 1)
+        R = (kdi == di).astype(jnp.float32)
+        o_ref[0] = jax.lax.dot_general(
+            acc, R, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "n_kv_heads", "page_size",
+                                    "scale", "softcap", "interpret"))
+def decode_attention_paged(q: jnp.ndarray, k_new: jnp.ndarray,
+                           v_new: jnp.ndarray, k_pool: jnp.ndarray,
+                           v_pool: jnp.ndarray, page_table: jnp.ndarray,
+                           positions: jnp.ndarray, n_heads: int,
+                           n_kv_heads: int, page_size: int, scale: float,
+                           softcap: float = 0.0,
+                           interpret: bool = False):
+    """q: (B, H, D); k_new/v_new: (B, Hkv, D); k_pool/v_pool: (NP*P, Hkv*D)
+    fused page pools; page_table: (B, MP) int32; positions: (B,). Returns
+    (out (B, H, D) f32, k_pool', v_pool' aliased updated pools)."""
+    B, H = q.shape[:2]
+    Hkv = n_kv_heads
+    P = page_size
+    KD = k_pool.shape[1]
+    D = KD // Hkv
+    MP = page_table.shape[1]
+    NP = k_pool.shape[0] // P
+    kn = k_new.reshape(B, 1, KD)
+    vn = v_new.reshape(B, 1, KD)
+    # dead slots (position < 0) map to the overshoot path: the write block
+    # degrades to a self-copy of one page and the (unused) output is garbage
+    positions = jnp.where(positions >= 0, positions, MP * P)
+
+    def kv_map(b, s, pos_ref, tab_ref):
+        last = jnp.minimum(pos_ref[b] // P, MP - 1)
+        page = tab_ref[b, jnp.minimum(s, last)]
+        return (jnp.clip(page, 0, NP - 1), 0)
+
+    def w_map(b, s, pos_ref, tab_ref):
+        # constant per sequence: the page holding pos — the kernel fills the
+        # whole block exactly once (at s == pos // P), so no other page's
+        # aliased out-block ever writes back uninitialized VMEM
+        wblk = jnp.minimum(pos_ref[b] // P, MP - 1)
+        return (jnp.clip(tab_ref[b, wblk], 0, NP - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, MP),
+        in_specs=[pl.BlockSpec((1, H, D), lambda b, s, p, t: (b, 0, 0)),
+                  pl.BlockSpec((1, 1, KD), lambda b, s, p, t: (b, 0, 0)),
+                  pl.BlockSpec((1, 1, KD), lambda b, s, p, t: (b, 0, 0)),
+                  pl.BlockSpec((P, KD), kv_map),
+                  pl.BlockSpec((P, KD), kv_map)],
+        out_specs=[pl.BlockSpec((1, H, D), lambda b, s, p, t: (b, 0, 0)),
+                   pl.BlockSpec((P, KD), w_map),
+                   pl.BlockSpec((P, KD), w_map)],
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, KD), jnp.float32)],
+    )
+    out, k_upd, v_upd = pl.pallas_call(
+        functools.partial(_pkernel, H=H, Hkv=Hkv, D=D, P=P, scale=scale,
+                          softcap=softcap),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, H, D), jnp.float32),
+                   jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+                   jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype)],
+        # operand indices INCLUDE the 2 scalar-prefetch args: 5 = k_pool
+        input_output_aliases={5: 1, 6: 2},
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * MP * P * D,
+            bytes_accessed=2 * B * MP * P * KD * 2,
+            transcendentals=B * H * MP * P),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), page_table.astype(jnp.int32),
+      q.astype(jnp.bfloat16), kn.astype(jnp.bfloat16),
+      vn.astype(jnp.bfloat16), k_pool, v_pool)
+    return out, k_upd, v_upd

@@ -91,3 +91,66 @@ def test_forward_uses_flash_decode_consistently(tmp_path):
         outs.append(np.asarray(logits))
     np.testing.assert_allclose(np.concatenate(outs, axis=1), np.asarray(full),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_paged_decode_attention_parity():
+    """Paged flash-decode kernel vs gather + XLA attention, including the
+    in-kernel page write, non-contiguous tables, block boundaries, pos=0
+    self-only, and a dead slot (position -1)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from koboldcpp_tpu.kv import paged
+    from koboldcpp_tpu.ops import flash_decode
+
+    rng = np.random.default_rng(3)
+    B, H, Hkv, D, P, NP, MP = 4, 8, 2, 64, 8, 40, 8
+    KD = Hkv * D
+    pcache = paged.init_paged_cache(1, NP, P, Hkv, D)
+    table = jnp.asarray(
+        rng.permutation(NP)[:B * MP].reshape(B, MP).astype(np.int32))
+    positions = np.array([0, 5, 8, 33], np.int32)
+
+    # pre-fill history < pos through paged.write
+    for b in range(B):
+        p = int(positions[b])
+        if p == 0:
+            continue
+        ks = jnp.asarray(rng.standard_normal((1, p, Hkv, D)), jnp.bfloat16)
+        vs = jnp.asarray(rng.standard_normal((1, p, Hkv, D)), jnp.bfloat16)
+        pos_r = jnp.arange(p)[None, :]
+        one = paged.PagedKVCache(
+            k=pcache.k, v=pcache.v, k_scale=pcache.k_scale,
+            v_scale=pcache.v_scale, page_size=P, quantized=False, heads=Hkv)
+        pcache = paged.write(one, 0, table[b:b + 1], pos_r, ks, vs)
+
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.bfloat16)
+    vn = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.bfloat16)
+    scale = D ** -0.5
+
+    out, k_upd, v_upd = flash_decode.decode_attention_paged(
+        q, kn, vn, pcache.k[0], pcache.v[0], table, jnp.asarray(positions),
+        H, Hkv, P, scale, interpret=True)
+
+    # reference: write through paged.write, gather, dense masked attention
+    ref_cache = paged.write(pcache, 0, table, jnp.asarray(positions)[:, None],
+                            kn[:, None], vn[:, None])
+    gk, gv = paged.gather(ref_cache, 0, table)  # (B, MP*P, Hkv, D)
+    G = H // Hkv
+    for b in range(B):
+        p = int(positions[b])
+        for h in range(H):
+            kv = h // G
+            ka = np.asarray(gk[b, :, kv], np.float32)
+            va = np.asarray(gv[b, :, kv], np.float32)
+            sc = (np.asarray(q[b, h], np.float32) @ ka.T) * scale
+            sc[p + 1:] = -np.inf
+            pr = np.exp(sc - sc.max()); pr /= pr.sum()
+            want = pr @ va
+            got = np.asarray(out)[b, h]
+            err = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+            assert err < 0.04, (b, h, err)
+    # in-kernel writes match paged.write exactly
+    np.testing.assert_array_equal(np.asarray(k_upd), np.asarray(ref_cache.k[0]))
+    np.testing.assert_array_equal(np.asarray(v_upd), np.asarray(ref_cache.v[0]))

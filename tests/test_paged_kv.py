@@ -49,7 +49,7 @@ def test_q8_mode_accuracy():
     want = np.asarray(k[0], dtype=np.float32)
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 0.02  # int8 + per-head scale
-    assert cache.k.dtype == jnp.int8
+    assert cache.k[0].dtype == jnp.int8
 
 
 def test_allocator():
