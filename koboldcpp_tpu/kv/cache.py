@@ -51,17 +51,20 @@ class KVCache:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["k", "v", "k_scale", "v_scale"], meta_fields=[])
+         data_fields=["k", "v", "k_scale", "v_scale"], meta_fields=["heads"])
 @dataclass
 class QuantKVCache:
     """Q8-quantized KV (--quantkv 1 equivalent; reference type_k/type_v
     Q8_0, gpttype_adapter.cpp:1958): int8 values + bf16 scale per
-    (slot, head) row — 8.x bits/value vs bf16's 16."""
+    (slot, head) row — 8.x bits/value vs bf16's 16. Leaves are fused
+    (B, S, H*D) int8 + (B, S, H) scales when `heads` is set (zero-copy
+    flash-decode operands), else (B, S, H, D)."""
 
-    k: tuple  # L x (B, S, H_kv, D) int8
+    k: tuple  # L x (B, S, H_kv*D) int8 (fused) or (B, S, H_kv, D)
     v: tuple
     k_scale: tuple  # L x (B, S, H_kv) bf16
     v_scale: tuple
+    heads: int | None = None
 
     @property
     def max_seq(self) -> int:
@@ -75,14 +78,16 @@ class QuantKVCache:
 def init_cache(n_layers: int, batch: int, max_seq: int, n_kv_heads: int,
                head_dim: int, dtype=jnp.bfloat16, quantized: bool = False):
     if quantized:
-        shape = (batch, max_seq, n_kv_heads, head_dim)
+        shape = (batch, max_seq, n_kv_heads * head_dim)
+        sshape = (batch, max_seq, n_kv_heads)
         return QuantKVCache(
             k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
             v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
-            k_scale=tuple(jnp.zeros(shape[:-1], jnp.bfloat16)
+            k_scale=tuple(jnp.zeros(sshape, jnp.bfloat16)
                           for _ in range(n_layers)),
-            v_scale=tuple(jnp.zeros(shape[:-1], jnp.bfloat16)
-                          for _ in range(n_layers)))
+            v_scale=tuple(jnp.zeros(sshape, jnp.bfloat16)
+                          for _ in range(n_layers)),
+            heads=n_kv_heads)
     shape = (batch, max_seq, n_kv_heads * head_dim)
     return KVCache(k=tuple(jnp.zeros(shape, dtype) for _ in range(n_layers)),
                    v=tuple(jnp.zeros(shape, dtype) for _ in range(n_layers)),
@@ -143,6 +148,10 @@ def write(cache, layer: int, positions: jnp.ndarray,
         qk, sk = _q8(k_new)
         qv, sv = _q8(v_new)
         if _is_layers(cache.k):
+            if cache.k[layer].ndim == 3:  # fused (B, S, H*D) leaves
+                B, T = k_new.shape[:2]
+                qk = qk.reshape(B, T, -1)
+                qv = qv.reshape(B, T, -1)
             return QuantKVCache(
                 k=_replace(tuple(cache.k), layer,
                            cache.k[layer].at[b_idx, positions].set(
@@ -155,7 +164,8 @@ def write(cache, layer: int, positions: jnp.ndarray,
                                      sk, mode="drop")),
                 v_scale=_replace(tuple(cache.v_scale), layer,
                                  cache.v_scale[layer].at[b_idx, positions].set(
-                                     sv, mode="drop")))
+                                     sv, mode="drop")),
+                heads=getattr(cache, "heads", None))
         return QuantKVCache(
             k=cache.k.at[layer, b_idx, positions].set(qk, mode="drop"),
             v=cache.v.at[layer, b_idx, positions].set(qv, mode="drop"),
@@ -180,9 +190,12 @@ def write(cache, layer: int, positions: jnp.ndarray,
 def read(cache, layer: int):
     """Layer view as (B, S, H, D) bf16 (dequantized when Q8)."""
     if isinstance(cache, QuantKVCache):
-        k = (cache.k[layer].astype(jnp.float32)
+        h = getattr(cache, "heads", None)
+        kq = _leaf4(cache.k[layer], h)
+        vq = _leaf4(cache.v[layer], h)
+        k = (kq.astype(jnp.float32)
              * cache.k_scale[layer].astype(jnp.float32)[..., None])
-        v = (cache.v[layer].astype(jnp.float32)
+        v = (vq.astype(jnp.float32)
              * cache.v_scale[layer].astype(jnp.float32)[..., None])
         return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
     h = getattr(cache, "heads", None)

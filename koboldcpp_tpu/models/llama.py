@@ -333,9 +333,11 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             cfg.sliding_window_pattern == 0 or li % cfg.sliding_window_pattern == 0)
         layer_mask = local_mask if is_local else mask
 
+        from ..kv.cache import QuantKVCache
+
         use_flash_dec = (T == 1 and not is_local and alibi is None
                          and nkv == cfg.n_kv_heads
-                         and isinstance(cache, KVCache)
+                         and isinstance(cache, (KVCache, QuantKVCache))
                          and getattr(cache, "heads", None)  # fused-KD leaves
                          and _flash_decode_ok(cfg))
         if nkv < cfg.n_kv_heads:  # openelm: pad up to the cache's head count
@@ -366,16 +368,32 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             from ..kv.cache import _replace
             from ..ops import flash_decode
 
-            out, k_upd, v_upd = flash_decode.decode_attention_batched(
-                q[:, 0], k[:, 0].astype(cache.k[li].dtype),
-                v[:, 0].astype(cache.v[li].dtype),
-                cache.k[li], cache.v[li], positions[:, 0],
-                nh, nkv, scale, cfg.attn_logit_softcap,
-                interpret=jax.default_backend() == "cpu")
+            if isinstance(cache, QuantKVCache):
+                (out, k_upd, v_upd, ks_upd,
+                 vs_upd) = flash_decode.decode_attention_batched_q8(
+                    q[:, 0], k[:, 0].astype(jnp.bfloat16),
+                    v[:, 0].astype(jnp.bfloat16),
+                    cache.k[li], cache.v[li],
+                    cache.k_scale[li], cache.v_scale[li], positions[:, 0],
+                    nh, nkv, scale, cfg.attn_logit_softcap,
+                    interpret=jax.default_backend() == "cpu")
+                cache = QuantKVCache(
+                    k=_replace(tuple(cache.k), li, k_upd),
+                    v=_replace(tuple(cache.v), li, v_upd),
+                    k_scale=_replace(tuple(cache.k_scale), li, ks_upd),
+                    v_scale=_replace(tuple(cache.v_scale), li, vs_upd),
+                    heads=cache.heads)
+            else:
+                out, k_upd, v_upd = flash_decode.decode_attention_batched(
+                    q[:, 0], k[:, 0].astype(cache.k[li].dtype),
+                    v[:, 0].astype(cache.v[li].dtype),
+                    cache.k[li], cache.v[li], positions[:, 0],
+                    nh, nkv, scale, cfg.attn_logit_softcap,
+                    interpret=jax.default_backend() == "cpu")
+                cache = KVCache(k=_replace(tuple(cache.k), li, k_upd),
+                                v=_replace(tuple(cache.v), li, v_upd),
+                                heads=cache.heads)
             attn_out = out[:, None].astype(x.dtype)
-            cache = KVCache(k=_replace(tuple(cache.k), li, k_upd),
-                            v=_replace(tuple(cache.v), li, v_upd),
-                            heads=cache.heads)
         else:
             ck, cv = kv_read(cache, li)
             if nkv < cfg.n_kv_heads:

@@ -320,6 +320,213 @@ def supported_batched(T: int, Hkv: int, D: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Q8-quantized-KV variant (--quantkv 1 + flash decode)
+# ---------------------------------------------------------------------------
+
+def _bqkernel(pos_ref, q_ref, knew_ref, vnew_ref, kqn_ref, vqn_ref,
+              ksn_ref, vsn_ref, k_ref, v_ref, ks_ref, vs_ref,
+              o_ref, ko_ref, vo_ref, kso_ref, vso_ref, m_ref, l_ref, acc_ref,
+              *, H: int, Hkv: int, D: int, BS: int, scale: float,
+              softcap: float):
+    """Q8 cache decode: int8 blocks dequantize in-kernel (cast + per-row
+    scale expansion through an (Hkv, KD) 0/1 dot — 1.95x less attention
+    HBM traffic than bf16); otherwise the same pre-update-read + analytic
+    self-contribution + aliased write-block scheme as _bkernel. The new row
+    arrives both dequantized (knew/vnew, for the self term — matching what
+    the cache will hold) and quantized (kqn/ksn, written to the cache)."""
+    s = pl.program_id(1)
+    n_blocks = pl.num_programs(1)
+    b = pl.program_id(0)
+    KD = Hkv * D
+    G = H // Hkv
+    pos = pos_ref[b]
+    wblk = jnp.minimum(pos // BS, n_blocks - 1)
+
+    def head_expand():
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (Hkv, KD), 0)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (Hkv, KD), 1) // D
+        return (hidx == cidx).astype(jnp.bfloat16)
+
+    @pl.when(s == wblk)
+    def _write():
+        row = pos - wblk * BS
+        in_range = pos < n_blocks * BS
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (BS, KD), 0)
+        sel = (ridx == row) & in_range
+        ko_ref[0] = jnp.where(sel, jnp.broadcast_to(kqn_ref[0], (BS, KD)),
+                              k_ref[0])
+        vo_ref[0] = jnp.where(sel, jnp.broadcast_to(vqn_ref[0], (BS, KD)),
+                              v_ref[0])
+        rids = jax.lax.broadcasted_iota(jnp.int32, (BS, Hkv), 0)
+        sels = (rids == row) & in_range
+        kso_ref[0] = jnp.where(sels, jnp.broadcast_to(ksn_ref[0], (BS, Hkv)),
+                               ks_ref[0])
+        vso_ref[0] = jnp.where(sels, jnp.broadcast_to(vsn_ref[0], (BS, Hkv)),
+                               vs_ref[0])
+
+    def qexp_mask():
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 0) // G
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 1) // D
+        return hidx == bidx
+
+    @pl.when(s == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s * BS < pos)
+    def _compute():
+        E = head_expand()
+        ksx = jax.lax.dot_general(
+            ks_ref[0].astype(jnp.bfloat16), E, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        vsx = jax.lax.dot_general(
+            vs_ref[0].astype(jnp.bfloat16), E, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        kd = k_ref[0].astype(jnp.bfloat16) * ksx   # (BS, KD)
+        vd = v_ref[0].astype(jnp.bfloat16) * vsx
+        q = q_ref[0].astype(jnp.float32)
+        qrep = pltpu.repeat(q, Hkv, axis=1)
+        sel = qexp_mask()
+        qexp = jnp.where(sel, qrep, 0.0).astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            qexp, kd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if softcap > 0:
+            scores = softcap * jnp.tanh(scores / softcap)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (H, BS), 1) + s * BS
+        scores = jnp.where(sidx < pos, scores, -1e30)
+        m_prev = m_ref[:]
+        m_blk = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_blk)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(s == n_blocks - 1)
+    def _final():
+        q = q_ref[0].astype(jnp.float32)
+        qrep = pltpu.repeat(q, Hkv, axis=1)
+        sel = qexp_mask()
+        qexp = jnp.where(sel, qrep, 0.0)
+        knew = knew_ref[0].astype(jnp.float32)
+        vnew = vnew_ref[0].astype(jnp.float32)
+        s_self = jax.lax.dot_general(
+            qexp, knew, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if softcap > 0:
+            s_self = softcap * jnp.tanh(s_self / softcap)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, s_self)
+        alpha = jnp.exp(m_prev - m_new)
+        p_self = jnp.exp(s_self - m_new)
+        l = l_ref[:] * alpha + p_self
+        acc = acc_ref[:] * alpha + p_self * vnew
+        acc = acc / l
+        acc = jnp.where(sel, acc, 0.0)
+        kdi = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 0) % D
+        di = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 1)
+        R = (kdi == di).astype(jnp.float32)
+        o_ref[0] = jax.lax.dot_general(
+            acc, R, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "n_kv_heads", "scale",
+                                    "softcap", "interpret"))
+def decode_attention_batched_q8(q, k_new, v_new, k_pool, v_pool, ks_pool,
+                                vs_pool, positions, n_heads: int,
+                                n_kv_heads: int, scale: float,
+                                softcap: float = 0.0,
+                                interpret: bool = False):
+    """Q8-KV batched decode. q: (B, H, D); k_new/v_new: (B, Hkv, D) bf16
+    (unquantized); k_pool/v_pool: (B, S, Hkv*D) int8; ks/vs_pool:
+    (B, S, Hkv) bf16 scales. Quantizes the new row here (matching
+    kv/cache.py _q8 semantics) and the self term uses the dequantized
+    values, so results match the write-then-read XLA path exactly. Returns
+    (out, k', v', ks', vs')."""
+    B, S, KD = k_pool.shape
+    Hkv = n_kv_heads
+    D = KD // Hkv
+    H = n_heads
+
+    def q8(x):  # (B, Hkv, D) -> int8 (B, 1, KD), scale (B, 1, Hkv), deq
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        sc = amax / 127.0
+        inv = jnp.where(sc > 0, 1.0 / sc, 0.0)
+        qv = jnp.round(x.astype(jnp.float32) * inv[..., None]).astype(jnp.int8)
+        deq = (qv.astype(jnp.float32)
+               * sc.astype(jnp.bfloat16).astype(jnp.float32)[..., None])
+        return (qv.reshape(B, 1, KD), sc.astype(jnp.bfloat16).reshape(B, 1, Hkv),
+                deq.astype(jnp.bfloat16).reshape(B, 1, KD))
+
+    kq, ksn, kdq = q8(k_new)
+    vq, vsn, vdq = q8(v_new)
+    BS = min(256, S)
+    while BS > 16 and 12 * BS * KD + 4 * H * KD > 8 * 1024 * 1024:
+        BS //= 2
+    nb = pl.cdiv(S, BS)
+
+    def kv_map(b, s, pos_ref):
+        last = jnp.minimum(pos_ref[b] // BS, nb - 1)
+        return (b, jnp.minimum(s, last), 0)
+
+    def w_map(b, s, pos_ref):
+        return (b, jnp.minimum(pos_ref[b] // BS, nb - 1), 0)
+
+    bmap = lambda b, s, p: (b, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nb),
+        in_specs=[pl.BlockSpec((1, H, D), bmap),
+                  pl.BlockSpec((1, 1, KD), bmap),
+                  pl.BlockSpec((1, 1, KD), bmap),
+                  pl.BlockSpec((1, 1, KD), bmap),
+                  pl.BlockSpec((1, 1, KD), bmap),
+                  pl.BlockSpec((1, 1, Hkv), bmap),
+                  pl.BlockSpec((1, 1, Hkv), bmap),
+                  pl.BlockSpec((1, BS, KD), kv_map),
+                  pl.BlockSpec((1, BS, KD), kv_map),
+                  pl.BlockSpec((1, BS, Hkv), kv_map),
+                  pl.BlockSpec((1, BS, Hkv), kv_map)],
+        out_specs=[pl.BlockSpec((1, H, D), bmap),
+                   pl.BlockSpec((1, BS, KD), w_map),
+                   pl.BlockSpec((1, BS, KD), w_map),
+                   pl.BlockSpec((1, BS, Hkv), w_map),
+                   pl.BlockSpec((1, BS, Hkv), w_map)],
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, KD), jnp.float32)],
+    )
+    out, k2, v2, ks2, vs2 = pl.pallas_call(
+        functools.partial(_bqkernel, H=H, Hkv=Hkv, D=D, BS=BS, scale=scale,
+                          softcap=softcap),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, H, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, S, KD), jnp.int8),
+                   jax.ShapeDtypeStruct((B, S, KD), jnp.int8),
+                   jax.ShapeDtypeStruct((B, S, Hkv), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((B, S, Hkv), jnp.bfloat16)],
+        # indices include the scalar-prefetch arg: 8..11 = pools
+        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * D,
+            bytes_accessed=k_pool.nbytes + v_pool.nbytes,
+            transcendentals=B * H * S),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), q.astype(jnp.bfloat16), kdq, vdq,
+      kq, vq, ksn, vsn, k_pool, v_pool, ks_pool, vs_pool)
+    return out, k2, v2, ks2, vs2
+
+
+# ---------------------------------------------------------------------------
 # paged variant: pages addressed through the slot page table
 # ---------------------------------------------------------------------------
 

@@ -154,3 +154,49 @@ def test_paged_decode_attention_parity():
     # in-kernel writes match paged.write exactly
     np.testing.assert_array_equal(np.asarray(k_upd), np.asarray(ref_cache.k[0]))
     np.testing.assert_array_equal(np.asarray(v_upd), np.asarray(ref_cache.v[0]))
+
+
+def test_q8_flash_decode_forward_parity():
+    """Q8-KV flash path vs the XLA write-then-dequant path: layer-0 cache
+    writes must be BIT-exact (same quantization), logits within bf16 noise."""
+    import dataclasses
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from koboldcpp_tpu.kv.cache import init_cache
+    from koboldcpp_tpu.models import llama
+    from koboldcpp_tpu.models.synthetic import TINYLLAMA_1_1B, synthetic_params
+
+    cfg = dataclasses.replace(TINYLLAMA_1_1B, n_layers=1)
+    params = synthetic_params(cfg, kind="dense", seed=0)
+    B, S = 2, 512
+
+    def run(flash):
+        os.environ["KCPP_FLASH_DECODE"] = "1" if flash else "0"
+        rng = np.random.default_rng(0)
+        cache = init_cache(cfg.n_layers, B, S, cfg.n_kv_heads, cfg.head_dim,
+                           quantized=True)
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 20)), jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(20, dtype=jnp.int32)[None], (B, 20))
+        logits, cache = llama.forward(params, cfg, toks, pos, cache,
+                                      last_only=True)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+        for i in range(3):
+            l2, cache = llama.forward(params, cfg, tok,
+                                      jnp.full((B, 1), 20 + i, jnp.int32),
+                                      cache, last_only=True)
+            tok = jnp.argmax(l2[:, -1], -1).astype(jnp.int32)[:, None]
+        return np.asarray(l2), cache
+
+    try:
+        la, ca = run(False)
+        lb, cb = run(True)
+    finally:
+        os.environ.pop("KCPP_FLASH_DECODE", None)
+    np.testing.assert_array_equal(np.asarray(ca.k[0]), np.asarray(cb.k[0]))
+    np.testing.assert_array_equal(np.asarray(ca.k_scale[0]),
+                                  np.asarray(cb.k_scale[0]))
+    err = np.abs(la - lb).max() / (np.abs(la).max() + 1e-6)
+    assert err < 0.02, err
