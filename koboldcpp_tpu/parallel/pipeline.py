@@ -8,10 +8,12 @@ t - s (when valid) and hands its activations to stage s+1 via a single-hop
 `ppermute` (ICI neighbour traffic only). n + M - 1 ticks drain the pipe;
 bubble fraction = (n-1)/(n+M-1), so pick M >= n.
 
-Round-1 scope: rms-norm llama-family stacks (same coverage as
-forward_stacked). The per-stage KV buffer holds ONE microbatch (the last
-processed); persistent per-microbatch caches for PP decode are round-2. The reference
-has no PP at all (its RPC backend splits whole tensors, not stages).
+Scope: rms-norm llama-family stacks (same coverage as forward_stacked).
+The KV cache covers the FULL batch: each stage holds (L/n, B, S, Hkv, D)
+and updates the microbatch slice it processed at each tick, so the returned
+cache is valid for every sequence and PP decode (T=1 steps through the same
+schedule) works across calls. The reference has no PP at all (its RPC
+backend splits whole tensors, not stages).
 """
 from __future__ import annotations
 
@@ -118,7 +120,10 @@ def pipeline_forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
         H = emb_all.shape[-1]
         send = jnp.zeros((Bm, T, H), emb_all.dtype)
         out = jnp.zeros((M, Bm, T, H), emb_all.dtype)
-        k_c, v_c = k0, v0
+        # full-batch cache viewed per microbatch: (L/n, M, Bm, S, Hkv, D)
+        Lloc = k0.shape[0]
+        k_r = k0.reshape(Lloc, M, Bm, *k0.shape[2:])
+        v_r = v0.reshape(Lloc, M, Bm, *v0.shape[2:])
         perm = [(i, i + 1) for i in range(n - 1)]  # stage s -> s+1, no wrap
         for t in range(n + M - 1):
             recv = lax.ppermute(send, axis_name=axis, perm=perm)
@@ -128,13 +133,20 @@ def pipeline_forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
             valid = (stage <= t) & ((t - stage) < M)
             pos = lax.dynamic_index_in_dim(pos_mb, mb, 0, keepdims=False)
             mask = lax.dynamic_index_in_dim(mask_all, mb, 0, keepdims=False)
-            h_out, k_new, v_new = stage_scan(h_in, stacked, k_c, v_c, pos, mask)
-            k_c = jnp.where(valid, k_new, k_c)
-            v_c = jnp.where(valid, v_new, v_c)
+            k_mb = lax.dynamic_index_in_dim(k_r, mb, 1, keepdims=False)
+            v_mb = lax.dynamic_index_in_dim(v_r, mb, 1, keepdims=False)
+            h_out, k_new, v_new = stage_scan(h_in, stacked, k_mb, v_mb,
+                                             pos, mask)
+            k_r = lax.dynamic_update_index_in_dim(
+                k_r, jnp.where(valid, k_new, k_mb), mb, 1)
+            v_r = lax.dynamic_update_index_in_dim(
+                v_r, jnp.where(valid, v_new, v_mb), mb, 1)
             if 0 <= t - (n - 1) < M:  # static: the drain tick for this mb
                 out = out.at[t - (n - 1)].set(
                     jnp.where(stage == n - 1, h_out, 0))
             send = h_out
+        k_c = k_r.reshape(k0.shape)
+        v_c = v_r.reshape(v0.shape)
         out = lax.psum(out, axis_name=axis)  # only the last stage is nonzero
         x = out.reshape(B, T, H)
         x = rms_norm(x, out_norm, cfg.rms_norm_eps)

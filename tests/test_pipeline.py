@@ -52,13 +52,55 @@ def test_pipeline_matches_stacked(stacked_model, pp, mb):
     ref_logits, ref_cache = jllama.forward_stacked(
         m.params, m.cfg, tokens, positions, cache_ref)
 
-    # microbatch b-axis split: mb index m owns batch rows [m*Bm, (m+1)*Bm)
-    # per-stage cache buffer covers one microbatch (decode-time PP cache
-    # threading is a round-2 item; logits are exact regardless)
-    cache_pp = init_cache(m.cfg.n_layers, B // mb, S, m.cfg.n_kv_heads,
+    # microbatch b-axis split: mb index m owns batch rows [m*Bm, (m+1)*Bm);
+    # the cache covers the FULL batch and every microbatch's slice must come
+    # back populated (PP decode threads it across calls)
+    cache_pp = init_cache(m.cfg.n_layers, B, S, m.cfg.n_kv_heads,
                           m.cfg.head_dim, dtype=jnp.float32)
     params_pp, cache_shard = shard_stacked_for_pp(m.params, cache_pp, mesh)
-    logits, _ = pipeline_forward(params_pp, m.cfg, tokens, positions,
-                                 cache_shard, mesh, microbatches=mb)
+    logits, cache_out = pipeline_forward(params_pp, m.cfg, tokens, positions,
+                                         cache_shard, mesh, microbatches=mb)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
                                rtol=2e-4, atol=2e-4)
+    from koboldcpp_tpu.kv.cache import stack_cache
+    ref_stacked = stack_cache(ref_cache)
+    np.testing.assert_allclose(np.asarray(cache_out.k),
+                               np.asarray(ref_stacked.k), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cache_out.v),
+                               np.asarray(ref_stacked.v), rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_decode_steps(stacked_model):
+    """PP decode: prefill then two T=1 steps through the pipeline, cache
+    threaded across calls, logits exact vs the single-device stacked path."""
+    m = stacked_model
+    pp, mb = 4, 4
+    mesh = Mesh(np.array(jax.devices()[:pp]), ("pp",))
+    B, T, S = mb, 5, 32
+    rng = np.random.default_rng(11)
+    tokens = jnp.asarray(rng.integers(3, 500, (B, T)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(T), (B, T)).astype(jnp.int32)
+
+    cache_ref = init_cache(m.cfg.n_layers, B, S, m.cfg.n_kv_heads,
+                           m.cfg.head_dim, dtype=jnp.float32)
+    ref_logits, cache_ref = jllama.forward_stacked(
+        m.params, m.cfg, tokens, positions, cache_ref)
+
+    cache_pp = init_cache(m.cfg.n_layers, B, S, m.cfg.n_kv_heads,
+                          m.cfg.head_dim, dtype=jnp.float32)
+    params_pp, cache_pp = shard_stacked_for_pp(m.params, cache_pp, mesh)
+    pp_logits, cache_pp = pipeline_forward(params_pp, m.cfg, tokens,
+                                           positions, cache_pp, mesh,
+                                           microbatches=mb)
+    for step in range(2):
+        nxt = jnp.argmax(ref_logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        pos = jnp.full((B, 1), T + step, jnp.int32)
+        ref_logits, cache_ref = jllama.forward_stacked(
+            m.params, m.cfg, nxt, pos, cache_ref)
+        pp_nxt = jnp.argmax(pp_logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(pp_nxt), np.asarray(nxt))
+        pp_logits, cache_pp = pipeline_forward(params_pp, m.cfg, pp_nxt, pos,
+                                               cache_pp, mesh, microbatches=mb)
+        np.testing.assert_allclose(np.asarray(pp_logits),
+                                   np.asarray(ref_logits),
+                                   rtol=2e-4, atol=2e-4)
