@@ -26,6 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from koboldcpp_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 
 def measure_latency() -> float:
     f = jax.jit(lambda x: x + 1)

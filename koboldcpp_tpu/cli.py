@@ -184,6 +184,19 @@ def main(argv=None):
         except ValueError:
             pass
 
+    if args.usecpu:
+        # reference --usecpu forces the CPU backend (koboldcpp.py:4419); here
+        # it pins the jax CPU platform (the TPU plugin ignores JAX_PLATFORMS,
+        # so this is the only reliable way to run host-only, e.g. smoke tests
+        # while the chip is busy)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax.numpy as jnp
 
     from .engine import Engine

@@ -29,8 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .linear import QTensor
-from .quant_matmul import (_expand_mat, _q4k_row_math, _use_interpret,
-                           _pallas_enabled, _MATVEC_FIELDS_Q4K)
+from .quant_matmul import (_dot_t, _expand_mat, _q4k_row_math, _sexp,
+                           _use_interpret, _pallas_enabled,
+                           _FIELD_LISTS, _MATVEC_FIELDS_Q4K)
 
 _VMEM_BUDGET = 12 * 1024 * 1024
 
@@ -90,6 +91,119 @@ def _ffn_kernel(mlg_ref, mhg_ref, xslg_ref, xshg_ref,
                           qs_dn[:].astype(jnp.int32), slo_dn[:], shi_dn[:],
                           mlo_dn[:], mhi_dn[:])
         o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _ffn_kernel_2d(xl_ref, xh_ref, xs_ref,
+                   qs_gu, slo_gu, shi_gu, m_gu,
+                   qs_dn, slo_dn, shi_dn, m_dn,
+                   o_ref,
+                   gu_acc, xld, xhd, xsd,
+                   *, n_gu: int, rtg: int):
+    """Batched (T<=T_TILE) FFN megakernel using the 2-D scale-expansion math
+    in both phases (the masked-stack row math's P-dot MACs grow with T, so
+    the T=1 kernel's structure doesn't scale; this one's per-tile cost is
+    T-flat).  gu_acc collects gateup row tiles via statically-unrolled lane
+    slices (dynamic lane stores are not Mosaic-legal); the SwiGLU + down-side
+    plane split / logical group sums run at the phase boundary in VMEM."""
+    i = pl.program_id(0)
+
+    @pl.when(i < n_gu)
+    def _gateup():
+        qs = qs_gu[:].astype(jnp.int32)
+        C2 = qs.shape[1]
+        lo = (qs & 0xF).astype(jnp.bfloat16)
+        hi = (qs >> 4).astype(jnp.bfloat16)
+        E = _expand_mat(C2 // 32, C2, 32)
+        acc = _dot_t(xl_ref[:], lo * _sexp(slo_gu[:], E))
+        acc += _dot_t(xh_ref[:], hi * _sexp(shi_gu[:], E))
+        acc -= _dot_t(xs_ref[:], m_gu[:])
+        for k in range(n_gu):  # static unroll: lane offsets must be static
+            @pl.when(i == k)
+            def _store(k=k):
+                gu_acc[:, k * rtg:(k + 1) * rtg] = acc
+
+    @pl.when(i == n_gu)
+    def _act_prep():
+        act = gu_acc[:]                               # (T, 2F) f32
+        F = act.shape[1] // 2
+        T = act.shape[0]
+        g = act[:, :F]
+        u = act[:, F:]
+        a = u * g * jax.lax.logistic(g)               # silu(g) * u
+        a3 = a.reshape(T, F // 256, 256)              # minor dim stays aligned
+        xld[:] = a3[:, :, :128].reshape(T, F // 2).astype(jnp.bfloat16)
+        xhd[:] = a3[:, :, 128:].reshape(T, F // 2).astype(jnp.bfloat16)
+        # logical per-32 group sums as an MXU dot against an iota 0/1 matrix
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (F, F // 32), 0) // 32
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (F, F // 32), 1)
+        E32 = (cidx == gidx).astype(jnp.float32)
+        xsd[:] = jax.lax.dot_general(
+            a, E32, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    @pl.when(i >= n_gu)
+    def _down():
+        qs = qs_dn[:].astype(jnp.int32)
+        F2 = qs.shape[1]
+        lo = (qs & 0xF).astype(jnp.bfloat16)
+        hi = (qs >> 4).astype(jnp.bfloat16)
+        E = _expand_mat(F2 // 32, F2, 32)
+        acc = _dot_t(xld[:], lo * _sexp(slo_dn[:], E))
+        acc += _dot_t(xhd[:], hi * _sexp(shi_dn[:], E))
+        acc -= _dot_t(xsd[:], m_dn[:])
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("C", "F", "rtg", "rtd", "interpret"))
+def _ffn_fused_call_2d(x, gu_fields, dn_fields, C: int, F: int,
+                       rtg: int, rtd: int, interpret: bool):
+    from .quant_matmul import _plane_split2, _group_sums
+
+    T = x.shape[0]
+    n_gu = 2 * F // rtg
+    n_dn = C // rtd
+    GSc, C2 = C // 64, C // 2
+    F2 = F // 2
+
+    xl, xh = _plane_split2(x, C)
+    xs = _group_sums(x, C, 32)
+
+    const = lambda r, c: pl.BlockSpec(  # noqa: E731
+        (r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    gu_w = ([pl.BlockSpec((rtg, C2), lambda i: (jnp.minimum(i, n_gu - 1), 0),
+                          memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec((rtg, g), lambda i: (jnp.minimum(i, n_gu - 1), 0),
+                            memory_space=pltpu.VMEM)
+               for g in (C // 64, C // 64, C // 32)])
+    dn_w = ([pl.BlockSpec((rtd, F2), lambda i: (jnp.maximum(i - n_gu, 0), 0),
+                          memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec((rtd, g), lambda i: (jnp.maximum(i - n_gu, 0), 0),
+                            memory_space=pltpu.VMEM)
+               for g in (F // 64, F // 64, F // 32)])
+
+    return pl.pallas_call(
+        functools.partial(_ffn_kernel_2d, n_gu=n_gu, rtg=rtg),
+        grid=(n_gu + n_dn,),
+        in_specs=[const(T, C2), const(T, C2), const(T, C // 32)]
+        + gu_w + dn_w,
+        out_specs=pl.BlockSpec((T, rtd), lambda i: (0, jnp.maximum(i - n_gu, 0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((T, 2 * F), jnp.float32),    # gateup activations
+            pltpu.VMEM((T, F2), jnp.bfloat16),      # down xl
+            pltpu.VMEM((T, F2), jnp.bfloat16),      # down xh
+            pltpu.VMEM((T, F // 32), jnp.bfloat16),  # down group sums
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * (C * 2 * F + F * C),
+            bytes_accessed=sum(f.nbytes for f in gu_fields + dn_fields)
+            + x.nbytes + T * C * 2,
+            transcendentals=T * F,
+        ),
+        interpret=interpret,
+    )(xl, xh, xs, *gu_fields, *dn_fields)
 
 
 @functools.partial(jax.jit,
@@ -154,22 +268,65 @@ def _tile(out_f: int) -> int | None:
     return None
 
 
+FUSED_MAX_T = int(os.environ.get("KCPP_FFN_FUSED_MAX_T", "8"))
+
+
+def _ffn_fused_batched(x, w_gateup: QTensor, w_down: QTensor,
+                       T: int, lead, C: int):
+    F2out, Cg = w_gateup.shape
+    Cd, F = w_down.shape
+    if Cg != C or Cd != C or F2out != 2 * F:
+        return None
+    if C % 256 or F % 256:
+        return None
+
+    def vmem_use(rtg, rtd):
+        wb = (rtg * (C // 2 + 2 * (C // 64) * 2 + (C // 32) * 2)
+              + rtd * (F // 2 + 2 * (F // 64) * 2 + (F // 32) * 2))
+        scratch = T * 2 * F * 4 + 2 * T * (F // 2) * 2 + T * (F // 32) * 2
+        xops = 2 * T * (C // 2) * 2 + T * (C // 32) * 2
+        return 2 * wb + scratch + xops  # weights double-buffered
+
+    rtg = rtd = None
+    for cg in (512, 256):
+        for cd in (512, 256):
+            if (2 * F) % cg == 0 and C % cd == 0 and \
+                    vmem_use(cg, cd) <= _VMEM_BUDGET:
+                rtg, rtd = cg, cd
+                break
+        if rtg is not None:
+            break
+    if rtg is None:
+        return None
+    x2 = x.reshape(T, C)
+    if x2.dtype != jnp.bfloat16:
+        x2 = x2.astype(jnp.bfloat16)
+    gu_fields = tuple(w_gateup.data[n] for n in _FIELD_LISTS["q4_k"])
+    dn_fields = tuple(w_down.data[n] for n in _FIELD_LISTS["q4_k"])
+    y = _ffn_fused_call_2d(x2, gu_fields, dn_fields, C=C, F=F,
+                           rtg=rtg, rtd=rtd, interpret=_use_interpret())
+    return y.reshape(*lead, C)
+
+
 def ffn_fused(x: jnp.ndarray, w_gateup: QTensor, w_down: QTensor):
-    """SwiGLU FFN at T=1 through the megakernel; None if not covered."""
+    """SwiGLU FFN at T<=FUSED_MAX_T through the megakernel (T=1: row-math
+    phases; T>1: 2-D scale-expansion phases); None if not covered."""
     if not (_enabled() and _pallas_enabled()):
         return None
     if w_gateup.kind != "q4_k" or w_down.kind != "q4_k":
         return None
     if any(n not in w_gateup.data or n not in w_down.data
-           for n in _MATVEC_FIELDS_Q4K):
+           for n in _MATVEC_FIELDS_Q4K + _FIELD_LISTS["q4_k"]):
         return None
     lead = x.shape[:-1]
     C = x.shape[-1]
     n_tok = 1
     for d in lead:
         n_tok *= d
-    if n_tok != 1:
+    if n_tok > FUSED_MAX_T:
         return None
+    if n_tok != 1:
+        return _ffn_fused_batched(x, w_gateup, w_down, n_tok, lead, C)
     F2out, Cg = w_gateup.shape
     Cd, Fd = w_down.shape
     F = F2out // 2

@@ -118,6 +118,15 @@ def pack_q4_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
 
 
 def pack_q5_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
+    """Q5_K in the same v2 contiguous-plane layout as pack_q4_k, plus a
+    superblock-local high-bit sidecar: byte b of superblock s packs the low
+    nibbles of logical cols 256s+b / 256s+128+b in qs2 and their 5th bits in
+    bits 0/1 of hb (so the kernel ORs hb into the bf16 mantissa with the
+    same elementwise alignment as qs2 — no expansion, fully superblock-local
+    for TP col-sharding).  Scale/min fields mirror pack_q4_k exactly.
+    Reference layout: dequantize_row_q5_K, ggml/src/ggml-quants.c (qs byte l
+    of 64-group k = cols 64k+l lo / 64k+32+l hi; qh byte l bit b = col
+    32b+l)."""
     rows, cols = shape
     nsb = cols // QK_K
     blocks = np.ascontiguousarray(raw).reshape(rows, nsb, 176)
@@ -126,13 +135,34 @@ def pack_q5_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     sc, mn = _unpack_k_scales_np(blocks[:, :, 4:16].reshape(-1, 12))
     scales = (d.reshape(-1, 1) * sc).reshape(rows, nsb * 8)
     mins = (dmin.reshape(-1, 1) * mn).reshape(rows, nsb * 8)
-    qh = blocks[:, :, 16:48].reshape(rows, nsb * 32)
-    qs = blocks[:, :, 48:].reshape(rows, cols // 2)
+    qh = blocks[:, :, 16:48].reshape(rows, nsb, 1, 32)
+    qs = blocks[:, :, 48:].reshape(rows, nsb, 4, 32)
+    lo = qs & 0xF
+    hi = qs >> 4
+    # logical col order: ggml byte l of 64-group k holds cols 64k+l | 64k+32+l
+    q4 = np.stack([lo, hi], axis=3).reshape(rows, nsb, QK_K)
+    bits = ((qh >> np.arange(8, dtype=np.uint8)[None, None, :, None]) & 1)
+    q = q4 + (bits.reshape(rows, nsb, QK_K) << 4)  # logical 5-bit values
+    qs2 = ((q[:, :, :128] & 0xF)
+           | ((q[:, :, 128:] & 0xF) << 4)).reshape(rows, cols // 2)
+    hb = ((q[:, :, :128] >> 4)
+          | ((q[:, :, 128:] >> 4) << 1)).reshape(rows, cols // 2)
+    s4 = scales.reshape(rows, nsb, 2, 4)   # (R, S, plane, sub)
+    m4 = mins.reshape(rows, nsb, 2, 4)
+    s_lo = s4[:, :, 0].reshape(rows, nsb * 4)
+    s_hi = s4[:, :, 1].reshape(rows, nsb * 4)
+    m_lo = m4[:, :, 0].reshape(rows, nsb * 4)
+    m_hi = m4[:, :, 1].reshape(rows, nsb * 4)
     return QTensor(kind="q5_k", shape=shape, data={
-        "qs": jnp.asarray(qs),
-        "qh": jnp.asarray(qh),
-        "scale": jnp.asarray(scales, dtype=jnp.bfloat16),
+        "qs2": jnp.asarray(qs2.astype(np.uint8)),
+        "hb": jnp.asarray(hb.astype(np.uint8)),
         "min": jnp.asarray(mins, dtype=jnp.bfloat16),
+        "scale_lo": jnp.asarray(s_lo, dtype=jnp.bfloat16),
+        "scale_hi": jnp.asarray(s_hi, dtype=jnp.bfloat16),
+        "slo_t": jnp.asarray(s_lo.T, dtype=jnp.bfloat16),
+        "shi_t": jnp.asarray(s_hi.T, dtype=jnp.bfloat16),
+        "mlo_t": jnp.asarray(m_lo.T, dtype=jnp.bfloat16),
+        "mhi_t": jnp.asarray(m_hi.T, dtype=jnp.bfloat16),
     })
 
 
@@ -251,15 +281,14 @@ def dequant_xla(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
         qf = q.astype(jnp.float32).reshape(rows, -1, 32)
         return (qf * s - m).reshape(rows, cols).astype(dtype)
     if qt.kind == "q5_k":
-        qs = qt.data["qs"].reshape(rows, -1, 32)
-        lo = (qs & 0xF).astype(jnp.int32)
-        hi = (qs >> 4).astype(jnp.int32)
-        q4 = jnp.stack([lo, hi], axis=2).reshape(rows, -1, QK_K)  # (rows, nsb, 256)
-        qh = qt.data["qh"].reshape(rows, -1, 1, 32)
-        sb = jnp.arange(8, dtype=jnp.uint8)[None, None, :, None]
-        bits = ((qh >> sb) & 1).astype(jnp.int32).reshape(rows, -1, QK_K)
-        q = q4 + (bits << 4)
-        s = qt.data["scale"].astype(jnp.float32).reshape(rows, -1, 1)
+        qs = qt.data["qs2"].reshape(rows, -1, 128)  # (rows, nsb, 128)
+        hb = qt.data["hb"].reshape(rows, -1, 128)
+        lo = ((qs & 0xF) | ((hb & 1) << 4)).astype(jnp.int8)
+        hi = ((qs >> 4) | ((hb >> 1) & 1) << 4).astype(jnp.int8)
+        q = jnp.concatenate([lo, hi], axis=2).reshape(rows, cols)
+        slo = qt.data["scale_lo"].astype(jnp.float32).reshape(rows, -1, 4)
+        shi = qt.data["scale_hi"].astype(jnp.float32).reshape(rows, -1, 4)
+        s = jnp.concatenate([slo, shi], axis=2).reshape(rows, -1, 1)
         m = qt.data["min"].astype(jnp.float32).reshape(rows, -1, 1)
         qf = q.astype(jnp.float32).reshape(rows, -1, 32)
         return (qf * s - m).reshape(rows, cols).astype(dtype)

@@ -94,8 +94,49 @@ def _q4k_kernel(xl_ref, xh_ref, xs_ref, qs_ref, slo_ref, shi_ref, m_ref, o_ref):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
+def _rowk_combine(Pl, Ph, xsl, xsh, slo_t, shi_t, mlo_t, mhi_t,
+                  mult: float, fold: float):
+    """Shared row-kernel combine: y = mult * sum_g s_gr * P_tgr
+    - fold * sum_g s_gr * xs_tg - sum_g m_gr * xs_tg (per plane lo/hi)."""
+    slo = slo_t.astype(jnp.float32)  # (GS, R)
+    shi = shi_t.astype(jnp.float32)
+    GS = slo_t.shape[0]
+    T = xsl.shape[0]
+    if T == 1:
+        t = jnp.sum(Pl * slo + Ph * shi, axis=0, keepdims=True)  # (1, R)
+    else:
+        slo_r = jnp.concatenate([slo] * T, axis=0)  # (T*GS, R) lane-aligned
+        shi_r = jnp.concatenate([shi] * T, axis=0)
+        prod = Pl * slo_r + Ph * shi_r
+        t = prod.reshape(T, GS, prod.shape[1]).sum(axis=1)  # (T, R)
+    t *= mult
+    xslf = xsl.astype(jnp.float32)  # (T, GS)
+    xshf = xsh.astype(jnp.float32)
+    t -= fold * jax.lax.dot_general(
+        xslf, slo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t -= fold * jax.lax.dot_general(
+        xshf, shi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t -= jax.lax.dot_general(
+        xslf, mlo_t.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t -= jax.lax.dot_general(
+        xshf, mhi_t.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return t
+
+
+def _pdots(ml, mh, lo, hi):
+    Pl = jax.lax.dot_general(ml, lo, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (T*GS, R)
+    Ph = jax.lax.dot_general(mh, hi, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return Pl, Ph
+
+
 def _q4k_row_math(ml, mh, xsl, xsh, q, slo_t, shi_t, mlo_t, mhi_t):
-    """Shared T<=8 q4_k matvec math producing a ROW (T, R) output: magic-number
+    """T<=8 q4_k matvec math producing a ROW (T, R) output: magic-number
     dequant (bit-OR nibbles into bf16 mantissas, value = 128 + 8n — no
     int->float converts, no per-weight scale muls) + per-group partial dots
     against the activation-masked expansion stacks Ml/Mh (T*GS, C2); scales
@@ -112,43 +153,40 @@ def _q4k_row_math(ml, mh, xsl, xsh, q, slo_t, shi_t, mlo_t, mhi_t):
         (((q & 0xF) << 3) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
     hi = jax.lax.bitcast_convert_type(
         (((q >> 1) & 0x78) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
-    Pl = jax.lax.dot_general(ml, lo, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (T*GS, R)
-    Ph = jax.lax.dot_general(mh, hi, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    slo = slo_t.astype(jnp.float32)  # (GS, R)
-    shi = shi_t.astype(jnp.float32)
-    GS = slo_t.shape[0]
-    T = xsl.shape[0]
-    if T == 1:
-        t = jnp.sum(Pl * slo + Ph * shi, axis=0, keepdims=True)  # (1, R)
-    else:
-        slo_r = jnp.concatenate([slo] * T, axis=0)  # (T*GS, R) lane-aligned
-        shi_r = jnp.concatenate([shi] * T, axis=0)
-        prod = Pl * slo_r + Ph * shi_r
-        t = prod.reshape(T, GS, prod.shape[1]).sum(axis=1)  # (T, R)
-    t *= 0.125
-    xslf = xsl.astype(jnp.float32)  # (1, GS)
-    xshf = xsh.astype(jnp.float32)
-    t -= 16.0 * jax.lax.dot_general(
-        xslf, slo, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    t -= 16.0 * jax.lax.dot_general(
-        xshf, shi, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    t -= jax.lax.dot_general(
-        xslf, mlo_t.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    t -= jax.lax.dot_general(
-        xshf, mhi_t.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return t
+    Pl, Ph = _pdots(ml, mh, lo, hi)
+    return _rowk_combine(Pl, Ph, xsl, xsh, slo_t, shi_t, mlo_t, mhi_t,
+                         mult=0.125, fold=16.0)
+
+
+def _q5k_row_math(ml, mh, xsl, xsh, q, hb, slo_t, shi_t, mlo_t, mhi_t):
+    """Q5_K analog of _q4k_row_math: the 5th bit ORs in from the hb sidecar
+    (bit 0 = lo-plane col, bit 1 = hi-plane col, elementwise-aligned with
+    qs2), magic value = 128 + 4*q5, so mult=0.25 and the affine fold is 32."""
+    lo = jax.lax.bitcast_convert_type(
+        ((((q & 0xF) << 2) | ((hb & 1) << 6)) | 0x4300).astype(jnp.uint16),
+        jnp.bfloat16)
+    hi = jax.lax.bitcast_convert_type(
+        ((((q >> 2) & 0x3C) | (((hb >> 1) & 1) << 6)) | 0x4300)
+        .astype(jnp.uint16), jnp.bfloat16)
+    Pl, Ph = _pdots(ml, mh, lo, hi)
+    return _rowk_combine(Pl, Ph, xsl, xsh, slo_t, shi_t, mlo_t, mhi_t,
+                         mult=0.25, fold=32.0)
 
 
 def _q4k_decode_kernel(ml_ref, mh_ref, xsl_ref, xsh_ref,
                        qs_ref, slo_ref, shi_ref, mlo_ref, mhi_ref, o_ref):
     t = _q4k_row_math(ml_ref[:], mh_ref[:], xsl_ref[:], xsh_ref[:],
                       qs_ref[:].astype(jnp.int32), slo_ref[:], shi_ref[:],
+                      mlo_ref[:], mhi_ref[:])
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _q5k_decode_kernel(ml_ref, mh_ref, xsl_ref, xsh_ref,
+                       qs_ref, hb_ref, slo_ref, shi_ref, mlo_ref, mhi_ref,
+                       o_ref):
+    t = _q5k_row_math(ml_ref[:], mh_ref[:], xsl_ref[:], xsh_ref[:],
+                      qs_ref[:].astype(jnp.int32),
+                      hb_ref[:].astype(jnp.int32), slo_ref[:], shi_ref[:],
                       mlo_ref[:], mhi_ref[:])
     o_ref[:] = t.astype(o_ref.dtype)
 
@@ -186,6 +224,44 @@ def _q4k_decode_kernel_raw(x_ref, qs_ref, slo_ref, shi_ref, mlo_ref, mhi_ref,
                       qs_ref[:].astype(jnp.int32), slo_ref[:], shi_ref[:],
                       mlo_ref[:], mhi_ref[:])
     o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _q4k_magic_kernel(xl_ref, xh_ref, xsl_ref, xsh_ref, xs_ref,
+                      qs_ref, slo_ref, shi_ref, m_ref, o_ref):
+    """Magic-number 2-D Q4_K variant (KCPP_Q4K_2D=magic): w = s*n decomposed
+    as 0.125*s*(128+8n) - 16*s so the per-weight work is bit-ops + one mul
+    (no int->float converts); the -16*s and min terms fold into rank-G dots
+    against plane group sums. In-situ A/B decides vs _q4k_kernel."""
+    qs = qs_ref[:].astype(jnp.int32)
+    C2 = qs.shape[1]
+    lo = jax.lax.bitcast_convert_type(
+        (((qs & 0xF) << 3) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
+    hi = jax.lax.bitcast_convert_type(
+        (((qs >> 1) & 0x78) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
+    E = _expand_mat(C2 // 32, C2, 32)
+    acc = _dot_t(xl_ref[:], lo * _sexp(slo_ref[:], E))
+    acc += _dot_t(xh_ref[:], hi * _sexp(shi_ref[:], E))
+    acc *= 0.125
+    acc -= 16.0 * _dot_t(xsl_ref[:], slo_ref[:].astype(jnp.float32))
+    acc -= 16.0 * _dot_t(xsh_ref[:], shi_ref[:].astype(jnp.float32))
+    acc -= _dot_t(xs_ref[:], m_ref[:])
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _q5k_kernel(xl_ref, xh_ref, xs_ref, qs_ref, hb_ref,
+                slo_ref, shi_ref, m_ref, o_ref):
+    """2-D Q5_K: v2 contiguous-plane nibbles + hb 5th-bit sidecar (same
+    elementwise alignment), scale expansion on the MXU like _q4k_kernel."""
+    qs = qs_ref[:].astype(jnp.int32)
+    hb = hb_ref[:].astype(jnp.int32)
+    C2 = qs.shape[1]
+    lo = ((qs & 0xF) | ((hb & 1) << 4)).astype(jnp.bfloat16)
+    hi = ((qs >> 4) | ((hb >> 1) & 1) << 4).astype(jnp.bfloat16)
+    E = _expand_mat(C2 // 32, C2, 32)
+    acc = _dot_t(xl_ref[:], lo * _sexp(slo_ref[:], E))
+    acc += _dot_t(xh_ref[:], hi * _sexp(shi_ref[:], E))
+    acc -= _dot_t(xs_ref[:], m_ref[:])
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _q6k_decode_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
@@ -372,12 +448,13 @@ def _specs_w(shapes):
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
 def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
                        interpret: bool):
-    """T<=8 q4_k matvec through the row-output kernel. Returns (T, out_f)."""
+    """T<=8 q4_k/q5_k matvec through the row-output kernels.
+    Returns (T, out_f)."""
     T = x.shape[0]
     GS = in_f // 64
     C2 = in_f // 2
-    raw = T == 1 and in_f % 256 == 0 and os.environ.get(
-        "KCPP_Q4K_RAW_X", "1") == "1"
+    raw = (kind == "q4_k" and T == 1 and in_f % 256 == 0
+           and os.environ.get("KCPP_Q4K_RAW_X", "1") == "1")
     if raw:
         # kernel does its own plane split / group sums / masked expansion
         x_args = (x,)
@@ -400,26 +477,30 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
         x_shapes = (C2, C2, GS, GS)
     # row tile: big tiles pipeline better, but the double-buffered qs tile
     # plus the (T*GS, C2) Ml/Mh stacks must fit scoped VMEM (~16M)
+    n_qfields = 2 if kind == "q5_k" else 1  # qs2 (+ hb)
     budget = 13 * 1024 * 1024 - 2 * 2 * T * GS * C2 * 2
     rt = ROW_TILE
     for cand in (DECODE_ROW_TILE, ROW_TILE, 128):
-        if out_f % cand == 0 and 2 * cand * (C2 + 8 * GS) <= budget:
+        if out_f % cand == 0 and 2 * cand * (n_qfields * C2 + 8 * GS) <= budget:
             rt = cand
             break
-    qs2, slo_t, shi_t, mlo_t, mhi_t = fields
     scratch = []
     if raw:
         scratch = [pltpu.VMEM((GS, C2), jnp.bfloat16),
                    pltpu.VMEM((GS, C2), jnp.bfloat16),
                    pltpu.VMEM((2, GS), jnp.bfloat16)]
+    if kind == "q5_k":
+        kernel = _q5k_decode_kernel
+    else:
+        kernel = _q4k_decode_kernel_raw if raw else _q4k_decode_kernel
     return pl.pallas_call(
-        _q4k_decode_kernel_raw if raw else _q4k_decode_kernel,
+        kernel,
         grid=(out_f // rt,),
         in_specs=[pl.BlockSpec((r, s), lambda o: (0, 0),
                                memory_space=pltpu.VMEM)
                   for r, s in zip(x_rows, x_shapes)]
         + [pl.BlockSpec((rt, C2), lambda o: (o, 0),
-                        memory_space=pltpu.VMEM)]
+                        memory_space=pltpu.VMEM)] * n_qfields
         + [pl.BlockSpec((GS, rt), lambda o: (0, o),
                         memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec((T, rt), lambda o: (0, o),
@@ -432,7 +513,7 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
             + T * out_f * 2,
             transcendentals=0),
         interpret=interpret,
-    )(*x_args, qs2, slo_t, shi_t, mlo_t, mhi_t)
+    )(*x_args, *fields)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
@@ -503,10 +584,25 @@ def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
     if kind == "q4_k":
         xl, xh = _plane_split2(x, in_f)
         xs = _group_sums(x, in_f, 32)  # logical groups (min term)
+        if os.environ.get("KCPP_Q4K_2D", "sexp") == "magic":
+            xsl = _group_sums(xl, in_f // 2, 32)
+            xsh = _group_sums(xh, in_f // 2, 32)
+            x_args = (xl, xh, xsl, xsh, xs)
+            x_shapes = (in_f // 2, in_f // 2, in_f // 64, in_f // 64,
+                        in_f // 32)
+            kernel = _q4k_magic_kernel
+        else:
+            x_args = (xl, xh, xs)
+            x_shapes = (in_f // 2, in_f // 2, in_f // 32)
+            kernel = _q4k_kernel
+        w_shapes = (in_f // 2, in_f // 64, in_f // 64, in_f // 32)
+    elif kind == "q5_k":
+        xl, xh = _plane_split2(x, in_f)
+        xs = _group_sums(x, in_f, 32)
         x_args = (xl, xh, xs)
         x_shapes = (in_f // 2, in_f // 2, in_f // 32)
-        kernel = _q4k_kernel
-        w_shapes = (in_f // 2, in_f // 64, in_f // 64, in_f // 32)
+        kernel = _q5k_kernel
+        w_shapes = (in_f // 2, in_f // 2, in_f // 64, in_f // 64, in_f // 32)
     elif kind == "q6_k":
         Tn = x.shape[0]
         x4 = x.reshape(Tn, in_f // 128, 128)
@@ -550,10 +646,12 @@ def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
 _FIELD_LISTS = {
     "q4_k": ("qs2", "scale_lo", "scale_hi", "min"),
     "q4_k_i8": ("q", "scale", "min"),
+    "q5_k": ("qs2", "hb", "scale_lo", "scale_hi", "min"),
     "q6_k": ("ql2", "qh2", "scale_p"),
     "q8_0": ("q", "scale"),
 }
 _MATVEC_FIELDS_Q4K = ("qs2", "slo_t", "shi_t", "mlo_t", "mhi_t")
+_MATVEC_FIELDS_Q5K = ("qs2", "hb", "slo_t", "shi_t", "mlo_t", "mhi_t")
 _MATVEC_FIELDS = {"q6_k": ("ql2", "qh2", "scale_pt"),
                   "q8_0": ("q", "scale_t")}
 
@@ -581,9 +679,11 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
     # batches stay ahead. MATVEC_MAX_T bounds the trade.
     if (x2.shape[0] <= MATVEC_MAX_T
             and os.environ.get("KCPP_Q4K_DECODE", "1") == "1"):
-        if qt.kind == "q4_k" and all(n in qt.data for n in _MATVEC_FIELDS_Q4K):
+        mv45 = _MATVEC_FIELDS_Q5K if qt.kind == "q5_k" else _MATVEC_FIELDS_Q4K
+        if (qt.kind in ("q4_k", "q5_k")
+                and all(n in qt.data for n in mv45)):
             y = _packed_matvec_q4k(
-                x2, tuple(qt.data[n] for n in _MATVEC_FIELDS_Q4K),
+                x2, tuple(qt.data[n] for n in mv45),
                 kind=qt.kind, out_f=out_f, in_f=in_f,
                 interpret=_use_interpret())
             return y.reshape(*lead, out_f)

@@ -57,8 +57,23 @@ def test_megakernel_3d_lead_and_fallbacks(monkeypatch):
     assert np.abs(np.asarray(y, np.float32).reshape(1, 512) - want
                   ).max() / scale < 0.03
     # T > 1 falls back to the composed path
-    xT = jnp.zeros((3, 512), jnp.bfloat16)
+    xT = jnp.zeros((16, 512), jnp.bfloat16)  # above FUSED_MAX_T
     assert ffn_fused(xT, qgu, qdn) is None
+
+
+def test_megakernel_batched_matches_composed(monkeypatch):
+    """The T<=8 2-D-math megakernel phases must match the composed path."""
+    monkeypatch.setenv("KCPP_FFN_FUSED", "1")
+    qgu, qdn, gu_ref, dn_ref = make_pair(seed=6)
+    rng = np.random.default_rng(7)
+    for T in (2, 8):
+        x = (rng.standard_normal((T, 512)) * 0.5).astype(np.float32)
+        y = ffn_fused(jnp.asarray(x, jnp.bfloat16), qgu, qdn)
+        assert y is not None, "batched megakernel should cover this shape"
+        want = ref_ffn(x, gu_ref, dn_ref)
+        got = np.asarray(y, np.float32)
+        scale = np.abs(want).max() + 1e-6
+        assert np.abs(got - want).max() / scale < 0.03
 
 
 def test_ffn_path_in_llama_matches_xla(monkeypatch):

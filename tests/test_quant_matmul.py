@@ -18,7 +18,8 @@ def make_qt(t: GGMLType, out_f=256, in_f=512, seed=0):
     return qt, wref
 
 
-@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q8_0],
+@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+                               GGMLType.Q8_0],
                          ids=lambda t: t.name)
 @pytest.mark.parametrize("T", [1, 8, 300])
 def test_kernel_matches_reference(t, T):
@@ -34,17 +35,13 @@ def test_kernel_matches_reference(t, T):
     assert np.abs(got - want).max() / scale < 0.02
 
 
-def test_q5k_falls_back_to_xla():
-    """Q5_K has no v2 kernel (variable-shift high bits); linear.matmul must
-    still produce correct results through the XLA dequant path."""
+def test_q5k_dequant_xla_matches_reference():
+    """Q5_K v2 pack (qs2 + hb sidecar) must reconstruct exactly through the
+    XLA dequant path (non-kernel callers: TP gather, LoRA merge, prefill
+    fallback shapes)."""
     qt, wref = make_qt(GGMLType.Q5_K)
-    assert quant_matmul.matmul_packed(
-        jnp.zeros((1, qt.in_features), jnp.bfloat16), qt) is None
-    x = np.random.default_rng(4).standard_normal((3, qt.in_features)).astype(np.float32) * 0.3
-    y = linear.matmul(jnp.asarray(x, dtype=jnp.bfloat16), qt)
-    want = x @ wref.T
-    scale = np.abs(want).max() + 1e-6
-    assert np.abs(np.asarray(y, np.float32) - want).max() / scale < 0.02
+    w = np.asarray(linear.dequant_xla(qt, dtype=jnp.float32))
+    np.testing.assert_allclose(w, wref, rtol=2e-2, atol=2e-2)
 
 
 def test_unsupported_shape_falls_back():
@@ -82,6 +79,24 @@ def test_q4k_row_kernel_small_batch(T, monkeypatch):
     x = (rng.standard_normal((T, qt.in_features)) * 0.5).astype(np.float32)
     y = quant_matmul.matmul_packed(jnp.asarray(x, dtype=jnp.bfloat16), qt)
     assert y is not None
+    want = x @ wref.T
+    got = np.asarray(y, dtype=np.float32)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 0.02
+
+
+@pytest.mark.parametrize("T", [1, 2, 4])
+def test_q5k_row_kernel_small_batch(T):
+    """The q5_k row matvec kernel (magic 128+4q values, hb 5th-bit OR) must
+    match the reference for every decode batch it covers."""
+    qt, wref = make_qt(GGMLType.Q5_K)
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((T, qt.in_features)) * 0.5).astype(np.float32)
+    y = quant_matmul._packed_matvec_q4k(
+        jnp.asarray(x, dtype=jnp.bfloat16),
+        tuple(qt.data[n] for n in quant_matmul._MATVEC_FIELDS_Q5K),
+        kind="q5_k", out_f=qt.out_features, in_f=qt.in_features,
+        interpret=quant_matmul._use_interpret())
     want = x @ wref.T
     got = np.asarray(y, dtype=np.float32)
     scale = np.abs(want).max() + 1e-6
