@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
 import queue
 import time
 import uuid
@@ -356,12 +357,28 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
     async def get_sd_upscalers(request):
         return _json([{"name": "None", "model_name": None, "model_path": None, "scale": 1}])
 
+    def _static_page(name: str) -> str | None:
+        path = os.path.join(os.path.dirname(__file__), "static", name)
+        try:
+            with open(path, encoding="utf-8") as f:
+                return f.read()
+        except OSError:
+            return None
+
     async def get_root(request):
-        html = ("<html><head><title>koboldcpp-tpu</title></head><body>"
-                f"<h1>koboldcpp-tpu {KCPP_VERSION}</h1>"
-                f"<p>Model: {settings.model_name}</p>"
-                "<p>API docs at <a href='/api'>/api</a>. "
-                "Use /noscript for a minimal chat UI.</p></body></html>")
+        # embedded chat/story SPA (reference serves KoboldAI Lite at /)
+        html = _static_page("lite.html")
+        if html is None:
+            html = ("<html><head><title>koboldcpp-tpu</title></head><body>"
+                    f"<h1>koboldcpp-tpu {KCPP_VERSION}</h1>"
+                    f"<p>Model: {settings.model_name}</p>"
+                    "<p>API docs at <a href='/api'>/api</a>. "
+                    "Use /noscript for a minimal chat UI.</p></body></html>")
+        return _cors(web.Response(text=html, content_type="text/html"))
+
+    async def get_sdui(request):
+        # embedded image UI (reference serves StableUI at /sdui)
+        html = _static_page("sdui.html") or "<html><body>no UI</body></html>"
         return _cors(web.Response(text=html, content_type="text/html"))
 
     async def get_noscript(request):
@@ -635,6 +652,7 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
     r.add_get("/v1", get_api_docs)
     r.add_get("/api", get_api_docs)
     r.add_get("/docs", get_api_docs)
+    r.add_get("/sdui", get_sdui)
     r.add_get("/openapi.json", get_openapi)
     r.add_get("/api/extra/json/schema", get_openapi)
     r.add_get("/api/tags", get_ollama_tags)
