@@ -11,6 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..gguf.constants import QK_K
+from ..ops import linear
 from ..ops.linear import QTensor, dense
 from .config import ModelConfig
 
@@ -99,8 +100,24 @@ def _rand_q4k_i8(rng, out_f: int, in_f: int) -> QTensor:
     })
 
 
+def _rand_packed(kind):
+    """Quantize random weights with the real quantizer, then pack — slower
+    than the direct field builders above but exact, for the low-bit formats
+    (bench A/B of q2_k/q3_k models)."""
+    from ..gguf import quants as _nq
+    from ..gguf.constants import GGMLType as _G
+    t = {"q2_k": _G.Q2_K, "q3_k": _G.Q3_K}[kind]
+
+    def make(rng, out_f: int, in_f: int) -> QTensor:
+        w = (rng.standard_normal((out_f, in_f)) * 0.02).astype(np.float32)
+        raw = _nq.quantize(w, t)
+        return linear.from_gguf(raw, t, (out_f, in_f), packed=True)
+    return make
+
+
 _MAKERS = {"q4_k": _rand_q4k, "q4_k_i8": _rand_q4k_i8, "q6_k": _rand_q6k,
-           "q8_0": _rand_q8_0}
+           "q8_0": _rand_q8_0, "q2_k": _rand_packed("q2_k"),
+           "q3_k": _rand_packed("q3_k")}
 
 
 def synthetic_params(cfg: ModelConfig, kind: str = "q4_k", seed: int = 0) -> dict:

@@ -197,6 +197,69 @@ def pack_q6_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     })
 
 
+def pack_q2_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
+    """Q2_K packed layout for the plane kernels.
+
+    qs already ships plane-structured (dequantize_row_q2_K,
+    ggml/src/ggml-quants.c: byte 32h+l of a superblock holds 2-bit planes
+    j=0..3 for elements 128h+32j+l), so `qs2` is the raw qs stream flattened
+    to (rows, cols//4).  Sub-scales/mins (16 per superblock, groups of 16;
+    logical group 8h+2j+t) are pre-decoded to bf16 and stored PLANE-MAJOR
+    like pack_q6_k's scale_p: [plane j | superblock | half | t].  `*_pt`
+    fields are lane-transposed copies for the row decode kernel."""
+    rows, cols = shape
+    nsb = cols // QK_K
+    blocks = np.ascontiguousarray(raw).reshape(rows, nsb, 84)
+    sc = blocks[:, :, :16]
+    qs = blocks[:, :, 16:80].reshape(rows, nsb * 64)
+    d = blocks[:, :, 80:82].copy().view(np.float16).astype(np.float32)[..., 0]
+    dmin = blocks[:, :, 82:84].copy().view(np.float16).astype(np.float32)[..., 0]
+    scales = d[..., None] * (sc & 0xF).astype(np.float32)   # (rows, nsb, 16)
+    mins = dmin[..., None] * (sc >> 4).astype(np.float32)
+    # logical group order 8h+2j+t -> plane-major (j | s,h,t), like pack_q6_k
+    s5 = scales.reshape(rows, nsb, 2, 4, 2)
+    m5 = mins.reshape(rows, nsb, 2, 4, 2)
+    scale_p = np.concatenate([s5[:, :, :, j, :].reshape(rows, -1)
+                              for j in range(4)], axis=1)
+    min_p = np.concatenate([m5[:, :, :, j, :].reshape(rows, -1)
+                            for j in range(4)], axis=1)
+    return QTensor(kind="q2_k", shape=shape, data={
+        "qs2": jnp.asarray(qs),
+        "scale_p": jnp.asarray(scale_p, dtype=jnp.bfloat16),
+        "min_p": jnp.asarray(min_p, dtype=jnp.bfloat16),
+        "scale_pt": jnp.asarray(scale_p.T, dtype=jnp.bfloat16),
+        "min_pt": jnp.asarray(min_p.T, dtype=jnp.bfloat16),
+    })
+
+
+def pack_q3_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
+    """Q3_K packed layout: same plane-structured 2-bit stream as Q2_K plus a
+    high-bit sidecar re-laid per half at pack time — hm2 byte (2s+h, l) bit j
+    is the 3rd bit of element 256s+128h+32j+l (from hmask byte l bit 4h+j,
+    dequantize_row_q3_K ggml/src/ggml-quants.c).  Scales are the signed
+    6-bit sub-scales (d * (sc-32)) pre-decoded to bf16, plane-major."""
+    rows, cols = shape
+    nsb = cols // QK_K
+    blocks = np.ascontiguousarray(raw).reshape(rows, nsb, 110)
+    hmask = blocks[:, :, :32]
+    qs = blocks[:, :, 32:96].reshape(rows, nsb * 64)
+    sc16 = (nq._unpack_q3_scales(blocks[:, :, 96:108].reshape(-1, 12))
+            .astype(np.float32) - 32.0).reshape(rows, nsb, 16)
+    d = blocks[:, :, 108:110].copy().view(np.float16).astype(np.float32)[..., 0]
+    scales = d[..., None] * sc16
+    hm2 = np.concatenate([(hmask >> 0) & 0xF, (hmask >> 4) & 0xF],
+                         axis=2).reshape(rows, nsb * 64)
+    s5 = scales.reshape(rows, nsb, 2, 4, 2)
+    scale_p = np.concatenate([s5[:, :, :, j, :].reshape(rows, -1)
+                              for j in range(4)], axis=1)
+    return QTensor(kind="q3_k", shape=shape, data={
+        "qs2": jnp.asarray(qs),
+        "hm2": jnp.asarray(hm2.astype(np.uint8)),
+        "scale_p": jnp.asarray(scale_p, dtype=jnp.bfloat16),
+        "scale_pt": jnp.asarray(scale_p.T, dtype=jnp.bfloat16),
+    })
+
+
 def pack_q4_k_i8(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     """Q4_K re-laid-out as per-group int8: EXACT same decoded values
     (q in 0..15 stored as int8; w = q*scale - min as before) at 8.5 bits/weight
@@ -232,6 +295,8 @@ def _q4k_packer(raw, shape):
 
 _PACKERS = {
     GGMLType.Q8_0: pack_q8_0,
+    GGMLType.Q2_K: pack_q2_k,
+    GGMLType.Q3_K: pack_q3_k,
     GGMLType.Q4_K: _q4k_packer,
     GGMLType.Q5_K: pack_q5_k,
     GGMLType.Q6_K: pack_q6_k,
@@ -310,6 +375,27 @@ def dequant_xla(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
         s = qt.data["scale"].astype(jnp.float32).reshape(rows, -1, 1)
         qf = q.astype(jnp.float32).reshape(rows, -1, 16)
         return (qf * s).reshape(rows, cols).astype(dtype)
+    if qt.kind in ("q2_k", "q3_k"):
+        qs = qt.data["qs2"].reshape(rows, -1, 32).astype(jnp.int32)  # (R,G,32)
+        G = qs.shape[1]
+        if qt.kind == "q3_k":
+            hm = qt.data["hm2"].reshape(rows, G, 32).astype(jnp.int32)
+            planes = jnp.stack(
+                [((qs >> (2 * j)) & 3) | (((hm >> j) & 1) << 2)
+                 for j in range(4)], axis=2)  # (R, G, 4, 32)
+            q = planes.reshape(rows, cols).astype(jnp.float32) - 4.0
+        else:
+            planes = jnp.stack([(qs >> (2 * j)) & 3 for j in range(4)], axis=2)
+            q = planes.reshape(rows, cols).astype(jnp.float32)
+        # plane-major (j | g,t) scales -> logical (g | j,t) order
+        def logical(sp):
+            return (sp.astype(jnp.float32).reshape(rows, 4, G, 2)
+                    .transpose(0, 2, 1, 3).reshape(rows, -1, 1))
+        s = logical(qt.data["scale_p"])
+        out = q.reshape(rows, -1, 16) * s
+        if qt.kind == "q2_k":
+            out = out - logical(qt.data["min_p"])
+        return out.reshape(rows, cols).astype(dtype)
     raise ValueError(f"unknown QTensor kind {qt.kind}")
 
 

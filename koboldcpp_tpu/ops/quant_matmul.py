@@ -397,6 +397,107 @@ def _q6k_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
+def _q2k_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
+                qs_ref, s_ref, m_ref, o_ref):
+    """2-D Q2_K: the raw qs stream is already plane-structured (byte 32h+l of
+    a superblock = 2-bit planes j=0..3 of elements 128h+32j+l), so the four
+    planes decode with constant shifts; w = s*q - m with s/m pre-decoded
+    bf16 plane-major per 16-col sub-group (the min term folds into a dot
+    against per-16 plane-major group sums xs)."""
+    qs = qs_ref[:].astype(jnp.int32)   # (R, C/4)
+    C4 = qs.shape[1]
+    E = _expand_mat(C4 // 16, C4, 16)
+    s = s_ref[:]  # (R, C/16) bf16, plane-major [s0|s1|s2|s3]
+    n = s.shape[1] // 4
+    acc = jnp.zeros((x0_ref.shape[0], qs.shape[0]), jnp.float32)
+    for j, xp in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
+        p = ((qs >> (2 * j)) & 3).astype(jnp.bfloat16)
+        acc += _dot_t(xp[:], p * _sexp(s[:, j * n:(j + 1) * n], E))
+    acc -= _dot_t(xs_ref[:], m_ref[:])
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _q3k_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
+                qs_ref, hm_ref, s_ref, o_ref):
+    """2-D Q3_K: 2-bit planes from the raw qs stream + 3rd bit from the hm2
+    sidecar (bit j of byte (2s+h, l) = element 128h+32j+l's high bit);
+    w = s*(q3-4) with the -4 folded into a dot against plane-major group
+    sums (s is the signed 6-bit sub-scale pre-multiplied by d)."""
+    qs = qs_ref[:].astype(jnp.int32)
+    hm = hm_ref[:].astype(jnp.int32)
+    C4 = qs.shape[1]
+    E = _expand_mat(C4 // 16, C4, 16)
+    s = s_ref[:]  # (R, C/16) bf16, plane-major
+    n = s.shape[1] // 4
+    acc = jnp.zeros((x0_ref.shape[0], qs.shape[0]), jnp.float32)
+    for j, xp in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
+        p = (((qs >> (2 * j)) & 3)
+             | (((hm >> j) & 1) << 2)).astype(jnp.bfloat16)
+        acc += _dot_t(xp[:], p * _sexp(s[:, j * n:(j + 1) * n], E))
+    acc -= 4.0 * _dot_t(xs_ref[:], s.astype(jnp.float32))
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _q2k_row_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
+                    qs_ref, st_ref, mt_ref, o_ref):
+    """Row-output (1, R) Q2_K matvec: magic bf16 plane decode (value =
+    128 + 32*q2) + per-plane P-dots against masked 16-group stacks; scales
+    and mins lane-transposed (in/16, R) plane-major.  s*q = (s/32)*v - 4*s,
+    the constant and the min term both fold into group-sum dots."""
+    qs = qs_ref[:].astype(jnp.int32)
+    C4 = qs.shape[1]
+    GS = C4 // 16
+    E = _expand_mat(GS, C4, 16)
+    st = st_ref[:].astype(jnp.float32)  # (in/16, R) plane-major
+    n = st.shape[0] // 4
+    t = jnp.zeros((1, st.shape[1]), jnp.float32)
+    for j, xp in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
+        p = jax.lax.bitcast_convert_type(
+            ((((qs << 5) >> (2 * j)) & 0x60) | 0x4300).astype(jnp.uint16),
+            jnp.bfloat16)
+        M = E * xp[0][None, :].astype(jnp.bfloat16)      # (GS, C4)
+        P = jax.lax.dot_general(M, p, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (GS, R)
+        t += jnp.sum(P * st[j * n:(j + 1) * n], axis=0, keepdims=True)
+    t *= 0.03125  # 1/32
+    xs = xs_ref[:].astype(jnp.float32)  # (1, in/16) plane-major
+    t -= 4.0 * jax.lax.dot_general(
+        xs, st, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t -= jax.lax.dot_general(
+        xs, mt_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _q3k_row_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
+                    qs_ref, hm_ref, st_ref, o_ref):
+    """Row-output (1, R) Q3_K matvec: magic value = 128 + 16*q3 (2-bit plane
+    OR'd with the hm2 third bit into the bf16 mantissa); s*(q3-4) =
+    (s/16)*v - 12*s with the constant folded into a group-sum dot."""
+    qs = qs_ref[:].astype(jnp.int32)
+    hm = hm_ref[:].astype(jnp.int32)
+    C4 = qs.shape[1]
+    GS = C4 // 16
+    E = _expand_mat(GS, C4, 16)
+    st = st_ref[:].astype(jnp.float32)  # (in/16, R) plane-major
+    n = st.shape[0] // 4
+    t = jnp.zeros((1, st.shape[1]), jnp.float32)
+    for j, xp in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
+        p = jax.lax.bitcast_convert_type(
+            (((((qs << 4) >> (2 * j)) & 0x30) | (((hm >> j) & 1) << 6))
+             | 0x4300).astype(jnp.uint16), jnp.bfloat16)
+        M = E * xp[0][None, :].astype(jnp.bfloat16)
+        P = jax.lax.dot_general(M, p, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        t += jnp.sum(P * st[j * n:(j + 1) * n], axis=0, keepdims=True)
+    t *= 0.0625  # 1/16
+    t -= 12.0 * jax.lax.dot_general(
+        xs_ref[:].astype(jnp.float32), st, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
 def _q8_0_kernel(x_ref, q_ref, s_ref, o_ref):
     q = q_ref[:].astype(jnp.int32).astype(jnp.bfloat16)
     C = q.shape[1]
@@ -523,7 +624,7 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
     q6_k/q8_0 (lane-transposed scale sidecars; same design as the q4_k
     decode kernel); returns (1, out_f)."""
     T = x.shape[0]
-    if kind == "q6_k":
+    if kind in ("q6_k", "q2_k", "q3_k"):
         x4 = x.reshape(1, in_f // 128, 128)
         planes = [x4[:, :, i * 32:(i + 1) * 32].reshape(1, in_f // 4)
                   for i in range(4)]
@@ -532,7 +633,8 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
         x_args = (*planes, xs)
         x_rows = (1,) * 5
         x_shapes = (in_f // 4,) * 4 + (in_f // 16,)
-        kernel = _q6k_row_kernel
+        kernel = {"q6_k": _q6k_row_kernel, "q2_k": _q2k_row_kernel,
+                  "q3_k": _q3k_row_kernel}[kind]
         st_rows = in_f // 16
     elif kind == "q8_0":
         x_args = (x,)
@@ -549,8 +651,15 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
         return pl.BlockSpec((rt, width), lambda o: (o, 0),
                             memory_space=pltpu.VMEM)
 
+    # weight-stream specs + trailing lane-transposed (st_rows, rt) sidecars
+    n_t = 1
     if kind == "q6_k":
         w_in_specs = [row_spec(in_f // 2), row_spec(in_f // 4)]
+    elif kind == "q2_k":
+        w_in_specs = [row_spec(in_f // 4)]
+        n_t = 2  # scale_pt + min_pt
+    elif kind == "q3_k":
+        w_in_specs = [row_spec(in_f // 4), row_spec(in_f // 4)]
     else:
         w_in_specs = [row_spec(in_f)]
     return pl.pallas_call(
@@ -561,7 +670,7 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
                   for r, s in zip(x_rows, x_shapes)]
         + w_in_specs
         + [pl.BlockSpec((st_rows, rt), lambda o: (0, o),
-                        memory_space=pltpu.VMEM)],
+                        memory_space=pltpu.VMEM)] * n_t,
         out_specs=pl.BlockSpec((1, rt), lambda o: (0, o),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, out_f), x.dtype),
@@ -603,7 +712,7 @@ def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
         x_shapes = (in_f // 2, in_f // 2, in_f // 32)
         kernel = _q5k_kernel
         w_shapes = (in_f // 2, in_f // 2, in_f // 64, in_f // 64, in_f // 32)
-    elif kind == "q6_k":
+    elif kind in ("q6_k", "q2_k", "q3_k"):
         Tn = x.shape[0]
         x4 = x.reshape(Tn, in_f // 128, 128)
         planes = [x4[:, :, i * 32:(i + 1) * 32].reshape(Tn, in_f // 4)
@@ -612,8 +721,11 @@ def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
         xs = jnp.concatenate(xs4, axis=1)  # matches s plane order
         x_args = (*planes, xs)
         x_shapes = (in_f // 4,) * 4 + (in_f // 16,)
-        kernel = _q6k_kernel
-        w_shapes = (in_f // 2, in_f // 4, in_f // 16)
+        kernel = {"q6_k": _q6k_kernel, "q2_k": _q2k_kernel,
+                  "q3_k": _q3k_kernel}[kind]
+        w_shapes = {"q6_k": (in_f // 2, in_f // 4, in_f // 16),
+                    "q2_k": (in_f // 4, in_f // 16, in_f // 16),
+                    "q3_k": (in_f // 4, in_f // 4, in_f // 16)}[kind]
     elif kind == "q8_0":
         x_args = (x,)
         x_shapes = (in_f,)
@@ -648,11 +760,15 @@ _FIELD_LISTS = {
     "q4_k_i8": ("q", "scale", "min"),
     "q5_k": ("qs2", "hb", "scale_lo", "scale_hi", "min"),
     "q6_k": ("ql2", "qh2", "scale_p"),
+    "q2_k": ("qs2", "scale_p", "min_p"),
+    "q3_k": ("qs2", "hm2", "scale_p"),
     "q8_0": ("q", "scale"),
 }
 _MATVEC_FIELDS_Q4K = ("qs2", "slo_t", "shi_t", "mlo_t", "mhi_t")
 _MATVEC_FIELDS_Q5K = ("qs2", "hb", "slo_t", "shi_t", "mlo_t", "mhi_t")
 _MATVEC_FIELDS = {"q6_k": ("ql2", "qh2", "scale_pt"),
+                  "q2_k": ("qs2", "scale_pt", "min_pt"),
+                  "q3_k": ("qs2", "hm2", "scale_pt"),
                   "q8_0": ("q", "scale_t")}
 
 

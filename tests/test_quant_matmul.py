@@ -19,6 +19,7 @@ def make_qt(t: GGMLType, out_f=256, in_f=512, seed=0):
 
 
 @pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+                               GGMLType.Q2_K, GGMLType.Q3_K,
                                GGMLType.Q8_0],
                          ids=lambda t: t.name)
 @pytest.mark.parametrize("T", [1, 8, 300])
@@ -40,6 +41,16 @@ def test_q5k_dequant_xla_matches_reference():
     XLA dequant path (non-kernel callers: TP gather, LoRA merge, prefill
     fallback shapes)."""
     qt, wref = make_qt(GGMLType.Q5_K)
+    w = np.asarray(linear.dequant_xla(qt, dtype=jnp.float32))
+    np.testing.assert_allclose(w, wref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("t", [GGMLType.Q2_K, GGMLType.Q3_K],
+                         ids=lambda t: t.name)
+def test_q23k_dequant_xla_matches_reference(t):
+    """Q2_K/Q3_K packed layouts (plane-structured qs2 + plane-major scales)
+    must reconstruct exactly through the XLA dequant path."""
+    qt, wref = make_qt(t)
     w = np.asarray(linear.dequant_xla(qt, dtype=jnp.float32))
     np.testing.assert_allclose(w, wref, rtol=2e-2, atol=2e-2)
 
