@@ -11,7 +11,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..gguf.constants import QK_K
-from ..ops import linear
 from ..ops.linear import QTensor, dense
 from .config import ModelConfig
 
@@ -100,24 +99,41 @@ def _rand_q4k_i8(rng, out_f: int, in_f: int) -> QTensor:
     })
 
 
-def _rand_packed(kind):
-    """Quantize random weights with the real quantizer, then pack — slower
-    than the direct field builders above but exact, for the low-bit formats
-    (bench A/B of q2_k/q3_k models)."""
-    from ..gguf import quants as _nq
-    from ..gguf.constants import GGMLType as _G
-    t = {"q2_k": _G.Q2_K, "q3_k": _G.Q3_K}[kind]
+def _rand_q2k(rng, out_f: int, in_f: int) -> QTensor:
+    """Direct random q2_k fields (byte-layout-identical to pack_q2_k output,
+    values random) — avoids running the exact numpy quantizer per tensor
+    (ADVICE r1: the vocab x hidden head made synthetic builds slow)."""
+    nsb = in_f // QK_K
+    scale_p = (rng.random((out_f, nsb * 16), dtype=np.float32) * 0.02
+               ).astype(np.float32)
+    min_p = (rng.random((out_f, nsb * 16), dtype=np.float32) * 0.02
+             ).astype(np.float32)
+    return QTensor(kind="q2_k", shape=(out_f, in_f), data={
+        "qs2": jnp.asarray(rng.integers(0, 256, size=(out_f, in_f // 4),
+                                        dtype=np.uint8)),
+        "scale_p": jnp.asarray(scale_p, dtype=jnp.bfloat16),
+        "min_p": jnp.asarray(min_p, dtype=jnp.bfloat16),
+        "scale_pt": jnp.asarray(scale_p.T, dtype=jnp.bfloat16),
+        "min_pt": jnp.asarray(min_p.T, dtype=jnp.bfloat16),
+    })
 
-    def make(rng, out_f: int, in_f: int) -> QTensor:
-        w = (rng.standard_normal((out_f, in_f)) * 0.02).astype(np.float32)
-        raw = _nq.quantize(w, t)
-        return linear.from_gguf(raw, t, (out_f, in_f), packed=True)
-    return make
+
+def _rand_q3k(rng, out_f: int, in_f: int) -> QTensor:
+    nsb = in_f // QK_K
+    scale_p = ((rng.random((out_f, nsb * 16), dtype=np.float32) - 0.5) * 0.04
+               ).astype(np.float32)
+    return QTensor(kind="q3_k", shape=(out_f, in_f), data={
+        "qs2": jnp.asarray(rng.integers(0, 256, size=(out_f, in_f // 4),
+                                        dtype=np.uint8)),
+        "hm2": jnp.asarray(rng.integers(0, 16, size=(out_f, in_f // 4),
+                                        dtype=np.uint8)),
+        "scale_p": jnp.asarray(scale_p, dtype=jnp.bfloat16),
+        "scale_pt": jnp.asarray(scale_p.T, dtype=jnp.bfloat16),
+    })
 
 
 _MAKERS = {"q4_k": _rand_q4k, "q4_k_i8": _rand_q4k_i8, "q6_k": _rand_q6k,
-           "q8_0": _rand_q8_0, "q2_k": _rand_packed("q2_k"),
-           "q3_k": _rand_packed("q3_k")}
+           "q8_0": _rand_q8_0, "q2_k": _rand_q2k, "q3_k": _rand_q3k}
 
 
 def synthetic_params(cfg: ModelConfig, kind: str = "q4_k", seed: int = 0) -> dict:

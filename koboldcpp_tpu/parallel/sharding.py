@@ -58,7 +58,7 @@ def _qt_spec(qt: QTensor, axis: int) -> dict[str, P]:
     specs = {}
     for name, arr in qt.data.items():
         nd = getattr(arr, "ndim", 0)
-        transposed = name.endswith("_t") and nd == 2
+        transposed = name.endswith(("_t", "_pt")) and nd == 2
         if axis == 0:
             # out-dim is axis 0 of every packed field (last axis if _t)
             if transposed:

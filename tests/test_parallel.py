@@ -87,6 +87,27 @@ def test_quantized_params_shard(setup):
     assert st.sharding.shard_shape(st.shape)[1] == st.shape[1] // 8
 
 
+@pytest.mark.parametrize("kind,tfield", [
+    ("q2_k", "scale_pt"), ("q3_k", "scale_pt"), ("q6_k", "scale_pt")])
+def test_pt_sidecars_shard_transposed(kind, tfield):
+    """`*_pt` plane-major transposed sidecars (ADVICE r1) must shard their
+    LAST axis under row-sharding, like the `*_t` fields."""
+    cfg_q = ModelConfig(
+        arch="llama", vocab_size=512, hidden_size=256, n_layers=1,
+        n_heads=8, n_kv_heads=4, head_dim=32, intermediate_size=512,
+        rope_dim=32)
+    params = synthetic_params(cfg_q, kind=kind, seed=4)
+    mesh = make_mesh(8, dp=1, tp=8)
+    sp = shard_params(params, mesh)
+    wqkv = sp["layers"][0]["wqkv"]
+    assert wqkv.kind == kind
+    st = wqkv.data[tfield]
+    assert st.sharding.shard_shape(st.shape)[1] == st.shape[1] // 8
+    # and the packed stream row-shards axis 0
+    qs = wqkv.data["qs2" if kind != "q6_k" else "ql2"]
+    assert qs.sharding.shard_shape(qs.shape)[0] == qs.shape[0] // 8
+
+
 def test_moe_dense_ep_sharded_matches_gather():
     """Dense-EP MoE with experts sharded over tp must equal the single-device
     gather formulation."""
