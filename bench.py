@@ -211,13 +211,16 @@ def main():
               "tokenizer.ggml.add_bos_token": False}
         model = Model(cfg, params, Tokenizer(vocab_from_metadata(md)))
         eng = Engine(model, max_context=max_seq)
-        gp = GenParams(max_length=64,
+        gp = GenParams(max_length=256,
                        sampler=SamplerParams(temperature=0.0, rep_pen=1.0))
         eng.generate([1, 5, 9], gp)  # warm
-        eng.reset_context()
-        t0 = time.perf_counter()
-        r = eng.generate([1, 5, 9], gp)
-        served_tps = len(r.tokens) / (time.perf_counter() - t0)
+        served_tps = 0.0
+        for _ in range(2):  # min-of-2: shared chip has contention spikes
+            eng.reset_context()
+            t0 = time.perf_counter()
+            r = eng.generate([1, 5, 9], gp)
+            served_tps = max(served_tps,
+                             len(r.tokens) / (time.perf_counter() - t0))
     except Exception:
         pass
 

@@ -36,8 +36,12 @@ PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512)
 # Tokens per device call on the greedy/stochastic fast paths. Each call costs
 # one host->device dispatch (~30 ms over the axon tunnel, ~100 us locally);
 # overshoot past a stop condition is computed-then-discarded, so larger K
-# trades a little wasted tail compute for fewer round trips.
-FAST_DECODE_K = int(os.environ.get("KCPP_FAST_DECODE_K", "16"))
+# trades a little wasted tail compute for fewer round trips.  With pipelined
+# dispatch the host loop period per chunk is ~(tunnel RTT + processing), so K
+# must be large enough that the device's chunk time exceeds the RTT or the
+# host becomes the bottleneck (K=32 ~= 40 ms device time at 800 t/s vs 23 ms
+# RTT — device-bound with margin).
+FAST_DECODE_K = int(os.environ.get("KCPP_FAST_DECODE_K", "32"))
 
 
 @dataclass
@@ -683,21 +687,47 @@ class Engine:
                     else int(np.random.default_rng().integers(2 ** 31)))
                 dyn = make_dyn(sampler, self.max_context)
                 stoch_chunk = self._get_stoch_chunk(sampler.sampler_order)
+
+            # ---- pipelined dispatch: keep PIPELINE_DEPTH chunks in flight so
+            # the host's blocking token pull (one tunnel round trip) overlaps
+            # the device computing the NEXT chunk. The device feedback loop is
+            # self-contained (argmax/sampler feeds the next step on device), so
+            # chunk N+1 depends only on device state, never on host processing.
+            # The reference's serving loop adds ~0 overhead over llama_decode
+            # (gpttype_adapter.cpp:3037); this is the TPU-tunnel equivalent.
+            # Overshoot past a stop is bounded by depth*K discarded tokens.
+            from collections import deque
+
+            depth = max(1, int(os.environ.get("KCPP_PIPELINE_DEPTH", "2")))
+            pending: deque = deque()
+            dispatch_pos = len(self.context_tokens)
+            dispatched = 0
+
+            def _dispatch_chunk():
+                nonlocal logits_dev, dispatch_pos, dispatched
+                nonlocal recent, count, key
+                if fast_kind == "greedy":
+                    toks, logits_dev, self.cache = self._greedy_chunk(
+                        self.model.params, logits_dev, self.cache,
+                        dispatch_pos, bias_mask)
+                else:
+                    (toks, logits_dev, self.cache, recent, count,
+                     key) = stoch_chunk(
+                        self.model.params, logits_dev, self.cache,
+                        jnp.int32(dispatch_pos), bias_mask,
+                        recent, count, key, dyn)
+                dispatch_pos += FAST_DECODE_K
+                dispatched += FAST_DECODE_K
+                pending.append(toks)
+
             done = False
             while len(out_tokens) < max_len and not done:
                 if self.abort_event.is_set():
                     stop_reason = "abort"
                     break
-                if fast_kind == "greedy":
-                    toks, logits_dev, self.cache = self._greedy_chunk(
-                        self.model.params, logits_dev, self.cache,
-                        len(self.context_tokens), bias_mask)
-                else:
-                    (toks, logits_dev, self.cache, recent, count,
-                     key) = stoch_chunk(
-                        self.model.params, logits_dev, self.cache,
-                        jnp.int32(len(self.context_tokens)), bias_mask,
-                        recent, count, key, dyn)
+                while len(pending) < depth and dispatched < max_len:
+                    _dispatch_chunk()
+                toks = pending.popleft()
                 for tok in np.asarray(toks).tolist():
                     if self.abort_event.is_set():
                         stop_reason = "abort"
@@ -727,6 +757,7 @@ class Engine:
                             done = True
                             break
                     self.context_tokens.append(tok)
+            pending.clear()  # in-flight chunk results past a stop: discard
             # chunk overshoot beyond a stop wrote cache slots past
             # len(context_tokens); slot==position masking makes them
             # invisible and later tokens overwrite them
