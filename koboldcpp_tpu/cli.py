@@ -241,14 +241,30 @@ def main(argv=None):
 
         print(f"Loading mmproj: {args.mmproj}")
         clip_model = load_clip(args.mmproj)
-    if args.multiuser > 1:
+    # continuous batching covers the llama-family standard path; recurrent
+    # (mamba/rwkv), encoder-decoder (t5), embedding-only archs and legacy
+    # smart-context route back to the single-sequence engine so no request
+    # silently loses capabilities (VERDICT r1 item 5)
+    batch_capable = not (model.cfg.is_recurrent or model.cfg.is_embedding
+                         or model.cfg.is_encoder_decoder
+                         or model.cfg.arch in ("deepseek2", "minicpm3")
+                         or args.smartcontext)
+    if args.multiuser > 1 and not batch_capable:
+        print(f"Note: --multiuser continuous batching is unavailable for "
+              f"this configuration (arch {model.cfg.arch}"
+              + (", smartcontext" if args.smartcontext else "")
+              + "); serving with the single-sequence engine + FIFO queue")
+    if args.multiuser > 1 and batch_capable:
         from .engine.batch_engine import BatchedEngine
 
         engine = BatchedEngine(model, max_context=args.contextsize,
                                n_slots=args.multiuser, cache_dtype=cache_dtype,
                                paged=args.paged or args.quantkv == 1,
                                page_size=args.pagesize,
-                               quantkv=args.quantkv == 1)
+                               quantkv=args.quantkv == 1,
+                               clip_model=clip_model,
+                               use_contextshift=not (args.noshift
+                                                     or args.nocontextshift))
         print(f"Continuous batching enabled: {args.multiuser} KV slots"
               + (" (paged)" if args.paged or args.quantkv == 1 else ""))
     else:

@@ -4,12 +4,21 @@ What the reference lacks (SURVEY.md §2.6: "no continuous batching across
 requests" — kobold serializes behind modelbusy, koboldcpp.py:1937): a slot
 scheduler that admits requests as they arrive, prefills each into its own KV
 slot, and advances ALL active sequences with one batched decode step per
-iteration. The per-slot context fast-forward trick carries over (each slot
-keeps its own token history).
+iteration.
 
-Round-1 layout: slot-batched contiguous cache (L, B_slots, S, H, D) with
-per-slot lengths (slot==position invariant per row). The page-table layout
-(kv/paged.py) replaces the S axis in round 2 without changing this scheduler.
+Round-2 design:
+  - prefill runs in <=128-token chunks as SINGLE-ROW (1, b) forwards against
+    the admitted slot's cache rows (extracted/re-inserted by a jitted
+    dynamic-slice pair) — no n_slots x FLOP waste, and decode ticks interleave
+    between chunks so live slots never stall for a newcomer's whole prompt;
+  - per-slot context fast-forward AND context shift (PurgeMissingTokens,
+    gpttype_adapter.cpp:1504) with RoPE re-rotation on that slot's rows only;
+  - anti-slop rewind (gpttype_adapter.cpp:3292) with per-position bans and
+    stream hold-back, per slot;
+  - LLaVA image splicing (sentinel tokens + embed rows), per slot.
+
+Slot-batched contiguous cache (L-tuples of (B_slots, S, H*D)) with per-slot
+lengths (slot==position invariant per row), or the paged pool (kv/paged.py).
 """
 from __future__ import annotations
 
@@ -18,6 +27,7 @@ import queue
 import threading
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Callable
 
 import jax
@@ -28,10 +38,13 @@ from ..grammar.gbnf import TokenFilter
 from ..kv.cache import init_cache
 from ..models import llama as model_llama
 from ..models.loader import Model
+from ..ops.rope import rope_frequencies
 from ..sampling import SamplerParams, build_dry_sequences, make_state, sample_logits
-from .engine import GenParams, GenerationResult, Timings, _detok, _find_stop
+from .engine import (GenParams, GenerationResult, Timings, _detok, _find_stop,
+                     _longest_common_run, _shift_rows, antislop_check)
 
-PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512)
+PREFILL_BUCKETS = (16, 32, 64, 128)
+PREFILL_CHUNK = 128  # interleave granularity: decode ticks between chunks
 
 
 def _bucket(n: int) -> int:
@@ -51,6 +64,7 @@ class _Request:
     genkey: str = ""
     aborted: bool = False
     text_so_far: str = ""
+    images: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -69,10 +83,30 @@ class _Slot:
     t_start: float = 0.0
     t_prefill_done: float = 0.0
     prompt_len: int = 0
+    # chunked prefill state
+    pending_prefill: list[int] = field(default_factory=list)
+    emb_by_pos: dict | None = None  # LLaVA: abs position -> embed row
+    # decode state: (token, position, append_to_context) for the next step
+    feed: tuple[int, int, bool] | None = None
+    # anti-slop state
+    antislop_bans: dict[int, set[int]] = field(default_factory=dict)
+    stream_delay: int = 0
+    stream_q: list = field(default_factory=list)  # (tok_index, tok, piece)
+    # sampled-token budget: rewound tokens still count against max_length
+    # (the reference never refunds remaining_tokens on rewind,
+    # gpttype_adapter.cpp:3249,3292)
+    sampled: int = 0
 
     @property
     def active(self) -> bool:
         return self.request is not None
+
+    @property
+    def decoding(self) -> bool:
+        return self.request is not None and self.feed is not None
+
+
+IMG_SENTINEL = -999
 
 
 class BatchedEngine:
@@ -81,13 +115,20 @@ class BatchedEngine:
     def __init__(self, model: Model, max_context: int = 2048, n_slots: int = 4,
                  cache_dtype=jnp.bfloat16, paged: bool = False,
                  page_size: int = 64, pool_fraction: float = 1.0,
-                 quantkv: bool = False):
+                 quantkv: bool = False, clip_model=None,
+                 use_contextshift: bool = True):
         self.model = model
         self.cfg = model.cfg
+        self.clip = clip_model
         self.tokenizer = model.tokenizer
         self.max_context = max_context
         self.n_slots = n_slots
         self.paged = paged
+        self.quantkv = quantkv
+        # context shift needs in-place row surgery; the paged pool uses page
+        # remaps for the prefix trim only (fast-forward) in this round, and
+        # quantized KV disables shift like the reference (koboldcpp.py:840)
+        self.use_contextshift = use_contextshift and not paged and not quantkv
         if paged:
             from ..kv.paged import PageAllocator, init_paged_cache
 
@@ -101,7 +142,7 @@ class BatchedEngine:
         else:
             self.cache = init_cache(self.cfg.n_layers, n_slots, max_context,
                                     self.cfg.n_kv_heads, self.cfg.head_dim,
-                                    dtype=cache_dtype)
+                                    dtype=cache_dtype, quantized=quantkv)
         self.slots = [_Slot(idx=i) for i in range(n_slots)]
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.abort_event = threading.Event()  # abort-all (compat)
@@ -111,6 +152,7 @@ class BatchedEngine:
         self.stream_tokens: list[str] = []
         self._shutdown = False
         self._wake = threading.Event()
+        self._pre_rr = 0  # round-robin pointer over prefilling slots
 
         if paged:
             def fwd(params, tokens, positions, cache, page_table):
@@ -123,6 +165,8 @@ class BatchedEngine:
                                            cache, last_only=True)
 
         self._forward = jax.jit(fwd, donate_argnames=("cache",))
+        self._prefill_row_jit = None
+        self._prefill_row_mm_jit = None
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -173,15 +217,24 @@ class BatchedEngine:
     # -- scheduler loop ----------------------------------------------------
     def _loop(self):
         while not self._shutdown:
-            admitted = self._admit()
-            n_active = sum(s.active for s in self.slots)
-            if n_active == 0:
+            self._admit()
+            active = [s for s in self.slots if s.active]
+            if not active:
                 self.generation_finished = True
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
             self.generation_finished = False
-            self._decode_step()
+            # one prefill chunk for one prefilling slot (round-robin), then
+            # one decode step for every decoding slot — live slots advance
+            # between a newcomer's chunks instead of stalling for its prompt
+            prefilling = [s for s in active if s.pending_prefill]
+            if prefilling:
+                slot = prefilling[self._pre_rr % len(prefilling)]
+                self._pre_rr += 1
+                self._prefill_chunk(slot)
+            if any(s.decoding for s in self.slots):
+                self._decode_step()
 
     def _admit(self) -> int:
         n = 0
@@ -204,9 +257,36 @@ class BatchedEngine:
         slot.out_text = ""
         slot.utf8 = codecs.getincrementaldecoder("utf-8")(errors="replace")
         slot.t_start = time.perf_counter()
+        slot.feed = None
+        slot.sampled = 0
+        slot.antislop_bans = {}
+        slot.stream_q = []
+        slot.stream_delay = 0
+        slot.emb_by_pos = None
+        if params.banned_phrases:
+            slot.stream_delay = 3 + max(
+                (len(tk.encode(p)) for p in params.banned_phrases), default=0)
 
-        # per-slot context fast-forward
-        prompt = req.prompt_tokens
+        prompt = list(req.prompt_tokens)
+        # LLaVA: splice image-patch embeddings after BOS (sentinel segments,
+        # gpttype_adapter.cpp:3406-3475); image requests re-evaluate fully
+        if params.images and self.clip is not None:
+            from ..models.clip import decode_image_base64
+
+            embeds = [np.asarray(self.clip.image_embed(
+                decode_image_base64(b))[0], np.float32)
+                for b in params.images[:4]]
+            all_emb = np.concatenate(embeds, axis=0)
+            bos = prompt[:1] if tk.vocab.add_bos else []
+            rest = prompt[len(bos):]
+            prompt = bos + [IMG_SENTINEL] * len(all_emb) + rest
+            slot.emb_by_pos = {len(bos) + i: all_emb[i]
+                               for i in range(len(all_emb))}
+            slot.context = []
+
+        # per-slot context shift, then fast-forward
+        if self.use_contextshift:
+            self._context_shift(slot, prompt)
         n = 0
         limit = min(len(slot.context), len(prompt) - 1)
         while n < limit and slot.context[n] == prompt[n]:
@@ -234,61 +314,151 @@ class BatchedEngine:
         slot.grammar = TokenFilter(params.grammar, tk) if params.grammar else None
         slot.max_new = min(params.max_length,
                            self.max_context - len(prompt))
+        slot.pending_prefill = todo
 
-        # prefill this slot (others unaffected; single-row batch)
-        logits = self._prefill(slot, todo, n)
-        slot.context.extend(todo)
-        slot.t_prefill_done = time.perf_counter()
-        self._sample_and_emit(slot, logits)
+    # -- context shift (per slot) -------------------------------------------
+    def _context_shift(self, slot: _Slot, prompt: list[int]):
+        """PurgeMissingTokens on one slot's cache rows (gpttype_adapter.cpp:
+        1504): drop the scrolled-out gap, slide the reusable tail down, and
+        RoPE-re-rotate the moved keys."""
+        ctx = slot.context
+        if not ctx or len(prompt) < 2:
+            return
+        p0 = 0
+        lim = min(len(ctx), len(prompt))
+        while p0 < lim and ctx[p0] == prompt[p0]:
+            p0 += 1
+        if p0 == 0 or p0 >= len(ctx):
+            return
+        tail_ctx = ctx[p0:]
+        tail_prompt = prompt[p0:]
+        best_len, ci, pi = _longest_common_run(tail_ctx, tail_prompt)
+        threshold = max(96, len(tail_prompt) // 4)
+        if best_len < threshold or ci == 0:
+            return
+        freqs = rope_frequencies(self.cfg)
+        self.cache = _kv_shift_slot_jit(
+            self.cache, slot.idx, p0, p0 + ci, freqs,
+            self.cfg.rope_type, self.cfg.rope_dim)
+        slot.context = ctx[:p0] + ctx[p0 + ci:]
 
-    def _table(self) -> jnp.ndarray:
-        rows = np.stack([self.allocator.table(i) for i in range(self.n_slots)])
-        return jnp.asarray(rows.astype(np.int32))
+    # -- prefill (single-row chunks) ----------------------------------------
+    def _get_prefill_row(self, multimodal: bool):
+        if multimodal:
+            if self._prefill_row_mm_jit is None:
+                def f(params, tokens, positions, cache, slot_idx,
+                      input_embeds, embed_mask):
+                    sub = jax.tree_util.tree_map(
+                        lambda x: jax.lax.dynamic_slice_in_dim(x, slot_idx, 1, 0),
+                        cache)
+                    logits, sub = model_llama.forward(
+                        params, self.cfg, tokens, positions, sub,
+                        last_only=True, input_embeds=input_embeds,
+                        embed_mask=embed_mask)
+                    new = jax.tree_util.tree_map(
+                        lambda full, row: jax.lax.dynamic_update_slice_in_dim(
+                            full, row.astype(full.dtype), slot_idx, 0),
+                        cache, sub)
+                    return logits, new
 
-    def _run_forward(self, tok: np.ndarray, ppos: np.ndarray):
+                self._prefill_row_mm_jit = jax.jit(
+                    f, donate_argnames=("cache",))
+            return self._prefill_row_mm_jit
+        if self._prefill_row_jit is None:
+            def f(params, tokens, positions, cache, slot_idx):
+                sub = jax.tree_util.tree_map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(x, slot_idx, 1, 0),
+                    cache)
+                logits, sub = model_llama.forward(
+                    params, self.cfg, tokens, positions, sub, last_only=True)
+                new = jax.tree_util.tree_map(
+                    lambda full, row: jax.lax.dynamic_update_slice_in_dim(
+                        full, row.astype(full.dtype), slot_idx, 0),
+                    cache, sub)
+                return logits, new
+
+            self._prefill_row_jit = jax.jit(f, donate_argnames=("cache",))
+        return self._prefill_row_jit
+
+    def _prefill_chunk(self, slot: _Slot):
+        """Evaluate the next <=PREFILL_CHUNK prompt tokens of `slot` as a
+        single-row forward. On the last chunk, sample the first token."""
+        req = slot.request
+        if req.aborted or self.abort_event.is_set():
+            slot.pending_prefill = []
+            self._finish(slot, "abort")
+            return
+        chunk = slot.pending_prefill[:PREFILL_CHUNK]
+        pos0 = len(slot.context)
+        b = _bucket(len(chunk))
+        pad = b - len(chunk)
+        tok = np.zeros((1, b), dtype=np.int32)
+        ppos = np.full((1, b), -1, dtype=np.int32)
+        tok[0, pad:] = [t if t >= 0 else 0 for t in chunk]
+        ppos[0, pad:] = np.arange(pos0, pos0 + len(chunk))
         if self.paged:
-            return self._forward(self.model.params, jnp.asarray(tok),
-                                 jnp.asarray(ppos), self.cache, self._table())
-        return self._forward(self.model.params, jnp.asarray(tok),
-                             jnp.asarray(ppos), self.cache)
+            self.allocator.ensure(slot.idx, pos0 + len(chunk))
+            table = jnp.asarray(
+                self.allocator.table(slot.idx)[None].astype(np.int32))
+            lg, self.cache = self._forward(
+                self.model.params, jnp.asarray(tok), jnp.asarray(ppos),
+                self.cache, table)
+            logits = np.asarray(lg[0, -1])
+        elif slot.emb_by_pos and any(t == IMG_SENTINEL for t in chunk):
+            mask = np.array(
+                [[False] * pad + [t == IMG_SENTINEL for t in chunk]])
+            rows = [slot.emb_by_pos[pos0 + j]
+                    for j, t in enumerate(chunk) if t == IMG_SENTINEL]
+            emb = np.zeros((1, b, rows[0].shape[-1]), dtype=np.float32)
+            emb[0, pad:][mask[0, pad:]] = np.stack(rows)
+            fn = self._get_prefill_row(multimodal=True)
+            lg, self.cache = fn(self.model.params, jnp.asarray(tok),
+                                jnp.asarray(ppos), self.cache,
+                                jnp.int32(slot.idx), jnp.asarray(emb),
+                                jnp.asarray(mask))
+            logits = np.asarray(lg[0, -1])
+        else:
+            fn = self._get_prefill_row(multimodal=False)
+            lg, self.cache = fn(self.model.params, jnp.asarray(tok),
+                                jnp.asarray(ppos), self.cache,
+                                jnp.int32(slot.idx))
+            logits = np.asarray(lg[0, -1])
+        slot.context.extend(chunk)
+        slot.pending_prefill = slot.pending_prefill[len(chunk):]
+        if not slot.pending_prefill:
+            slot.t_prefill_done = time.perf_counter()
+            self._sample_and_emit(slot, logits)
 
-    def _prefill(self, slot: _Slot, tokens: list[int], start_pos: int) -> np.ndarray:
-        logits = None
-        pos = start_pos
-        i = 0
-        while i < len(tokens):
-            chunk = tokens[i:i + PREFILL_BUCKETS[-1]]
-            b = _bucket(len(chunk))
-            pad = b - len(chunk)
-            tok = np.zeros((self.n_slots, b), dtype=np.int32)
-            ppos = np.full((self.n_slots, b), -1, dtype=np.int32)
-            tok[slot.idx, pad:] = chunk
-            ppos[slot.idx, pad:] = np.arange(pos, pos + len(chunk))
-            if self.paged:
-                self.allocator.ensure(slot.idx, pos + len(chunk))
-            lg, self.cache = self._run_forward(tok, ppos)
-            logits = np.asarray(lg[slot.idx, -1])
-            pos += len(chunk)
-            i += len(chunk)
-        return logits
-
+    # -- decode ------------------------------------------------------------
     def _decode_step(self):
         tok = np.zeros((self.n_slots, 1), dtype=np.int32)
         pos = np.full((self.n_slots, 1), -1, dtype=np.int32)
+        feeds: list[_Slot] = []
         for s in self.slots:
-            if s.active and s.out_tokens:
-                tok[s.idx, 0] = s.out_tokens[-1]
-                pos[s.idx, 0] = len(s.context)
+            if s.decoding:
+                t, p, _append = s.feed
+                tok[s.idx, 0] = t
+                pos[s.idx, 0] = p
+                feeds.append(s)
                 if self.paged:
-                    self.allocator.ensure(s.idx, len(s.context) + 1)
-        lg, self.cache = self._run_forward(tok, pos)
+                    self.allocator.ensure(s.idx, p + 1)
+        if self.paged:
+            table = jnp.asarray(np.stack(
+                [self.allocator.table(i) for i in range(self.n_slots)]
+            ).astype(np.int32))
+            lg, self.cache = self._forward(
+                self.model.params, jnp.asarray(tok), jnp.asarray(pos),
+                self.cache, table)
+        else:
+            lg, self.cache = self._forward(
+                self.model.params, jnp.asarray(tok), jnp.asarray(pos),
+                self.cache)
         lg = np.asarray(lg)
-        for s in self.slots:
-            if not s.active:
-                continue
-            if not s.out_tokens:
-                continue  # prefill path already sampled
-            s.context.append(s.out_tokens[-1])
+        for s in feeds:
+            t, p, append = s.feed
+            s.feed = None
+            if append:
+                s.context.append(t)
             self._sample_and_emit(s, lg[s.idx, 0])
 
     def _sample_and_emit(self, slot: _Slot, logits: np.ndarray):
@@ -297,13 +467,19 @@ class BatchedEngine:
         if req.aborted or self.abort_event.is_set():
             self._finish(slot, "abort")
             return
-        if len(slot.out_tokens) >= slot.max_new:
+        if slot.sampled >= slot.max_new:
             self._finish(slot, "length")
             return
         gmask = slot.grammar.mask() if slot.grammar is not None else None
+        sp = slot.sampler_params
+        pos_bans = slot.antislop_bans.get(len(slot.context))
+        if pos_bans:
+            sp = SamplerParams(**{
+                **sp.__dict__,
+                "banned_tokens": sp.banned_tokens + tuple(pos_bans)})
         tok = sample_logits(logits, slot.context, self.max_context,
-                            slot.sampler_params, slot.sampler_state,
-                            grammar_mask=gmask)
+                            sp, slot.sampler_state, grammar_mask=gmask)
+        slot.sampled += 1
         if slot.grammar is not None:
             try:
                 slot.grammar.accept(tok)
@@ -316,9 +492,12 @@ class BatchedEngine:
             self.tokenizer.decode_token_bytes(tok, skip_special=False))
         if piece:
             slot.out_text += piece
-            req.text_so_far = slot.out_text
-            if req.on_token:
-                req.on_token(tok, piece)
+            if slot.stream_delay:
+                slot.stream_q.append((len(slot.out_tokens), tok, piece))
+            else:
+                req.text_so_far = slot.out_text
+                if req.on_token:
+                    req.on_token(tok, piece)
 
         if not params.bypass_eos and tok in slot.eos_ids:
             self._finish(slot, "eos")
@@ -330,21 +509,66 @@ class BatchedEngine:
                     slot.out_text = slot.out_text[:hit]
                 self._finish(slot, "stop_sequence")
                 return
-        if len(slot.out_tokens) >= slot.max_new:
+
+        # anti-slop: banned phrase appeared -> rewind this slot and ban the
+        # offending token at its position (gpttype_adapter.cpp:3292-3343)
+        if params.banned_phrases:
+            rew = antislop_check(self.tokenizer, slot.out_text,
+                                 params.banned_phrases, slot.out_tokens)
+            if rew is not None:
+                n_rewind, ban_tok = rew
+                slot.out_tokens = slot.out_tokens[:-n_rewind]
+                slot.utf8 = codecs.getincrementaldecoder("utf-8")(
+                    errors="replace")
+                slot.out_text = slot.utf8.decode(b"".join(
+                    self.tokenizer.decode_token_bytes(t, skip_special=False)
+                    for t in slot.out_tokens))
+                # the just-sampled token is not in context yet, so the cache
+                # rewinds one fewer slot than the output does
+                slot.context = slot.context[
+                    :len(slot.context) - (n_rewind - 1)]
+                slot.antislop_bans.setdefault(
+                    len(slot.context), set()).add(ban_tok)
+                slot.stream_q = [e for e in slot.stream_q
+                                 if e[0] <= len(slot.out_tokens)]
+                # replay: recompute logits at the rewound tail (re-evaluates
+                # context[-1] at its own position; cache rewrite is identical)
+                slot.feed = (slot.context[-1], len(slot.context) - 1, False)
+                return
+
+        # emit pieces that are now beyond rewind reach
+        while (slot.stream_q
+               and slot.stream_q[0][0] <= len(slot.out_tokens)
+               - slot.stream_delay):
+            _, qt, qp = slot.stream_q.pop(0)
+            req.text_so_far += qp
+            if req.on_token:
+                req.on_token(qt, qp)
+
+        if slot.sampled >= slot.max_new:
             self._finish(slot, "length")
+            return
+        slot.feed = (tok, len(slot.context), True)
 
     def _finish(self, slot: _Slot, reason: str):
         req = slot.request
+        for _, qt, qp in slot.stream_q:  # flush held-back pieces
+            req.text_so_far += qp
+            if req.on_token:
+                req.on_token(qt, qp)
+        slot.stream_q = []
         tail = slot.utf8.decode(b"", final=True) if slot.utf8 else ""
         if tail:  # flush trailing partial UTF-8 (lossy, like reference detok)
             slot.out_text += tail
-            req.text_so_far = slot.out_text
+        req.text_so_far = slot.out_text
+        slot.feed = None
+        slot.pending_prefill = []
         now = time.perf_counter()
         t = Timings(
             prompt_tokens=slot.prompt_len,
             gen_tokens=len(slot.out_tokens),
-            prompt_time=slot.t_prefill_done - slot.t_start,
-            gen_time=now - slot.t_prefill_done)
+            prompt_time=(slot.t_prefill_done or now) - slot.t_start,
+            gen_time=now - (slot.t_prefill_done or now))
         req.result = GenerationResult(
             text=slot.out_text, tokens=list(slot.out_tokens),
             stop_reason=reason, timings=t)
@@ -354,3 +578,42 @@ class BatchedEngine:
         # (prompt + generated-and-fed), which the next request fast-forwards on
         slot.request = None
         req.done.set()
+
+
+@partial(jax.jit, static_argnames=("rope_type", "rot_dim"),
+         donate_argnames=("cache",))
+def _kv_shift_slot_jit(cache, slot_idx, start, end, freqs,
+                       rope_type: str, rot_dim: int):
+    """Context-shift surgery on ONE slot's cache rows: extract row slot_idx
+    from every (B, S, ...) leaf, apply the slide+re-rotate (_shift_rows), and
+    re-insert. Other slots' rows are untouched (aliased through donation)."""
+    from ..kv.cache import KVCache, _is_layers, _leaf4
+
+    h = getattr(cache, "heads", None)
+
+    def shift_leafpair(kl, vl):
+        krow = jax.lax.dynamic_slice_in_dim(kl, slot_idx, 1, 0)
+        vrow = jax.lax.dynamic_slice_in_dim(vl, slot_idx, 1, 0)
+        shp = krow.shape
+        k4, v4 = _shift_rows(_leaf4(krow, h), _leaf4(vrow, h),
+                             start, end, freqs, rope_type, rot_dim)
+        k = jax.lax.dynamic_update_slice_in_dim(
+            kl, k4.reshape(shp).astype(kl.dtype), slot_idx, 0)
+        v = jax.lax.dynamic_update_slice_in_dim(
+            vl, v4.reshape(shp).astype(vl.dtype), slot_idx, 0)
+        return k, v
+
+    if _is_layers(cache.k):
+        pairs = [shift_leafpair(kl, vl) for kl, vl in zip(cache.k, cache.v)]
+        kw = {"heads": h} if hasattr(cache, "heads") else {}
+        if hasattr(cache, "k_scale"):
+            # Q8 KV: scales move with their rows (no re-rotation of scales —
+            # rotation changes K values, so shift re-rotates the DEQUANTIZED
+            # rows; for simplicity Q8-KV slots fall back to full re-eval)
+            raise NotImplementedError(
+                "context shift with quantized KV is disabled "
+                "(reference also disables it, koboldcpp.py:840-845)")
+        return KVCache(k=tuple(p[0] for p in pairs),
+                       v=tuple(p[1] for p in pairs), **kw)
+    k, v = shift_leafpair(cache.k, cache.v)
+    return KVCache(k=k, v=v)

@@ -869,22 +869,7 @@ class Engine:
 
     def _antislop_check(self, text: str, phrases: list[str],
                         out_tokens: list[int]) -> tuple[int, int] | None:
-        """Walk generated tokens from the END, accumulating text, until the
-        banned phrase is covered; rewind that many tokens and ban the first
-        (gpttype_adapter.cpp:3306-3330 backwards scan)."""
-        low = text.lower()
-        tk = self.tokenizer
-        for ph in phrases:
-            pl = ph.lower()
-            if pl not in low:
-                continue
-            tail = b""
-            for n in range(len(out_tokens) - 1, -1, -1):
-                tail = tk.decode_token_bytes(out_tokens[n],
-                                             skip_special=False) + tail
-                if pl in tail.decode("utf-8", errors="ignore").lower():
-                    return len(out_tokens) - n, out_tokens[n]
-        return None
+        return antislop_check(self.tokenizer, text, phrases, out_tokens)
 
     # -- utility API -------------------------------------------------------
     def token_count(self, text: str) -> list[int]:
@@ -940,6 +925,25 @@ class Engine:
         self.context_tokens = [int(t) for t in data["context_tokens"]]
 
 
+def antislop_check(tk, text: str, phrases: list[str],
+                   out_tokens: list[int]) -> tuple[int, int] | None:
+    """Walk generated tokens from the END, accumulating text, until the
+    banned phrase is covered; rewind that many tokens and ban the first
+    (gpttype_adapter.cpp:3306-3330 backwards scan)."""
+    low = text.lower()
+    for ph in phrases:
+        pl = ph.lower()
+        if pl not in low:
+            continue
+        tail = b""
+        for n in range(len(out_tokens) - 1, -1, -1):
+            tail = tk.decode_token_bytes(out_tokens[n],
+                                         skip_special=False) + tail
+            if pl in tail.decode("utf-8", errors="ignore").lower():
+                return len(out_tokens) - n, out_tokens[n]
+    return None
+
+
 def _detok(tk, tokens: list[int]) -> str:
     return b"".join(tk.decode_token_bytes(t, skip_special=False)
                     for t in tokens).decode("utf-8", errors="replace")
@@ -960,6 +964,45 @@ def _longest_common_run(a: list[int], b: list[int]) -> tuple[int, int, int]:
     return longest_common_run(a, b)
 
 
+def _shift_rows(kl, vl, start, end, freqs, rope_type: str, rot_dim: int):
+    """Core context-shift math on one layer's (..., S, H, D) k/v pair: slide
+    slots [end, ...) down to start and RoPE-re-rotate moved K rows by -delta.
+    start/end may be traced scalars (shared by the single-slot and per-slot
+    batched shift jits)."""
+    delta = end - start
+    S = kl.shape[-3]
+    idx = jnp.arange(S)
+    src = jnp.where(idx >= start, idx + delta, idx)  # slot i reads i+delta
+    src = jnp.minimum(src, S - 1)
+    k = jnp.take(kl, src, axis=-3)
+    v = jnp.take(vl, src, axis=-3)
+    # re-rotate moved keys by -delta
+    angle = -delta * freqs  # (rot/2,)
+    cos = jnp.cos(angle)
+    sin = jnp.sin(angle)
+    d = kl.shape[-1]
+    rot = rot_dim or d
+    kf = k.astype(jnp.float32)
+    if rope_type == "neox":
+        k1 = kf[..., : rot // 2]
+        k2 = kf[..., rot // 2: rot]
+        r1 = k1 * cos - k2 * sin
+        r2 = k1 * sin + k2 * cos
+        k_rot = jnp.concatenate([r1, r2, kf[..., rot:]], axis=-1)
+    else:
+        kr = kf[..., :rot].reshape(kf.shape[:-1] + (rot // 2, 2))
+        k1 = kr[..., 0]
+        k2 = kr[..., 1]
+        r1 = k1 * cos - k2 * sin
+        r2 = k1 * sin + k2 * cos
+        k_rot = jnp.concatenate(
+            [jnp.stack([r1, r2], axis=-1).reshape(kf.shape[:-1] + (rot,)),
+             kf[..., rot:]], axis=-1)
+    moved = (idx >= start)[:, None, None]
+    k = jnp.where(moved, k_rot.astype(kl.dtype), k)
+    return k, v
+
+
 @partial(jax.jit, static_argnames=("rope_type", "rot_dim"), donate_argnames=("cache",))
 def _kv_shift_jit(cache: KVCache, start: int, end: int, n_used: int,
                   freqs: jnp.ndarray, rope_type: str, rot_dim: int) -> KVCache:
@@ -969,42 +1012,10 @@ def _kv_shift_jit(cache: KVCache, start: int, end: int, n_used: int,
 
     Works on either cache layout: per-layer tuples of (B, S, H, D) or a
     stacked (L, B, S, H, D) array (deepseek2) — S is axis -3 in both."""
-    delta = end - start
+    from ..kv.cache import _is_layers, _leaf4
 
     def shift_one(kl, vl):
-        S = kl.shape[-3]
-        idx = jnp.arange(S)
-        src = jnp.where(idx >= start, idx + delta, idx)  # slot i reads i+delta
-        src = jnp.minimum(src, S - 1)
-        k = jnp.take(kl, src, axis=-3)
-        v = jnp.take(vl, src, axis=-3)
-        # re-rotate moved keys by -delta
-        angle = -delta * freqs  # (rot/2,)
-        cos = jnp.cos(angle)
-        sin = jnp.sin(angle)
-        d = kl.shape[-1]
-        rot = rot_dim or d
-        kf = k.astype(jnp.float32)
-        if rope_type == "neox":
-            k1 = kf[..., : rot // 2]
-            k2 = kf[..., rot // 2: rot]
-            r1 = k1 * cos - k2 * sin
-            r2 = k1 * sin + k2 * cos
-            k_rot = jnp.concatenate([r1, r2, kf[..., rot:]], axis=-1)
-        else:
-            kr = kf[..., :rot].reshape(kf.shape[:-1] + (rot // 2, 2))
-            k1 = kr[..., 0]
-            k2 = kr[..., 1]
-            r1 = k1 * cos - k2 * sin
-            r2 = k1 * sin + k2 * cos
-            k_rot = jnp.concatenate(
-                [jnp.stack([r1, r2], axis=-1).reshape(kf.shape[:-1] + (rot,)),
-                 kf[..., rot:]], axis=-1)
-        moved = (idx >= start)[:, None, None]
-        k = jnp.where(moved, k_rot.astype(kl.dtype), k)
-        return k, v
-
-    from ..kv.cache import _is_layers, _leaf4
+        return _shift_rows(kl, vl, start, end, freqs, rope_type, rot_dim)
 
     if _is_layers(cache.k):
         h = getattr(cache, "heads", None)
