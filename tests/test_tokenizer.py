@@ -126,3 +126,60 @@ def test_bpe_matches_gpt2_oracle(gpt2_pair, text):
     oracle, ours = gpt2_pair
     assert ours.encode(text, add_bos=False) == oracle.encode(text)
     assert ours.decode(ours.encode(text, add_bos=False)) == text
+
+
+def _mk_bpe_vocab(pre, tokens=None, merges=None):
+    from koboldcpp_tpu.tokenizers.vocab import Vocab
+
+    toks = tokens or ["a", "b", "c", "ab", "abc", "1", "2", "3", "Ġ", "Ġa"]
+    return Vocab(model="gpt2", pre=pre, tokens=toks,
+                 scores=[0.0] * len(toks), token_types=[1] * len(toks),
+                 merges=(merges if merges is not None else ["a b", "ab c"]),
+                 bos_id=-1, eos_id=-1,
+                 unk_id=-1, add_bos=False, add_eos=False,
+                 add_space_prefix=False)
+
+
+def test_pre_split_keeps_gaps():
+    """Multi-regex lists use split-and-keep semantics (unicode_regex_split):
+    starcoder's leading \\p{N} pass isolates each digit, including from
+    fragments a later regex wouldn't match."""
+    from koboldcpp_tpu.tokenizers.bpe import BPETokenizer
+
+    t = BPETokenizer(_mk_bpe_vocab("starcoder"))
+    words = t._pretokenize("ab12c")
+    assert words == ["ab", "1", "2", "c"]
+    # gpt2 single-regex behavior unchanged
+    t2 = BPETokenizer(_mk_bpe_vocab("gpt2"))
+    assert t2._pretokenize("ab12c") == ["ab12c"[:2], "12", "c"]
+
+
+def test_pre_unknown_raises():
+    import pytest as _pytest
+    from koboldcpp_tpu.tokenizers.bpe import BPETokenizer
+
+    with _pytest.raises(ValueError, match="unknown tokenizer.ggml.pre"):
+        BPETokenizer(_mk_bpe_vocab("totally-new-model"))
+
+
+def test_pre_all_patterns_compile():
+    import regex as _regex
+    from koboldcpp_tpu.tokenizers.bpe import PRE_PATTERNS
+
+    for name, pats in PRE_PATTERNS.items():
+        for p in pats:
+            _regex.compile(p)
+
+
+def test_ignore_merges_whole_word():
+    """llama3/tekken: a whole pretokenized word present in the vocab is
+    emitted directly without the merge walk (llama-vocab.cpp:777)."""
+    from koboldcpp_tpu.tokenizers.bpe import BPETokenizer
+
+    # vocab contains "abc" but NO merges to reach it
+    v = _mk_bpe_vocab("llama3", merges=[])
+    t = BPETokenizer(v)
+    assert t.encode_fragment("abc") == [4]  # direct hit
+    v2 = _mk_bpe_vocab("gpt2", merges=[])
+    t2 = BPETokenizer(v2)
+    assert t2.encode_fragment("abc") == [0, 1, 2]  # per-char fallback
