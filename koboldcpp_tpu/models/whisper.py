@@ -217,6 +217,24 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
                       preferred_element_type=jnp.float32)
 
 
+def _compression_ratio(text: str) -> float:
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+# whisper's temperature fallback ladder + quality gates (whisper.cpp
+# whisper_full params / openai-whisper transcribe defaults)
+FALLBACK_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+COMPRESSION_RATIO_THRESHOLD = 2.4
+LOGPROB_THRESHOLD = -1.0
+MAX_INITIAL_TS = 50  # 1.0 s at 0.02 s per timestamp token
+FRAMES_PER_TS = 2    # mel frames per timestamp unit (100 frames/s, 0.02 s)
+
+
 class WhisperModel:
     def __init__(self, cfg: WhisperConfig, params: Params, tokenizer=None):
         self.cfg = cfg
@@ -227,12 +245,118 @@ class WhisperModel:
 
     _BUCKETS = (8, 16, 32, 64, 128, 256, 448)
 
+    @property
+    def ts_begin(self) -> int:
+        return self.cfg.no_timestamps_id + 1
+
+    @property
+    def sot_prev_id(self) -> int:
+        # <|startofprev|> sits 2 below <|notimestamps|> in both the
+        # multilingual and English-only vocab layouts
+        return self.cfg.no_timestamps_id - 2
+
+    def _suppress_mask(self, with_timestamps: bool) -> np.ndarray:
+        """-inf additive mask for tokens never sampled: specials between eot
+        and the timestamp range (sot/lang/task/prev/nospeech), and the
+        no-timestamps token when timestamps are on."""
+        cfg = self.cfg
+        m = np.zeros(cfg.vocab_size, np.float32)
+        lo = min(cfg.eot_id + 1, cfg.vocab_size)
+        hi = min(cfg.no_timestamps_id + 1, cfg.vocab_size)
+        m[lo:hi] = -np.inf
+        if not with_timestamps and self.ts_begin < cfg.vocab_size:
+            m[self.ts_begin:] = -np.inf
+        return m
+
+    def _apply_timestamp_rules(self, logits: np.ndarray,
+                               sampled: list[int]) -> np.ndarray:
+        """openai-whisper ApplyTimestampRules: timestamps appear in pairs,
+        are non-decreasing, and when their total probability beats every
+        text token the step must emit a timestamp."""
+        cfg = self.cfg
+        tb = self.ts_begin
+        lg = logits.copy()
+        is_ts = [t >= tb for t in sampled]
+        if sampled:
+            if is_ts[-1] and not (len(sampled) >= 2 and is_ts[-2]):
+                # just closed a text run: next is a timestamp or eot
+                keep_eot = lg[cfg.eot_id]
+                lg[:tb] = -np.inf
+                lg[cfg.eot_id] = keep_eot
+            elif is_ts[-1] and len(sampled) >= 2 and is_ts[-2]:
+                lg[tb:] = -np.inf  # pair complete: text must follow
+        ts_seen = [t for t in sampled if t >= tb]
+        if ts_seen:
+            lg[tb:ts_seen[-1]] = -np.inf  # monotone timestamps
+        else:
+            lg[tb + MAX_INITIAL_TS + 1:] = -np.inf  # max_initial_timestamp
+        # probability-mass rule
+        x = lg - lg.max()
+        logprobs = x - np.log(np.exp(x).sum())
+        ts_mass = np.logaddexp.reduce(logprobs[tb:]) if tb < len(lg) else -np.inf
+        max_text = logprobs[:tb].max()
+        if ts_mass > max_text:
+            lg[:tb] = -np.inf
+        return lg
+
+    def _decode_window(self, enc, prompt: list[int], temperature: float,
+                       max_tokens: int, with_timestamps: bool,
+                       rng: np.random.Generator):
+        """One decode pass over an encoded window. Returns
+        (generated tokens incl timestamps, avg_logprob, text)."""
+        cfg = self.cfg
+        toks = list(prompt)
+        out: list[int] = []
+        sum_lp, n_lp = 0.0, 0
+        suppress = self._suppress_mask(with_timestamps)
+        for step in range(max_tokens):
+            n = len(toks)
+            b = next((x for x in self._BUCKETS if x >= n), self._BUCKETS[-1])
+            padded = toks + [0] * (b - n)
+            logits = np.asarray(self._decode(
+                params=self.params,
+                tokens=jnp.asarray([padded], dtype=jnp.int32),
+                enc_out=enc)[0, n - 1], np.float32)
+            logits = logits + suppress
+            if step == 0:  # suppress blank at start (openai suppress_blank)
+                if self.tokenizer is not None:
+                    for sp_tok in self.tokenizer.encode(" "):
+                        if 0 <= sp_tok < len(logits):
+                            logits[sp_tok] = -np.inf
+            if with_timestamps:
+                logits = self._apply_timestamp_rules(logits, out)
+            if temperature > 0:
+                x = (logits / temperature)
+                x = x - x.max()
+                p = np.exp(x)
+                p /= p.sum()
+                nxt = int(rng.choice(len(p), p=p))
+            else:
+                nxt = int(logits.argmax())
+            x = logits - logits.max()
+            lp = float(x[nxt] - np.log(np.exp(x).sum()))
+            sum_lp += lp
+            n_lp += 1
+            if nxt == cfg.eot_id or len(toks) >= cfg.n_text_ctx - 1:
+                break
+            toks.append(nxt)
+            out.append(nxt)
+        avg_lp = sum_lp / max(n_lp, 1)
+        # text = everything below the timestamp range (specials are
+        # suppressed, eot never enters `out`)
+        text = self._detok([t for t in out if t < self.ts_begin])
+        return out, avg_lp, text
+
+    def _detok(self, ids: list[int]) -> str:
+        if self.tokenizer is None:
+            return " ".join(map(str, ids))
+        return self.tokenizer.decode(ids)
+
     def transcribe_tokens(self, audio: np.ndarray, max_tokens: int = 224,
                           language_id: int | None = None,
                           translate: bool = False) -> list[int]:
-        """Greedy decode; returns generated token ids (without specials).
-        The token stream pads to shape buckets so the jitted decoder compiles
-        once per bucket, not once per length."""
+        """Single-window greedy decode without timestamps (back-compat API;
+        bit-matches the r1 behavior)."""
         cfg = self.cfg
         mel = pad_or_trim_mel(log_mel_spectrogram(audio, cfg.n_mels))
         enc = self._encode(params=self.params, mel=jnp.asarray(mel[None]))
@@ -255,11 +379,108 @@ class WhisperModel:
             out.append(nxt)
         return out
 
+    def transcribe_verbose(self, audio: np.ndarray, max_tokens: int = 224,
+                           language_id: int | None = None,
+                           translate: bool = False,
+                           temperatures=FALLBACK_TEMPERATURES,
+                           with_timestamps: bool = True,
+                           condition_on_previous: bool = True,
+                           seed: int = 0) -> dict:
+        """Full transcription pipeline (whisper.cpp whisper_full /
+        openai-whisper transcribe): 30 s windows advanced by the last decoded
+        timestamp, temperature fallback on bad compression-ratio/logprob,
+        cross-window conditioning on previous text, per-segment timestamps.
+
+        Returns {"text", "segments": [{"start", "end", "text"}]}.
+        """
+        cfg = self.cfg
+        mel = log_mel_spectrogram(audio, cfg.n_mels)
+        total = mel.shape[1]
+        tb = self.ts_begin
+        seek = 0
+        all_text: list[str] = []
+        segments: list[dict] = []
+        prev_text_tokens: list[int] = []
+        rng = np.random.default_rng(seed)
+        while seek < total:
+            window = pad_or_trim_mel(mel[:, seek:seek + 3000])
+            n_frames = min(3000, total - seek)
+            enc = self._encode(params=self.params, mel=jnp.asarray(window[None]))
+            base = [cfg.sot_id, language_id or cfg.lang_en_id,
+                    cfg.translate_id if translate else cfg.transcribe_id]
+            if not with_timestamps:
+                base.append(cfg.no_timestamps_id)
+            prompt = list(base)
+            if condition_on_previous and prev_text_tokens:
+                keep = cfg.n_text_ctx // 2 - 1
+                prompt = ([self.sot_prev_id] + prev_text_tokens[-keep:] + base)
+            out, avg_lp, text = [], -np.inf, ""
+            for ti, temp in enumerate(temperatures):
+                out, avg_lp, text = self._decode_window(
+                    enc, prompt, temp, max_tokens, with_timestamps, rng)
+                ok = (_compression_ratio(text) <= COMPRESSION_RATIO_THRESHOLD
+                      and avg_lp >= LOGPROB_THRESHOLD)
+                if ok or ti == len(temperatures) - 1:
+                    break
+                # openai also drops the conditioning text when retrying hot
+                if temp >= 0.5:
+                    prompt = list(base)
+            t0 = seek / 100.0  # mel frames at 100/s
+            if with_timestamps:
+                # split generated stream into [ts, text..., ts] segments
+                cur_start = None
+                cur: list[int] = []
+                last_ts = None
+                for t in out:
+                    if t >= tb:
+                        ts_time = (t - tb) * 0.02
+                        last_ts = t
+                        if cur_start is None:
+                            cur_start = ts_time
+                        elif cur:
+                            segments.append({
+                                "start": round(t0 + cur_start, 2),
+                                "end": round(t0 + ts_time, 2),
+                                "text": self._detok(cur)})
+                            cur = []
+                            cur_start = None
+                        else:  # consecutive timestamps: new segment start
+                            cur_start = ts_time
+                    else:
+                        cur.append(t)
+                if cur:  # trailing text without a closing timestamp
+                    segments.append({
+                        "start": round(t0 + (cur_start or 0.0), 2),
+                        "end": round(t0 + n_frames / 100.0, 2),
+                        "text": self._detok(cur)})
+                # advance to the last timestamp if the window ended on one,
+                # else consume the whole window
+                if last_ts is not None and out and out[-1] >= tb:
+                    adv = (last_ts - tb) * FRAMES_PER_TS
+                else:
+                    adv = 3000
+                # forward-progress guard (openai seeks a full window when a
+                # pass yields no usable timestamps): never advance < 1 s
+                seek += min(max(adv, 100), 3000)
+            else:
+                segments.append({"start": round(t0, 2),
+                                 "end": round(t0 + n_frames / 100.0, 2),
+                                 "text": text})
+                seek += 3000
+            text_tokens = [t for t in out if t < self.ts_begin]
+            all_text.append(self._detok(text_tokens))
+            prev_text_tokens = (prev_text_tokens + text_tokens
+                                )[-(cfg.n_text_ctx // 2 - 1):]
+        return {"text": "".join(all_text), "segments": segments}
+
     def transcribe(self, audio: np.ndarray, **kw) -> str:
-        ids = self.transcribe_tokens(audio, **kw)
-        if self.tokenizer is None:
-            return " ".join(map(str, ids))
-        return self.tokenizer.decode(ids)
+        """Transcribe; long audio loops 30 s windows with the fallback
+        ladder, short audio keeps the fast single-window greedy path."""
+        if len(audio) <= CHUNK_SECONDS * SAMPLE_RATE:
+            ids = self.transcribe_tokens(audio, **kw)
+            return self._detok(ids)
+        kw.setdefault("with_timestamps", True)
+        return self.transcribe_verbose(audio, **kw)["text"]
 
 
 def load_whisper(path: str) -> WhisperModel:

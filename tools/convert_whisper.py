@@ -25,10 +25,19 @@ def convert_whisper_state_dict(state: dict, config, out_path: str,
     w.add("whisper.n_audio_ctx", np.uint32(config.max_source_positions))
     w.add("whisper.n_text_ctx", np.uint32(config.max_target_positions))
     w.add("whisper.vocab_size", np.uint32(config.vocab_size))
-    for key, attr, default in (
-            ("whisper.eot_id", "eos_token_id", 50257),
-            ("whisper.sot_id", "decoder_start_token_id", 50258)):
-        w.add(key, np.uint32(getattr(config, attr, None) or default))
+    eot = getattr(config, "eos_token_id", None) or 50257
+    sot = getattr(config, "decoder_start_token_id", None) or 50258
+    w.add("whisper.eot_id", np.uint32(eot))
+    w.add("whisper.sot_id", np.uint32(sot))
+    # real whisper vocab layouts place <|notimestamps|> 1502 below the end
+    # (multilingual 51865->50363, en-only 51864->50362); task tokens sit just
+    # below it and the first language token right after <|startoftranscript|>
+    if config.vocab_size >= 51000:
+        nots = config.vocab_size - 1502
+        w.add("whisper.no_timestamps_id", np.uint32(nots))
+        w.add("whisper.transcribe_id", np.uint32(nots - 4))
+        w.add("whisper.translate_id", np.uint32(nots - 5))
+        w.add("whisper.lang_en_id", np.uint32(sot + 1))
     for k, v in (tokenizer_md or {}).items():
         w.add(k, v)
 
