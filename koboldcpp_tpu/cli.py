@@ -84,7 +84,17 @@ def build_parser() -> argparse.ArgumentParser:
                  "--usemlock", "--noavx2", "--failsafe", "--nommap"):
         p.add_argument(flag, nargs="?", const=True, default=None,
                        help=argparse.SUPPRESS)
-    p.add_argument("--mesh", default="", help="dp,tp mesh shape e.g. 1,8")
+    p.add_argument("--mesh", default="", help="dp,tp mesh shape e.g. 1,8; "
+                   "shards weights/KV over the device mesh (TP serving)")
+    # multi-host serving (jax.distributed; the reference's RPC scale-out
+    # counterpart, ggml/src/ggml-rpc.cpp): run the same command on every
+    # host, host 0 serves HTTP, the rest follow in SPMD lockstep
+    p.add_argument("--coordinator", default="",
+                   help="host0 address host:port for jax.distributed")
+    p.add_argument("--numprocesses", type=int, default=1,
+                   help="total process count for multi-host serving")
+    p.add_argument("--processid", type=int, default=0,
+                   help="this process's id (0 = HTTP server host)")
     p.add_argument("--paged", action="store_true",
                    help="paged KV pool for the continuous-batching engine")
     p.add_argument("--pagesize", type=int, default=64)
@@ -193,6 +203,15 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    topo = None
+    if args.coordinator and args.numprocesses > 1:
+        from .parallel import multihost
+
+        topo = multihost.initialize(args.coordinator, args.numprocesses,
+                                    args.processid)
+        print(f"jax.distributed: host {topo.host_id}/{topo.n_hosts}, "
+              f"{topo.n_devices_global} global devices")
+
     from .utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -234,6 +253,21 @@ def main(argv=None):
             print(f"Auto RoPE (NTK-aware): base {model.cfg.rope_theta:.0f} -> "
                   f"{new_base:.0f} for context {args.contextsize}")
             model.cfg.rope_theta = new_base
+    mesh = None
+    if args.mesh or (topo is not None and topo.n_hosts > 1):
+        from .parallel import make_mesh, shard_params
+
+        if args.mesh:
+            dp, tp = (int(x) for x in args.mesh.split(","))
+            mesh = make_mesh(dp=dp, tp=tp)
+        else:
+            from .parallel import multihost
+
+            mesh = multihost.global_mesh(topo)
+        print(f"Device mesh: dp={mesh.shape['dp']} tp={mesh.shape['tp']} "
+              f"({mesh.devices.size} devices)")
+        model.params = shard_params(model.params, mesh)
+
     cache_dtype = jnp.bfloat16  # --quantkv 1 (q8 cache) lands with paged KV
     clip_model = None
     if args.mmproj:
@@ -248,7 +282,11 @@ def main(argv=None):
     batch_capable = not (model.cfg.is_recurrent or model.cfg.is_embedding
                          or model.cfg.is_encoder_decoder
                          or model.cfg.arch in ("deepseek2", "minicpm3")
-                         or args.smartcontext)
+                         or args.smartcontext
+                         # lockstep broadcast drives one deterministic
+                         # request stream; the batched scheduler thread
+                         # would diverge across hosts
+                         or (topo is not None and topo.n_hosts > 1))
     if args.multiuser > 1 and not batch_capable:
         print(f"Note: --multiuser continuous batching is unavailable for "
               f"this configuration (arch {model.cfg.arch}"
@@ -276,6 +314,22 @@ def main(argv=None):
                                               or args.nocontextshift))
         if args.quantkv == 1:
             print("Q8-quantized KV cache enabled")
+
+    if mesh is not None and getattr(engine, "cache", None) is not None \
+            and not (model.cfg.is_recurrent or model.cfg.is_embedding
+                     or model.cfg.is_encoder_decoder):
+        from .parallel import shard_cache
+
+        engine.cache = shard_cache(engine.cache, mesh)
+
+    if topo is not None and topo.n_hosts > 1:
+        from .parallel.multihost import LockstepEngine, follower_loop
+
+        if topo.is_follower:
+            print(f"Follower host {topo.host_id}: entering lockstep loop")
+            follower_loop(engine)
+            return 0
+        engine = LockstepEngine(engine, topo)
 
     if args.benchmark is not None:
         run_benchmark(engine, args.benchmark)

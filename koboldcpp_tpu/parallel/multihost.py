@@ -9,17 +9,29 @@ host 0; follower hosts execute the same jitted computations via SPMD — every
 host calls the same step functions in lockstep, driven by a tiny broadcast of
 the host-0 request state (multihost_utils.broadcast_one_to_all).
 
-Single-host mesh works identically (n_hosts == 1), which is how this module
-is exercised in CI; real multi-host needs `--coordinator` on every process.
+Serving protocol (run_generate / follower_loop): host 0 broadcasts a pickled
+op before every engine call; followers replay the identical call. Device
+computation is deterministic, and engine outputs (sampled tokens) are
+replicated, so every host's python control flow stays in lockstep — the
+JAX-native equivalent of the reference shipping each cgraph to rpc-server.
+
+CLI: every process runs `koboldcpp ... --coordinator host0:port
+--numprocesses N --processid i`; host 0 serves HTTP, the rest follow.
+Exercised by tests/test_multihost.py with 2 CPU processes.
 """
 from __future__ import annotations
 
+import pickle
 from dataclasses import dataclass
 
 import jax
 import numpy as np
 
 from .sharding import make_mesh
+
+# broadcast frame size for serialized ops; requests larger than this are
+# chunked (count frame first, then payload frames)
+_FRAME = 64 * 1024
 
 
 @dataclass
@@ -60,9 +72,90 @@ def global_mesh(topo: HostTopology, dp: int | None = None, tp: int | None = None
 
 def broadcast_request(obj_bytes: bytes) -> bytes:
     """Replicate a serialized request from host 0 to all hosts so every
-    process runs the same step sequence (SPMD lockstep)."""
+    process runs the same step sequence (SPMD lockstep). Arbitrary size:
+    a length frame first, then as many payload frames as needed."""
     from jax.experimental import multihost_utils
 
-    arr = np.frombuffer(obj_bytes.ljust(64 * 1024, b"\0"), dtype=np.uint8)
-    out = multihost_utils.broadcast_one_to_all(arr)
-    return bytes(out).rstrip(b"\0")
+    n = np.array([len(obj_bytes)], dtype=np.int64)
+    n = multihost_utils.broadcast_one_to_all(n)
+    total = int(n[0])
+    nframes = max(1, -(-total // _FRAME))
+    padded = obj_bytes.ljust(nframes * _FRAME, b"\0")
+    out = bytearray()
+    for i in range(nframes):
+        arr = np.frombuffer(padded[i * _FRAME:(i + 1) * _FRAME], dtype=np.uint8)
+        out += bytes(multihost_utils.broadcast_one_to_all(arr))
+    return bytes(out[:total])
+
+
+# -- serving lockstep -------------------------------------------------------
+
+def _engine_call(engine, op: str, payload: dict):
+    if op == "generate":
+        from ..engine.engine import GenParams
+        from ..sampling import SamplerParams
+
+        params = GenParams(**{**payload["params"],
+                              "sampler": SamplerParams(**payload["sampler"])})
+        return engine.generate(payload["prompt"], params)
+    if op == "reset":
+        engine.reset_context()
+        return None
+    raise ValueError(f"unknown multihost op {op!r}")
+
+
+def announce_shutdown():
+    broadcast_request(pickle.dumps(("shutdown", {})))
+
+
+def follower_loop(engine):
+    """Follower hosts: replay every op host 0 broadcasts until shutdown.
+    The engine state (KV cache, context) stays in lockstep with host 0
+    because all computation is deterministic SPMD."""
+    while True:
+        op, payload = pickle.loads(broadcast_request(b""))
+        if op == "shutdown":
+            return
+        _engine_call(engine, op, payload)
+
+
+class LockstepEngine:
+    """Engine wrapper for host 0 under multi-host: broadcasts each generate
+    to the followers before running it, so all hosts advance together.
+
+    Determinism requirements for lockstep: a concrete sampler seed is drawn
+    on host 0 and broadcast (a per-host random seed would diverge the token
+    streams and desync the SPMD collectives), and mid-generation abort is
+    disabled (an abort is host-0-local state; stopping early only there
+    would leave followers issuing collective ops host 0 never joins)."""
+
+    def __init__(self, engine, topo: HostTopology):
+        self._engine = engine
+        self._topo = topo
+
+    def generate(self, prompt, params, on_token=None, genkey: str = ""):
+        import random
+
+        sampler = dict(params.sampler.__dict__)
+        if sampler.get("seed", -1) is not None and sampler.get("seed", -1) < 0:
+            sampler["seed"] = random.randrange(2 ** 31)
+        pp = {k: v for k, v in params.__dict__.items() if k != "sampler"}
+        payload = {
+            "prompt": list(prompt) if not isinstance(prompt, str) else prompt,
+            "params": pp, "sampler": sampler}
+        broadcast_request(pickle.dumps(("generate", payload)))
+        result = _engine_call(self._engine, "generate", payload)
+        if on_token is not None:  # streamed after the fact (host 0 only)
+            for piece in self._engine.stream_tokens:
+                on_token(0, piece)
+        return result
+
+    def abort(self, genkey: str = ""):
+        pass  # see class docstring
+
+    def reset_context(self):
+        broadcast_request(pickle.dumps(("reset", {})))
+        self._engine.reset_context()
+
+    def __getattr__(self, name):
+        return getattr(self._engine, name)
