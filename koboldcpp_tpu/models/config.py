@@ -76,6 +76,8 @@ class ModelConfig:
     parallel_residual: bool = False  # neox/gptj: x + attn(ln1 x) + mlp(ln2 x)
     ffn_gated: bool = True  # False: plain up->act->down (gpt2/neox)
     moe_dense_ep: bool = False  # dense all-experts MoE (expert-parallel shardable)
+    moe_sorted_ep: bool = False  # sort-based routed EP dispatch (ops/moe.py)
+    moe_capacity_factor: float = 2.0  # per-expert bucket size multiplier
     moe_norm_topk: bool = True  # renormalize top-k router weights (mixtral yes, qwen2moe no)
     # SSM (mamba) hparams ({arch}.ssm.* keys)
     ssm_d_conv: int = 0

@@ -189,7 +189,15 @@ def _moe_ffn(x: jnp.ndarray, layer: Params, cfg: ModelConfig) -> jnp.ndarray:
     wu = layer["ffn_up_exps"].data["w"]
     wd = layer["ffn_down_exps"].data["w"]
 
-    if cfg.moe_dense_ep:
+    if cfg.moe_sorted_ep:
+        # routed expert parallelism: static-capacity sorted dispatch with
+        # the expert axis over the mesh's ep axis (ops/moe.py; the CUDA
+        # mul_mat_id row-mapping counterpart)
+        from ..ops.moe import moe_ffn_ep
+
+        out = moe_ffn_ep(xt, topi, topw.astype(jnp.float32), wg, wu, wd,
+                         moe_act, capacity_factor=cfg.moe_capacity_factor)
+    elif cfg.moe_dense_ep:
         E = wg.shape[0]
         # scatter top-k weights back to a dense (N, E) combine matrix
         dense_w = jnp.zeros((xt.shape[0], E), jnp.float32)

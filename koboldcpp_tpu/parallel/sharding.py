@@ -25,11 +25,20 @@ from ..ops.linear import QTensor
 
 
 def make_mesh(n_devices: int | None = None, dp: int | None = None,
-              tp: int | None = None, devices=None) -> Mesh:
+              tp: int | None = None, devices=None,
+              ep: int | None = None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_devices:
         devices = devices[:n_devices]
     n = len(devices)
+    if ep:
+        # 3-axis mesh for routed expert parallelism (ops/moe.py): experts
+        # over ep, attention/dense weights over tp, sequences over dp
+        if dp is None or tp is None:
+            tp = tp or max(1, n // ep)
+            dp = n // (tp * ep)
+        return Mesh(np.asarray(devices).reshape(dp, tp, ep),
+                    ("dp", "tp", "ep"))
     if dp is None or tp is None:
         # favor tp (decode is latency-bound; TP over ICI is the win)
         tp = tp or min(n, 8)
@@ -98,10 +107,13 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
     def place(key: str, v: Any) -> Any:
         if isinstance(v, QTensor):
             if key in _EXPERT_SHARDED:
+                # dedicated ep axis (routed EP, ops/moe.py) when the mesh has
+                # one; otherwise the dense-EP expert-over-tp scheme
+                ax = "ep" if "ep" in mesh.axis_names else "tp"
                 w = v.data.get("w")
-                if w is not None and w.ndim == 3 and w.shape[0] % mesh.shape["tp"] == 0:
+                if w is not None and w.ndim == 3 and w.shape[0] % mesh.shape[ax] == 0:
                     return QTensor(kind=v.kind, shape=v.shape, data={
-                        "w": jax.device_put(w, NamedSharding(mesh, P("tp", None, None)))})
+                        "w": jax.device_put(w, NamedSharding(mesh, P(ax, None, None)))})
                 return _shard_qtensor(v, mesh, None)
             if key in _ROW_SHARDED:
                 return _shard_qtensor(v, mesh, 0)

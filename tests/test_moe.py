@@ -1,4 +1,5 @@
 """Mixtral-style MoE forward parity vs transformers."""
+import jax
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -53,3 +54,87 @@ def test_moe_logits_match_hf(mixtral_pair):
     pos = jnp.broadcast_to(jnp.arange(6), (1, 6)).astype(jnp.int32)
     logits, _ = jllama.forward(m.params, m.cfg, jnp.asarray(tokens), pos, cache)
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=5e-3, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 routed expert parallelism (VERDICT item 10): sort-based static-
+# capacity dispatch over a dedicated ep mesh axis (ops/moe.py).
+# ---------------------------------------------------------------------------
+
+def test_sorted_ep_matches_gather(mixtral_pair):
+    """Sorted-dispatch MoE must equal the per-token gather formulation
+    exactly when capacity covers every assignment."""
+    import dataclasses
+
+    _, path = mixtral_pair
+    m = load_model(path, packed=False, dtype=jnp.float32)
+    tokens = np.array([[1, 5, 9, 42, 7, 300]], dtype=np.int32)
+    pos = jnp.broadcast_to(jnp.arange(6), (1, 6)).astype(jnp.int32)
+
+    def run(cfg):
+        cache = init_cache(cfg.n_layers, 1, 32, cfg.n_kv_heads, cfg.head_dim,
+                           dtype=jnp.float32)
+        lg, _ = jax.jit(lambda p, t, q, c: jllama.forward(p, cfg, t, q, c))(
+            m.params, jnp.asarray(tokens), pos, cache)
+        return np.asarray(lg)
+
+    ref = run(m.cfg)
+    cfg2 = dataclasses.replace(m.cfg, moe_sorted_ep=True,
+                               moe_capacity_factor=100.0)
+    got = run(cfg2)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_sorted_ep_sharded_matches(mixtral_pair):
+    """Routed EP over a dedicated ep mesh axis equals the unsharded run."""
+    import dataclasses
+    from koboldcpp_tpu.parallel import make_mesh, shard_params
+
+    _, path = mixtral_pair
+    m = load_model(path, packed=False, dtype=jnp.float32)
+    tokens = np.array([[1, 5, 9, 42, 7, 300]], dtype=np.int32)
+    pos = jnp.broadcast_to(jnp.arange(6), (1, 6)).astype(jnp.int32)
+    cfg2 = dataclasses.replace(m.cfg, moe_sorted_ep=True,
+                               moe_capacity_factor=100.0)
+
+    def run(params, cfg):
+        cache = init_cache(cfg.n_layers, 1, 32, cfg.n_kv_heads, cfg.head_dim,
+                           dtype=jnp.float32)
+        lg, _ = jax.jit(lambda p, t, q, c: jllama.forward(p, cfg, t, q, c))(
+            params, jnp.asarray(tokens), pos, cache)
+        return np.asarray(lg)
+
+    ref = run(m.params, cfg2)
+    mesh = make_mesh(dp=1, tp=2, ep=4)  # 4 experts over 4 ep shards
+    assert mesh.axis_names == ("dp", "tp", "ep")
+    sp = shard_params(m.params, mesh)
+    w = sp["layers"][0]["ffn_gate_exps"].data["w"]
+    assert w.sharding.shard_shape(w.shape)[0] == 1  # one expert per ep shard
+    with mesh:
+        got = run(sp, cfg2)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_dispatch_overflow_drops():
+    """Assignments ranked past the capacity drop (Switch semantics)."""
+    from koboldcpp_tpu.ops.moe import dispatch_indices, moe_ffn_ep
+
+    topi = jnp.asarray([[0], [0], [0]])  # 3 tokens, all to expert 0
+    dest, valid = dispatch_indices(topi, n_experts=2, capacity=2)
+    assert np.asarray(valid).tolist() == [True, True, False]
+    assert np.asarray(dest).tolist()[:2] == [0, 1]
+
+    rng = np.random.default_rng(0)
+    xt = jnp.asarray(rng.standard_normal((3, 8)).astype(np.float32))
+    wg = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    wu = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    wd = jnp.asarray(rng.standard_normal((2, 8, 16)).astype(np.float32))
+    topw = jnp.ones((3, 1), jnp.float32)
+    out = moe_ffn_ep(xt, topi, topw, wg, wu, wd, jax.nn.silu, capacity=2)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    # the dropped third token contributes nothing
+    np.testing.assert_allclose(out[2], 0.0, atol=1e-6)
+    # the first two match the ungated dense expert computation
+    full = moe_ffn_ep(xt, topi, topw, wg, wu, wd, jax.nn.silu, capacity=3)
+    np.testing.assert_allclose(out[:2], np.asarray(full)[:2], rtol=1e-5)
