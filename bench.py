@@ -123,6 +123,45 @@ def main():
         dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
     decode_tps = n_decode / dt
 
+    # ---- scan decode (pooled cache + rows kernel; VERDICT r1 item 6) ------
+    # the cache pool rides the scan carry; decode_attention_rows addresses
+    # each layer's rows via scalar prefetch + aliased outputs, so the scan
+    # body has no XLA cache slices. Compile cost is one body trace.
+    scan_tps, scan_compile_s = 0.0, 0.0
+    try:
+        from koboldcpp_tpu.kv.cache import KVCache, init_pool_cache
+
+        @jax.jit
+        def decode_n_scan(sp, pcache, tok0, start_pos):
+            def body(i, carry):
+                tok, cache, acc = carry
+                logits, cache = llama.forward_stacked(
+                    sp, cfg, tok, jnp.full((1, 1), start_pos + i, jnp.int32),
+                    cache, last_only=True)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+                return nxt, cache, acc + logits[0, -1, 0]
+            tok, pcache, acc = jax.lax.fori_loop(
+                0, n_decode, body, (tok0, pcache, jnp.float32(0)))
+            return tok, pcache, acc
+
+        pc = init_pool_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads,
+                             cfg.head_dim)
+        t0 = time.perf_counter()
+        tok, pc, acc = decode_n_scan(sparams, pc, tok0, prefill_len)
+        _ = float(acc)
+        scan_compile_s = time.perf_counter() - t0
+        dt = 1e9
+        for _ in range(3):
+            pc2 = init_pool_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads,
+                                  cfg.head_dim)
+            t0 = time.perf_counter()
+            tok, pc2, acc = decode_n_scan(sparams, pc2, tok0, prefill_len)
+            _ = float(acc)
+            dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
+        scan_tps = n_decode / dt
+    except Exception as e:
+        print(f"scan bench skipped: {e!r}", file=sys.stderr)
+
     # ---- batched decode (continuous-batching throughput, 8 slots) ---------
     B = 8
 
@@ -242,6 +281,8 @@ def main():
             "first_call_s": round(prefill_first_s, 2),
             "decode_compile_s": round(decode_compile_s, 2),
             "scan_layers": use_scan,
+            "scan_decode_tps": round(scan_tps, 2),
+            "scan_compile_s": round(scan_compile_s, 2),
             "served_greedy_tps": round(served_tps, 1),
             "tunnel_latency_ms": round(latency * 1e3, 1),
             "device": str(jax.devices()[0]),

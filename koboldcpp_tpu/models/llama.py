@@ -653,9 +653,7 @@ def forward_stacked(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     else:
         local_flags = jnp.full((n_layers,), bool(cfg.sliding_window))
 
-    def body(x, xs):
-        layer, is_local, k_cache, v_cache = xs
-        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+    def qkv_of(layer, h):
         if "wqkv" in layer:
             qkv = linear.matmul(h, layer["wqkv"])
             q, k, v = (qkv[..., :qdim], qkv[..., qdim:qdim + kvdim],
@@ -673,7 +671,24 @@ def forward_stacked(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         q = apply_rope(q, positions, freqs, cfg.rope_type, cfg.rope_dim)
         k = apply_rope(k, positions, freqs, cfg.rope_type, cfg.rope_dim)
+        return q, k, v
 
+    def tail_of(layer, x, attn_out):
+        attn_out = attn_out.reshape(B, T, cfg.n_heads * cfg.head_dim)
+        attn_out = linear.matmul(attn_out, layer["wo"])
+        if "attn_post_norm" in layer:
+            attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_norm_eps)
+        x = x + attn_out
+        h = rms_norm(x, layer["ffn_norm"], cfg.rms_norm_eps)
+        ffn_out = _ffn(h, layer, cfg.act)
+        if "ffn_post_norm" in layer:
+            ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_norm_eps)
+        return x + ffn_out
+
+    def body(x, xs):
+        layer, is_local, k_cache, v_cache = xs
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        q, k, v = qkv_of(layer, h)
         b_idx = jnp.arange(B)[:, None]
         k_cache = k_cache.at[b_idx, positions].set(
             k.astype(k_cache.dtype), mode="drop")
@@ -682,29 +697,56 @@ def forward_stacked(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         layer_mask = jnp.where(is_local, local_mask, mask)
         attn_out = attention(q, k_cache, v_cache, layer_mask, scale,
                              cfg.attn_logit_softcap)
-        attn_out = attn_out.reshape(B, T, cfg.n_heads * cfg.head_dim)
-        attn_out = linear.matmul(attn_out, layer["wo"])
-        if "attn_post_norm" in layer:
-            attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_norm_eps)
-        x = x + attn_out
-
-        h = rms_norm(x, layer["ffn_norm"], cfg.rms_norm_eps)
-        ffn_out = _ffn(h, layer, cfg.act)
-        if "ffn_post_norm" in layer:
-            ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_norm_eps)
-        x = x + ffn_out
+        x = tail_of(layer, x, attn_out)
         return x, (k_cache, v_cache)
 
-    from ..kv.cache import _is_layers, stack_cache, unstack_cache
+    from ..kv.cache import _is_layers, is_pooled, stack_cache, unstack_cache
 
-    per_layer = _is_layers(cache.k)
-    heads = getattr(cache, "heads", None)
-    st = stack_cache(cache)
-    x, (k_all, v_all) = jax.lax.scan(
-        body, x, (stacked, local_flags, st.k, st.v))
-    new_cache = KVCache(k=k_all, v=v_all)
-    if per_layer:
-        new_cache = unstack_cache(new_cache, heads=heads)
+    pooled = is_pooled(cache)
+    use_rows_kernel = (pooled and T == 1 and not cfg.sliding_window
+                       and not cfg.use_alibi and _flash_decode_ok(cfg))
+    if use_rows_kernel:
+        # pooled-cache decode: the cache pool rides the CARRY and each
+        # layer's kernel addresses its own rows (base = l*B) via scalar
+        # prefetch + aliased outputs — no XLA cache slices in the scan
+        from ..ops import flash_decode
+
+        interp = jax.default_backend() == "cpu"
+
+        def body_pool(carry, xs):
+            x, k_pool, v_pool = carry
+            layer, li = xs
+            h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+            q, k, v = qkv_of(layer, h)
+            out, k_pool, v_pool = flash_decode.decode_attention_rows(
+                q[:, 0], k[:, 0].astype(k_pool.dtype),
+                v[:, 0].astype(v_pool.dtype), k_pool, v_pool,
+                positions[:, 0], li * B, cfg.n_heads, cfg.n_kv_heads,
+                scale, cfg.attn_logit_softcap, interpret=interp)
+            x = tail_of(layer, x, out[:, None].astype(x.dtype))
+            return (x, k_pool, v_pool), None
+
+        (x, k_all, v_all), _ = jax.lax.scan(
+            body_pool, (x, cache.k, cache.v),
+            (stacked, jnp.arange(n_layers)))
+        new_cache = KVCache(k=k_all, v=v_all, heads=cache.heads)
+    else:
+        per_layer = _is_layers(cache.k)
+        heads = getattr(cache, "heads", None)
+        if pooled:
+            from ..kv.cache import unpool_cache
+
+            cache = stack_cache(unpool_cache(cache, n_layers))
+        st = stack_cache(cache)
+        x, (k_all, v_all) = jax.lax.scan(
+            body, x, (stacked, local_flags, st.k, st.v))
+        new_cache = KVCache(k=k_all, v=v_all)
+        if pooled:
+            from ..kv.cache import pool_cache
+
+            new_cache = pool_cache(new_cache)
+        elif per_layer:
+            new_cache = unstack_cache(new_cache, heads=heads)
 
     if last_only:
         x = x[:, -1:, :]

@@ -64,3 +64,48 @@ def test_scan_incremental_decode():
             jnp.array([[t]], dtype=jnp.int32), cache)
         np.testing.assert_allclose(np.asarray(logits[0, 0]),
                                    np.asarray(full[0, t]), rtol=2e-2, atol=2e-2)
+
+
+def test_pooled_scan_decode_matches_unrolled():
+    """Pooled-cache scan decode (decode_attention_rows in the scan body,
+    cache pool in the carry — VERDICT r1 item 6) must match the unrolled
+    per-layer-cache forward step for step."""
+    from koboldcpp_tpu.kv.cache import init_pool_cache, is_pooled
+
+    cfg = ModelConfig(arch="llama", vocab_size=256, hidden_size=128,
+                      n_layers=3, n_heads=4, n_kv_heads=2, head_dim=64,
+                      intermediate_size=256, rope_dim=64)
+    params = synthetic_params(cfg, kind="dense", seed=11)
+    sparams = llama.stack_layers(params)
+    S, B = 32, 2
+    cache_u = init_cache(cfg.n_layers, B, S, cfg.n_kv_heads, cfg.head_dim)
+    pool = init_pool_cache(cfg.n_layers, B, S, cfg.n_kv_heads, cfg.head_dim)
+    assert is_pooled(pool)
+
+    rng = np.random.default_rng(3)
+    prompt = jnp.asarray(rng.integers(0, 256, (B, 6)), dtype=jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(6), (B, 6)).astype(jnp.int32)
+
+    fwd_u = jax.jit(lambda p, t, q, c: llama.forward(p, cfg, t, q, c,
+                                                     last_only=True))
+    fwd_s = jax.jit(lambda p, t, q, c: llama.forward_stacked(p, cfg, t, q, c,
+                                                             last_only=True))
+    lu, cache_u = fwd_u(params, prompt, pos, cache_u)
+    ls, pool = fwd_s(sparams, prompt, pos, pool)
+    assert is_pooled(pool)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(lu),
+                               rtol=2e-2, atol=2e-2)
+
+    # greedy decode 5 steps through BOTH paths; tokens must agree
+    tu = int(np.asarray(lu[0, -1]).argmax())
+    ts = int(np.asarray(ls[0, -1]).argmax())
+    assert tu == ts
+    for i in range(5):
+        p = jnp.full((B, 1), 6 + i, jnp.int32)
+        lu, cache_u = fwd_u(params, jnp.full((B, 1), tu, jnp.int32), p, cache_u)
+        ls, pool = fwd_s(sparams, jnp.full((B, 1), ts, jnp.int32), p, pool)
+        np.testing.assert_allclose(np.asarray(ls), np.asarray(lu),
+                                   rtol=3e-2, atol=3e-2)
+        tu = int(np.asarray(lu[0, -1]).argmax())
+        ts = int(np.asarray(ls[0, -1]).argmax())
+        assert tu == ts, f"step {i}"
