@@ -293,6 +293,135 @@ def _q4k_packer(raw, shape):
     return pack_q4_k(raw, shape)
 
 
+def _fields_4bit_planes(q: np.ndarray, scales: np.ndarray, mins: np.ndarray,
+                        shape, hi_bits: np.ndarray | None = None) -> QTensor:
+    """Assemble q4_k/q5_k-kind fields from logical-order values.
+
+    q: (rows, cols) ints (low 4 bits packed; bit 4 via hi_bits); scales/mins:
+    (rows, cols//32) per-32-group such that w = q*scale - min. Emits the v2
+    contiguous-plane superblock layout (see pack_q4_k) so every existing
+    Pallas kernel + TP sharding rule applies unchanged."""
+    rows, cols = shape
+    nsb = cols // QK_K
+    qs = q.reshape(rows, nsb, QK_K)
+    qs2 = ((qs[:, :, :128] & 0xF)
+           | ((qs[:, :, 128:] & 0xF) << 4)).reshape(rows, cols // 2)
+    s4 = scales.reshape(rows, nsb, 2, 4)
+    m4 = mins.reshape(rows, nsb, 2, 4)
+    s_lo = s4[:, :, 0].reshape(rows, nsb * 4)
+    s_hi = s4[:, :, 1].reshape(rows, nsb * 4)
+    m_lo = m4[:, :, 0].reshape(rows, nsb * 4)
+    m_hi = m4[:, :, 1].reshape(rows, nsb * 4)
+    data = {
+        "qs2": jnp.asarray(qs2.astype(np.uint8)),
+        "min": jnp.asarray(mins.reshape(rows, nsb * 8), dtype=jnp.bfloat16),
+        "scale_lo": jnp.asarray(s_lo, dtype=jnp.bfloat16),
+        "scale_hi": jnp.asarray(s_hi, dtype=jnp.bfloat16),
+        "slo_t": jnp.asarray(s_lo.T, dtype=jnp.bfloat16),
+        "shi_t": jnp.asarray(s_hi.T, dtype=jnp.bfloat16),
+        "mlo_t": jnp.asarray(m_lo.T, dtype=jnp.bfloat16),
+        "mhi_t": jnp.asarray(m_hi.T, dtype=jnp.bfloat16),
+    }
+    if hi_bits is not None:
+        hb = hi_bits.reshape(rows, nsb, QK_K)
+        data["hb"] = jnp.asarray(
+            ((hb[:, :, :128] & 1) | ((hb[:, :, 128:] & 1) << 1))
+            .reshape(rows, cols // 2).astype(np.uint8))
+        return QTensor(kind="q5_k", shape=shape, data=data)
+    return QTensor(kind="q4_k", shape=shape, data=data)
+
+
+def pack_q4_0(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
+    """Q4_0 (32-elem blocks, fp16 d, w=(q-8)d — ggml-common.h:144) re-laid
+    into the q4_k v2 plane layout: scale=d, min=8d (the -8 offset folds into
+    the K-quant min term), so the q4_k kernels serve it as-is at 4.5 bpw."""
+    rows, cols = shape
+    nb = cols // 32
+    blocks = np.ascontiguousarray(raw).reshape(rows, nb, 18)
+    d = blocks[:, :, 0:2].copy().view(np.float16).astype(np.float32)[..., 0]
+    qs = blocks[:, :, 2:]  # byte j: elem j lo, elem j+16 hi
+    lo = qs & 0xF
+    hi = qs >> 4
+    q = np.concatenate([lo, hi], axis=2).reshape(rows, cols)
+    return _fields_4bit_planes(q, d, 8.0 * d, shape)
+
+
+def pack_q4_1(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
+    """Q4_1 (w = q*d + m): scale=d, min=-m."""
+    rows, cols = shape
+    nb = cols // 32
+    blocks = np.ascontiguousarray(raw).reshape(rows, nb, 20)
+    d = blocks[:, :, 0:2].copy().view(np.float16).astype(np.float32)[..., 0]
+    m = blocks[:, :, 2:4].copy().view(np.float16).astype(np.float32)[..., 0]
+    qs = blocks[:, :, 4:]
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=2).reshape(rows, cols)
+    return _fields_4bit_planes(q, d, -m, shape)
+
+
+def pack_q5_0(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
+    """Q5_0 (w = (q5-16)d): q5_k layout with scale=d, min=16d."""
+    rows, cols = shape
+    nb = cols // 32
+    blocks = np.ascontiguousarray(raw).reshape(rows, nb, 22)
+    d = blocks[:, :, 0:2].copy().view(np.float16).astype(np.float32)[..., 0]
+    qh = blocks[:, :, 2:6].copy().view(np.uint32)[..., 0]  # (rows, nb)
+    qs = blocks[:, :, 6:]
+    j = np.arange(16, dtype=np.uint32)
+    b_lo = (qh[..., None] >> j) & 1          # elems 0..15
+    b_hi = (qh[..., None] >> (j + 16)) & 1   # elems 16..31
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=2).reshape(rows, cols)
+    hi5 = np.concatenate([b_lo, b_hi], axis=2).reshape(rows, cols)
+    q = q | (hi5.astype(np.uint8) << 4)
+    return _fields_4bit_planes(q, d, 16.0 * d, shape, hi_bits=q >> 4)
+
+
+def pack_q5_1(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
+    """Q5_1 (w = q5*d + m): q5_k layout with scale=d, min=-m."""
+    rows, cols = shape
+    nb = cols // 32
+    blocks = np.ascontiguousarray(raw).reshape(rows, nb, 24)
+    d = blocks[:, :, 0:2].copy().view(np.float16).astype(np.float32)[..., 0]
+    m = blocks[:, :, 2:4].copy().view(np.float16).astype(np.float32)[..., 0]
+    qh = blocks[:, :, 4:8].copy().view(np.uint32)[..., 0]
+    qs = blocks[:, :, 8:]
+    j = np.arange(16, dtype=np.uint32)
+    b_lo = (qh[..., None] >> j) & 1
+    b_hi = (qh[..., None] >> (j + 16)) & 1
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=2).reshape(rows, cols)
+    hi5 = np.concatenate([b_lo, b_hi], axis=2).reshape(rows, cols)
+    q = q | (hi5.astype(np.uint8) << 4)
+    return _fields_4bit_planes(q, d, -m, shape, hi_bits=q >> 4)
+
+
+def pack_q8_expand(raw: np.ndarray, shape: tuple[int, int],
+                   ggml_type: GGMLType = GGMLType.IQ4_NL) -> QTensor:
+    """IQ/TQ grid-codebook formats: exact dequant (gguf/quants.py) then
+    per-32-group int8 requantization into q8_0-kind fields — the existing
+    q8_0 Pallas kernels serve them packed at 8.5 bpw HBM (vs 16 for the r1
+    dequant-to-bf16 fallback). The extra int8 step adds <=0.4% noise on top
+    of the formats' own 2-4 bpw error (measured in QUALITY.md); a true
+    grid-LUT nibble kernel is the follow-up. Ref layouts:
+    ggml/src/ggml-common.h:336-419."""
+    rows, cols = shape
+    w = nq.dequantize(raw.reshape(rows, -1), ggml_type).reshape(rows, cols)
+    g = w.reshape(rows, cols // 32, 32).astype(np.float32)
+    amax = np.abs(g).max(axis=2)
+    scale = amax / 127.0
+    inv = np.where(scale > 0, 1.0 / np.maximum(scale, 1e-30), 0.0)
+    q = np.clip(np.round(g * inv[..., None]), -127, 127).astype(np.int8)
+    return QTensor(kind="q8_0", shape=shape, data={
+        "q": jnp.asarray(q.reshape(rows, cols)),
+        "scale": jnp.asarray(scale, dtype=jnp.bfloat16),
+        "scale_t": jnp.asarray(scale.T, dtype=jnp.bfloat16),
+    })
+
+
+_Q8_EXPAND_TYPES = (
+    GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.IQ3_XXS, GGMLType.IQ3_S,
+    GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S, GGMLType.IQ1_S,
+    GGMLType.IQ1_M, GGMLType.TQ1_0, GGMLType.TQ2_0,
+)
+
 _PACKERS = {
     GGMLType.Q8_0: pack_q8_0,
     GGMLType.Q2_K: pack_q2_k,
@@ -300,15 +429,31 @@ _PACKERS = {
     GGMLType.Q4_K: _q4k_packer,
     GGMLType.Q5_K: pack_q5_k,
     GGMLType.Q6_K: pack_q6_k,
+    GGMLType.Q4_0: pack_q4_0,
+    GGMLType.Q4_1: pack_q4_1,
+    GGMLType.Q5_0: pack_q5_0,
+    GGMLType.Q5_1: pack_q5_1,
 }
+for _t in _Q8_EXPAND_TYPES:
+    _PACKERS[_t] = partial(pack_q8_expand, ggml_type=_t)
+
+
+_32COL_TYPES = (GGMLType.Q8_0,) + _Q8_EXPAND_TYPES
+_BLOCK32_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1)
 
 
 def from_gguf(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...],
               packed: bool = True, dtype=jnp.bfloat16) -> QTensor:
     """Build a QTensor from GGUF raw bytes. 2-D weights of supported types keep
     their packed layout; everything else dequantizes to a dense array."""
-    if packed and len(shape) == 2 and ggml_type in _PACKERS and shape[1] % QK_K == 0:
-        return _PACKERS[ggml_type](raw, shape)  # type: ignore[arg-type]
+    if packed and len(shape) == 2 and ggml_type in _PACKERS:
+        cols = shape[1]
+        need = 32 if ggml_type in _32COL_TYPES else QK_K
+        if cols % need == 0:
+            return _PACKERS[ggml_type](raw, shape)  # type: ignore[arg-type]
+        if ggml_type in _BLOCK32_TYPES and cols % 32 == 0:
+            # odd widths: still serve packed through the int8 expansion
+            return pack_q8_expand(raw, shape, ggml_type=ggml_type)
     x = nq.dequantize(raw.reshape(-1, raw.shape[-1]), ggml_type).reshape(shape)
     return dense(x, dtype=dtype)
 
