@@ -226,6 +226,101 @@ def _q4k_decode_kernel_raw(x_ref, qs_ref, slo_ref, shi_ref, mlo_ref, mhi_ref,
     o_ref[:] = t.astype(o_ref.dtype)
 
 
+def _i8_prep(x_ref, mli_s, mhi_s, sx_s, xs_s):
+    """Shared prep for the int8 decode kernels (first row tile only):
+    plane-split x, quantize each 32-group to int8 (q8_1-equivalent — the
+    same activation quantization mmq feeds dp4a with, ggml-cuda/mmq.cuh),
+    masked-expand into block-diagonal int8 M stacks, and keep EXACT f32
+    group sums for the min terms."""
+    x = x_ref[:]                      # (1, in_f) bf16
+    in_f = x.shape[1]
+    nsb = in_f // 256
+    C2 = in_f // 2
+    GS = in_f // 64
+    x3 = x.reshape(nsb, 256)
+    xl = x3[:, :128].reshape(1, C2)
+    xh = x3[:, 128:].reshape(1, C2)
+    E = _expand_mat(GS, C2, 32)
+    mlb = (E * xl).astype(jnp.float32)   # (GS, C2) block-diagonal
+    mhb = (E * xh).astype(jnp.float32)
+    al = jnp.maximum(jnp.max(jnp.abs(mlb), axis=1, keepdims=True), 1e-20)
+    ah = jnp.maximum(jnp.max(jnp.abs(mhb), axis=1, keepdims=True), 1e-20)
+    mli_s[:] = jnp.round(mlb * (127.0 / al)).astype(jnp.int32).astype(jnp.int8)
+    mhi_s[:] = jnp.round(mhb * (127.0 / ah)).astype(jnp.int32).astype(jnp.int8)
+    sx_s[:, 0:1] = al / 127.0
+    sx_s[:, 1:2] = ah / 127.0
+    # exact group sums (min terms stay activation-exact)
+    xs_s[0:1] = jax.lax.dot_general(
+        xl, E, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    xs_s[1:2] = jax.lax.dot_general(
+        xh, E, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+
+def _i8_combine(Pl, Ph, sx_s, xs_s, slo_ref, shi_ref, mlo_ref, mhi_ref):
+    """y_r = sum_g sx_g*(s_gr*P_gr) - sum_g m_gr*xsum_g, both planes."""
+    slo = slo_ref[:].astype(jnp.float32)   # (GS, R)
+    shi = shi_ref[:].astype(jnp.float32)
+    t = jnp.sum(Pl.astype(jnp.float32) * sx_s[:, 0:1] * slo
+                + Ph.astype(jnp.float32) * sx_s[:, 1:2] * shi,
+                axis=0, keepdims=True)     # (1, R)
+    xsl = xs_s[0:1].astype(jnp.float32)    # (1, GS)
+    xsh = xs_s[1:2].astype(jnp.float32)
+    t -= jax.lax.dot_general(
+        xsl, mlo_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t -= jax.lax.dot_general(
+        xsh, mhi_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return t
+
+
+def _i8_pdots(mli, mhi, lo_i8, hi_i8):
+    Pl = jax.lax.dot_general(mli, lo_i8, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.int32)  # (GS, R)
+    Ph = jax.lax.dot_general(mhi, hi_i8, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    return Pl, Ph
+
+
+def _q4k_decode_kernel_i8(x_ref, qs_ref, slo_ref, shi_ref, mlo_ref, mhi_ref,
+                          o_ref, mli_s, mhi_s, sx_s, xs_s):
+    """T=1 q4_k matvec on the int8 MXU path (mmq's actual trick,
+    ggml-cuda/mmq.cuh:25-60): per-32-group int8 activations dot int8 nibble
+    weights with i32 accumulation, scale products applied to the (GS, R)
+    partials. The bf16 P-dot runs the MXU at 32/128 row occupancy and is
+    the measured decode limiter; the i8 dot doubles contraction throughput
+    per pass. Activation int8 noise matches llama.cpp's q8_1 serving."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        _i8_prep(x_ref, mli_s, mhi_s, sx_s, xs_s)
+
+    q = qs_ref[:].astype(jnp.int32)
+    lo = (q & 0xF).astype(jnp.int8)
+    hi = (q >> 4).astype(jnp.int8)
+    Pl, Ph = _i8_pdots(mli_s[:], mhi_s[:], lo, hi)
+    t = _i8_combine(Pl, Ph, sx_s, xs_s, slo_ref, shi_ref, mlo_ref, mhi_ref)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _q5k_decode_kernel_i8(x_ref, qs_ref, hb_ref, slo_ref, shi_ref,
+                          mlo_ref, mhi_ref, o_ref, mli_s, mhi_s, sx_s, xs_s):
+    """Q5_K int8 decode: 5th bit ORs in from the hb sidecar (q5 in 0..31
+    fits int8)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        _i8_prep(x_ref, mli_s, mhi_s, sx_s, xs_s)
+
+    q = qs_ref[:].astype(jnp.int32)
+    hb = hb_ref[:].astype(jnp.int32)
+    lo = ((q & 0xF) | ((hb & 1) << 4)).astype(jnp.int8)
+    hi = ((q >> 4) | (((hb >> 1) & 1) << 4)).astype(jnp.int8)
+    Pl, Ph = _i8_pdots(mli_s[:], mhi_s[:], lo, hi)
+    t = _i8_combine(Pl, Ph, sx_s, xs_s, slo_ref, shi_ref, mlo_ref, mhi_ref)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
 def _q4k_magic_kernel(xl_ref, xh_ref, xsl_ref, xsh_ref, xs_ref,
                       qs_ref, slo_ref, shi_ref, m_ref, o_ref):
     """Magic-number 2-D Q4_K variant (KCPP_Q4K_2D=magic): w = s*n decomposed
@@ -554,8 +649,11 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
     T = x.shape[0]
     GS = in_f // 64
     C2 = in_f // 2
-    raw = (kind == "q4_k" and T == 1 and in_f % 256 == 0
-           and os.environ.get("KCPP_Q4K_RAW_X", "1") == "1")
+    # int8 MXU path (A/B-gated): raw x in, int8 masked expansion + i8 P-dots
+    i8 = (T == 1 and in_f % 256 == 0
+          and os.environ.get("KCPP_Q4K_I8", "0") == "1")
+    raw = i8 or (kind == "q4_k" and T == 1 and in_f % 256 == 0
+                 and os.environ.get("KCPP_Q4K_RAW_X", "1") == "1")
     if raw:
         # kernel does its own plane split / group sums / masked expansion
         x_args = (x,)
@@ -586,14 +684,22 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
             rt = cand
             break
     scratch = []
-    if raw:
+    if i8:
+        scratch = [pltpu.VMEM((GS, C2), jnp.int8),
+                   pltpu.VMEM((GS, C2), jnp.int8),
+                   pltpu.VMEM((GS, 2), jnp.float32),
+                   pltpu.VMEM((2, GS), jnp.bfloat16)]
+        kernel = (_q5k_decode_kernel_i8 if kind == "q5_k"
+                  else _q4k_decode_kernel_i8)
+    elif raw:
         scratch = [pltpu.VMEM((GS, C2), jnp.bfloat16),
                    pltpu.VMEM((GS, C2), jnp.bfloat16),
                    pltpu.VMEM((2, GS), jnp.bfloat16)]
-    if kind == "q5_k":
+        kernel = _q4k_decode_kernel_raw
+    elif kind == "q5_k":
         kernel = _q5k_decode_kernel
     else:
-        kernel = _q4k_decode_kernel_raw if raw else _q4k_decode_kernel
+        kernel = _q4k_decode_kernel
     return pl.pallas_call(
         kernel,
         grid=(out_f // rt,),

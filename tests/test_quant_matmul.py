@@ -112,3 +112,40 @@ def test_q5k_row_kernel_small_batch(T):
     got = np.asarray(y, dtype=np.float32)
     scale = np.abs(want).max() + 1e-6
     assert np.abs(got - want).max() / scale < 0.02
+
+
+# ---------------------------------------------------------------------------
+# int8 MXU decode path (VERDICT r1 item 1 / PERF_NOTES "Paths to roofline"):
+# per-32-group int8 activations x int8 nibble weights, i32 accumulation.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind", ["q4_k", "q5_k"])
+def test_i8_decode_matvec_close_to_exact(kind, monkeypatch):
+    from koboldcpp_tpu.gguf import quants as nq
+    from koboldcpp_tpu.gguf.constants import GGMLType
+    from koboldcpp_tpu.ops import quant_matmul
+    from koboldcpp_tpu.ops.linear import from_gguf
+
+    t = GGMLType.Q4_K if kind == "q4_k" else GGMLType.Q5_K
+    rng = np.random.default_rng(5)
+    w = (rng.standard_normal((256, 512)) * 0.05).astype(np.float32)
+    raw = nq.quantize(w, t)
+    qt = from_gguf(raw, t, w.shape, packed=True)
+    ref_w = nq.dequantize(raw, t)
+    x = jnp.asarray((rng.standard_normal((1, 512)) * 0.7).astype(np.float32))
+    ref = np.asarray(x, np.float32) @ ref_w.T
+
+    monkeypatch.setenv("KCPP_Q4K_I8", "1")
+    y_i8 = quant_matmul.matmul_packed(x.astype(jnp.bfloat16), qt)
+    assert y_i8 is not None
+    monkeypatch.setenv("KCPP_Q4K_I8", "0")
+    y_bf = quant_matmul.matmul_packed(x.astype(jnp.bfloat16), qt)
+
+    # int8 activation quantization (q8_1-equivalent, the same noise
+    # llama.cpp serves with) bounds the deviation from the exact product
+    scale = np.abs(ref).max() + 1e-6
+    err_i8 = np.abs(np.asarray(y_i8, np.float32) - ref).max() / scale
+    err_bf = np.abs(np.asarray(y_bf, np.float32) - ref).max() / scale
+    assert err_i8 < 0.03, err_i8
+    # and it should be in the same error ballpark as the bf16 kernel
+    assert err_i8 < max(4 * err_bf, 0.02), (err_i8, err_bf)
