@@ -242,9 +242,68 @@ def _make_qkx2(b: np.ndarray, w: np.ndarray, nmax: int, rmin: float, rdelta: flo
     return L.astype(np.uint8), scale.astype(np.float32), the_min.astype(np.float32)
 
 
-def _make_qx(b: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
+def _make_qp(xs: np.ndarray, nmax: int, w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted non-negative scale quantization (ggml make_qp_quants),
+    vectorized over rows: grid search over 9 iscale candidates + 5 rounds of
+    coordinate-descent refinement. xs, w: (N, n). Returns (L uint8, d (N,))."""
+    xs = xs.astype(np.float32)
+    w = w.astype(np.float32)
+    mx = xs.max(axis=-1)
+    zero = mx <= 0
+    safe = np.where(zero, np.float32(1.0), mx)
+
+    def mse_of(iscale):
+        l = np.minimum(_nearest_int(iscale[:, None] * xs), nmax).astype(np.float32)
+        diff = xs - (1.0 / iscale)[:, None] * l
+        return l, (w * diff * diff).sum(axis=-1)
+
+    iscale = np.float32(nmax) / safe
+    _, best = mse_of(iscale)
+    for is_ in range(-4, 5):
+        if is_ == 0:
+            continue
+        cand = (np.float32(0.1) * is_ + nmax) / safe
+        _, mse = mse_of(cand)
+        upd = mse < best
+        best = np.where(upd, mse, best)
+        iscale = np.where(upd, cand, iscale)
+    L = np.minimum(_nearest_int(iscale[:, None] * xs), nmax).astype(np.float32)
+    sumlx = (w * xs * L).sum(axis=-1)
+    suml2 = (w * L * L).sum(axis=-1)
+    n = xs.shape[1]
+    for _ in range(5):
+        changed = np.zeros(len(xs), bool)
+        for i in range(n):
+            wi = w[:, i]
+            xi = xs[:, i]
+            li = L[:, i]
+            slx = sumlx - wi * xi * li
+            sl2 = suml2 - wi * li * li
+            ok = (slx > 0) & (sl2 > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                new_l = np.minimum(_nearest_int(xi * sl2 / np.where(sl2 > 0, slx, 1)), nmax).astype(np.float32)
+            upd = ok & (new_l != li) & ((slx + wi * xi * new_l) ** 2 * sl2
+                                        > slx * slx * (sl2 + wi * new_l * new_l))
+            nl = np.where(upd, new_l, li)
+            sumlx = np.where(upd, slx + wi * xi * nl, sumlx)
+            suml2 = np.where(upd, sl2 + wi * nl * nl, suml2)
+            L[:, i] = nl
+            changed |= upd
+        if not changed.any():
+            break
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = np.where(suml2 > 0, sumlx / suml2, np.float32(0.0))
+    d = np.where(zero, np.float32(0.0), d)
+    L = np.where(zero[:, None], 0, L)
+    return L.astype(np.uint8), d.astype(np.float32)
+
+
+def _make_qx(b: np.ndarray, nmax: int,
+             qw: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Symmetric scale search (ggml make_qx_quants, rmse_type=1), vectorized.
 
+    qw: optional imatrix weights (N, n) replacing the rmse_type-1 x^2 weights
+    (the reference passes quant_weights straight through).
     Returns (L int32 in [0, 2*nmax) with +nmax offset applied, scale (N,)).
     """
     b = b.astype(np.float32)
@@ -254,7 +313,7 @@ def _make_qx(b: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
     zero = amax < GROUP_MAX_EPS
     safe_mx = np.where(zero, np.float32(1.0), mx)
 
-    w = b * b  # rmse_type == 1 weights
+    w = b * b if qw is None else qw.astype(np.float32)  # rmse_type == 1
 
     def trial(iscale):
         l = np.clip(_nearest_int(iscale[:, None] * b), -nmax, nmax - 1).astype(np.float32)
@@ -428,10 +487,34 @@ def _pack_q3_scales(l6: np.ndarray) -> np.ndarray:
 # K-quant formats
 # ---------------------------------------------------------------------------
 
-def _q2_k_quantize(x: np.ndarray) -> np.ndarray:
+def _q2_k_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     b = _rows(x, QK_K).reshape(-1, 16, 16)
     N = len(b)
     flat = b.reshape(-1, 16)
+    if qw is not None:
+        # quantize_row_q2_K_impl (ggml-quants.c:2172): weights =
+        # qw*sqrt(sigma2+x^2), qkx3 grid, weighted-qp 4-bit scales
+        sb = b.reshape(N, QK_K)
+        sigma2 = (sb * sb).sum(axis=-1, dtype=np.float32) / QK_K
+        qwf = _rows(qw.astype(np.float32), QK_K).reshape(-1, 16)
+        w = qwf * np.sqrt(sigma2[:, None, None] + b * b).reshape(-1, 16)
+        L0, scales, mins = _make_qkx2(flat, w, 3, -0.9, 0.05, 36, False)
+        L0 = L0.reshape(N, 16, 16)
+        scales = scales.reshape(N, 16)
+        mins = mins.reshape(N, 16)
+        sw = w.reshape(N, 16, 16).sum(axis=-1)
+        ls_q, dq = _make_qp(scales, 15, sw)
+        lm_q, mq = _make_qp(mins, 15, sw)
+        d = _f16(dq)
+        dmin = _f16(mq)
+        packed_sc = (ls_q & 0xF) | (lm_q << 4)
+        dd = d.astype(np.float32)[:, None] * (packed_sc & 0xF).astype(np.float32)
+        dm = dmin.astype(np.float32)[:, None] * (packed_sc >> 4).astype(np.float32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Lq = np.clip(_nearest_int((b + dm[:, :, None])
+                                      / np.where(dd != 0, dd, 1)[:, :, None]), 0, 3)
+        Lq = np.where((dd != 0)[:, :, None], Lq, L0).astype(np.uint8).reshape(N, QK_K)
+        return _q2_k_pack(N, d, dmin, packed_sc, Lq)
     L0, scales, mins = _make_qkx2(flat, np.abs(flat), 3, -0.5, 0.1, 15, True)
     L0 = L0.reshape(N, 16, 16)
     scales = scales.reshape(N, 16)
@@ -458,6 +541,10 @@ def _q2_k_quantize(x: np.ndarray) -> np.ndarray:
     # the requantize pass for them; decoded value is 0 either way)
     Lq = np.where((dd != 0)[:, :, None], Lq, L0).astype(np.uint8).reshape(N, QK_K)
 
+    return _q2_k_pack(N, d, dmin, packed_sc, Lq)
+
+
+def _q2_k_pack(N, d, dmin, packed_sc, Lq):
     qs = np.zeros((N, 64), dtype=np.uint8)
     np.bitwise_or.at(qs.T, _Q2_BYTE, (Lq << _Q2_SHIFT[None, :]).T)  # scatter by plane
     out = np.empty((N, 84), dtype=np.uint8)
@@ -530,27 +617,49 @@ def _q3_k_dequantize(raw: np.ndarray) -> np.ndarray:
     return d[:, None] * scales[:, _Q2_SUB].astype(np.float32) * q.astype(np.float32)
 
 
-def _qk45_quantize(x: np.ndarray, nmax: int, rmin: float, rdelta: float, nstep: int):
-    """Shared Q4_K / Q5_K top half: per-32 sub-block affine search + 6-bit pack."""
+def _qk45_quantize(x: np.ndarray, nmax: int, rmin: float, rdelta: float,
+                   nstep: int, qw: np.ndarray | None = None):
+    """Shared Q4_K / Q5_K top half: per-32 sub-block affine search + 6-bit
+    pack. With imatrix weights `qw` (same shape as the flattened rows) the
+    search follows the reference's quantize_row_q4_K_impl
+    (ggml-quants.c:2586): weights = qw*sqrt(sigma2 + x^2) with sigma2 =
+    2*sum(x^2)/QK_K, qkx3 grid params, and weighted-qp 6-bit scale/min
+    quantization instead of the max-based pack."""
     b = _rows(x, QK_K).reshape(-1, 8, 32)
     N = len(b)
     flat = b.reshape(-1, 32)
-    av = np.sqrt((flat * flat).sum(axis=-1, dtype=np.float32) / 32)
-    w = av[:, None] + np.abs(flat)
+    if qw is not None:
+        sb = b.reshape(N, QK_K)
+        sigma2 = 2.0 * (sb * sb).sum(axis=-1, dtype=np.float32) / QK_K
+        qwf = _rows(qw.astype(np.float32), QK_K).reshape(-1, 32)
+        w = qwf * np.sqrt(sigma2[:, None, None]
+                          + b * b).reshape(-1, 32).astype(np.float32)
+        rmin, rdelta, nstep = -0.9, 0.05, 36  # make_qkx3 grid
+    else:
+        av = np.sqrt((flat * flat).sum(axis=-1, dtype=np.float32) / 32)
+        w = av[:, None] + np.abs(flat)
     L0, scales, mins = _make_qkx2(flat, w, nmax, rmin, rdelta, nstep, False)
     L0 = L0.reshape(N, 8, 32)
     scales = scales.reshape(N, 8)
     mins = mins.reshape(N, 8)
 
-    max_scale = scales.max(axis=-1)
-    max_min = mins.max(axis=-1)
-    inv_scale = np.where(max_scale > 0, np.float32(63.0) / np.where(max_scale > 0, max_scale, 1), 0)
-    inv_min = np.where(max_min > 0, np.float32(63.0) / np.where(max_min > 0, max_min, 1), 0)
-    ls = np.minimum(_nearest_int(inv_scale[:, None] * scales), 63).astype(np.uint8)
-    lm = np.minimum(_nearest_int(inv_min[:, None] * mins), 63).astype(np.uint8)
-    packed = _pack_scale_min_k4(ls, lm)
-    d = _f16((max_scale / 63.0).astype(np.float32))
-    dmin = _f16((max_min / 63.0).astype(np.float32))
+    if qw is not None:
+        sw = w.reshape(N, 8, 32).sum(axis=-1)
+        ls, dq = _make_qp(scales, 63, sw)
+        lm, mq = _make_qp(mins, 63, sw)
+        packed = _pack_scale_min_k4(ls, lm)
+        d = _f16(dq)
+        dmin = _f16(mq)
+    else:
+        max_scale = scales.max(axis=-1)
+        max_min = mins.max(axis=-1)
+        inv_scale = np.where(max_scale > 0, np.float32(63.0) / np.where(max_scale > 0, max_scale, 1), 0)
+        inv_min = np.where(max_min > 0, np.float32(63.0) / np.where(max_min > 0, max_min, 1), 0)
+        ls = np.minimum(_nearest_int(inv_scale[:, None] * scales), 63).astype(np.uint8)
+        lm = np.minimum(_nearest_int(inv_min[:, None] * mins), 63).astype(np.uint8)
+        packed = _pack_scale_min_k4(ls, lm)
+        d = _f16((max_scale / 63.0).astype(np.float32))
+        dmin = _f16((max_min / 63.0).astype(np.float32))
 
     sc_eff, mn_eff = _unpack_scale_min_k4(packed)
     dd = d.astype(np.float32)[:, None] * sc_eff.astype(np.float32)
@@ -561,8 +670,8 @@ def _qk45_quantize(x: np.ndarray, nmax: int, rmin: float, rdelta: float, nstep: 
     return N, d, dmin, packed, Lq
 
 
-def _q4_k_quantize(x: np.ndarray) -> np.ndarray:
-    N, d, dmin, packed, Lq = _qk45_quantize(x, 15, -1.0, 0.1, 20)
+def _q4_k_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    N, d, dmin, packed, Lq = _qk45_quantize(x, 15, -1.0, 0.1, 20, qw=qw)
     g = Lq.reshape(N, 4, 2, 32)
     qs = (g[:, :, 0, :] | (g[:, :, 1, :] << 4)).reshape(N, 128)
     out = np.empty((N, 144), dtype=np.uint8)
@@ -584,8 +693,8 @@ def _q4_k_dequantize(raw: np.ndarray) -> np.ndarray:
             - dmin[:, None] * mn[:, _Q4_SUB].astype(np.float32))
 
 
-def _q5_k_quantize(x: np.ndarray) -> np.ndarray:
-    N, d, dmin, packed, Lq = _qk45_quantize(x, 31, -0.5, 0.1, 15)
+def _q5_k_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    N, d, dmin, packed, Lq = _qk45_quantize(x, 31, -0.5, 0.1, 15, qw=qw)
     qh = np.zeros((N, 32), dtype=np.uint8)
     high = (Lq > 15).astype(np.uint8)
     np.bitwise_or.at(qh.T, _Q5_HBYTE, (high << _Q5_HBIT[None, :]).T)
@@ -615,10 +724,12 @@ def _q5_k_dequantize(raw: np.ndarray) -> np.ndarray:
             - dmin[:, None] * mn[:, _Q4_SUB].astype(np.float32))
 
 
-def _q6_k_quantize(x: np.ndarray) -> np.ndarray:
+def _q6_k_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     b = _rows(x, QK_K).reshape(-1, 16, 16)
     N = len(b)
-    L0, scales = _make_qx(b.reshape(-1, 16), 32)
+    qw16 = (_rows(qw.astype(np.float32), QK_K).reshape(-1, 16)
+            if qw is not None else None)
+    L0, scales = _make_qx(b.reshape(-1, 16), 32, qw=qw16)
     L0 = L0.reshape(N, 16, 16)
     scales = scales.reshape(N, 16)
 
@@ -1031,6 +1142,14 @@ _QUANTIZERS = {
     GGMLType.IQ4_NL: _iq4_nl_quantize,
 }
 
+# formats with a weighted (imatrix) search variant
+_IMATRIX_QUANTIZERS = {
+    GGMLType.Q2_K: _q2_k_quantize,
+    GGMLType.Q4_K: _q4_k_quantize,
+    GGMLType.Q5_K: _q5_k_quantize,
+    GGMLType.Q6_K: _q6_k_quantize,
+}
+
 _DEQUANTIZERS = {
     GGMLType.F32: _f32_dequantize,
     GGMLType.F16: _f16_dequantize,
@@ -1065,13 +1184,26 @@ def supported_quant_types() -> list[GGMLType]:
     return sorted(_DEQUANTIZERS, key=int)
 
 
-def quantize(x: np.ndarray, t: GGMLType) -> np.ndarray:
-    """Quantize float array (..., n) -> raw uint8 (..., row_bytes)."""
+def quantize(x: np.ndarray, t: GGMLType,
+             quant_weights: np.ndarray | None = None) -> np.ndarray:
+    """Quantize float array (..., n) -> raw uint8 (..., row_bytes).
+
+    quant_weights: optional per-column importance weights (imatrix — the
+    activation second moments collected by tools/imatrix.py; reference
+    counterpart llama_model_quantize_internal + quantize_row_*_impl
+    quant_weights, src/llama.cpp:18326 / ggml-quants.c). Shape (n,) or
+    broadcastable to x."""
     t = GGMLType(t)
     if t not in _QUANTIZERS:
         raise NotImplementedError(f"quantize {t.name}")
     shape = x.shape
-    out = _QUANTIZERS[t](np.asarray(x))
+    x = np.asarray(x)
+    if quant_weights is not None and t in _IMATRIX_QUANTIZERS:
+        qw = np.broadcast_to(np.asarray(quant_weights, np.float32),
+                             x.shape).reshape(x.shape)
+        out = _IMATRIX_QUANTIZERS[t](x, qw)
+    else:
+        out = _QUANTIZERS[t](x)
     return np.ascontiguousarray(out).reshape(_out_shape(shape, t))
 
 

@@ -544,8 +544,41 @@ def dequant_xla(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     raise ValueError(f"unknown QTensor kind {qt.kind}")
 
 
+# imatrix collection hook (tools/imatrix.py): when set, every eager matmul
+# records sum-of-squared activations per input column — the importance
+# statistics the reference's examples/imatrix collects via ggml callbacks
+_COLLECTOR = None
+
+
+class ActivationCollector:
+    """Accumulates per-column sum(x^2) for named QTensors (imatrix)."""
+
+    def __init__(self, names: dict[int, str]):
+        self.names = names  # id(QTensor) -> tensor name
+        self.sums: dict[str, np.ndarray] = {}
+        self.counts: dict[str, int] = {}
+
+    def record(self, qt: QTensor, x) -> None:
+        name = self.names.get(id(qt))
+        if name is None or isinstance(x, jax.core.Tracer):
+            return
+        x2 = np.asarray(x, np.float32).reshape(-1, qt.in_features)
+        s = (x2 * x2).sum(axis=0)
+        if name in self.sums:
+            self.sums[name] += s
+            self.counts[name] += x2.shape[0]
+        else:
+            self.sums[name] = s
+            self.counts[name] = x2.shape[0]
+
+    def weights(self) -> dict[str, np.ndarray]:
+        return {n: s / max(self.counts[n], 1) for n, s in self.sums.items()}
+
+
 def matmul(x: jnp.ndarray, qt: QTensor, out_dtype=None) -> jnp.ndarray:
     """y = x @ W^T for any QTensor. x: (..., in) -> (..., out)."""
+    if _COLLECTOR is not None:
+        _COLLECTOR.record(qt, x)
     out_dtype = out_dtype or x.dtype
     if qt.kind == "dense":
         w = qt.data["w"]

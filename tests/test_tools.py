@@ -114,3 +114,73 @@ def test_gui_build_argv():
     from koboldcpp_tpu.cli import build_parser
     ns = build_parser().parse_args(argv)
     assert ns.contextsize == 4096 and ns.multiuser == 4
+
+
+# ---------------------------------------------------------------------------
+# imatrix-weighted quantization (VERDICT r1 missing item 6)
+# ---------------------------------------------------------------------------
+
+def test_imatrix_weighted_quantization_reduces_weighted_error():
+    """Columns marked important by the imatrix must reconstruct better than
+    under the unweighted search (the whole point of quantize_row_*_impl's
+    quant_weights)."""
+    import numpy as np
+    from koboldcpp_tpu.gguf import quants
+    from koboldcpp_tpu.gguf.constants import GGMLType
+
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((16, 512)) * 0.05).astype(np.float32)
+    # importance concentrated on the first half of every 32-group
+    qw = np.ones(512, np.float32)
+    qw[:256] = 100.0
+    for t in (GGMLType.Q2_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K):
+        raw_u = quants.quantize(x, t)
+        raw_w = quants.quantize(x, t, quant_weights=qw)
+        deq_u = quants.dequantize(raw_u, t)
+        deq_w = quants.dequantize(raw_w, t)
+        imp = qw[None, :] * (x - deq_u) ** 2, qw[None, :] * (x - deq_w) ** 2
+        err_u, err_w = (e.sum() for e in imp)
+        assert err_w <= err_u * 1.02, (t.name, err_u, err_w)
+        # weighted output must differ (the search actually used the weights)
+        assert not np.array_equal(raw_u, raw_w), t.name
+
+
+def test_imatrix_collect_and_quantize(tmp_path):
+    """End-to-end: collect an imatrix on the tiny model, quantize with it,
+    model still loads and the imatrix keys match GGUF tensor names."""
+    import sys, os
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    from convert_hf import convert_llama_state_dict
+    from .test_model_forward import tiny_tokenizer_md
+    from imatrix import collect
+    from quantize import quantize_file
+    from koboldcpp_tpu.gguf import GGMLType, GGUFReader
+    from koboldcpp_tpu.models.loader import load_model
+
+    torch.manual_seed(44)
+    cfg = LlamaConfig(vocab_size=512, hidden_size=256, intermediate_size=512,
+                      num_hidden_layers=1, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=128,
+                      tie_word_embeddings=False)
+    hf = LlamaForCausalLM(cfg).eval().float()
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    f32 = str(tmp_path / "m.gguf")
+    convert_llama_state_dict(state, cfg, f32,
+                             tokenizer_md=tiny_tokenizer_md(512))
+
+    w = collect(f32, "hello world " * 40, chunk=32, max_chunks=2, cpu=True)
+    assert any(k.endswith("attn_q.weight") for k in w)
+    assert any(k.endswith("ffn_down.weight") for k in w)
+    assert all(v.ndim == 1 and (v >= 0).all() for v in w.values())
+    imx = str(tmp_path / "m.imatrix.npz")
+    np.savez_compressed(imx, **w)
+
+    q = str(tmp_path / "m.q4k.gguf")
+    quantize_file(f32, q, GGMLType.Q4_K, verbose=False, imatrix=imx)
+    with GGUFReader(q) as r:
+        assert any(i.ggml_type == GGMLType.Q4_K for i in r.tensors.values())
+    m = load_model(q, packed=False)
+    assert m.cfg.n_layers == 1

@@ -42,7 +42,12 @@ def pick_type(name: str, shape, target: GGMLType) -> GGMLType:
     return target
 
 
-def quantize_file(src: str, dst: str, target: GGMLType, verbose=True):
+def quantize_file(src: str, dst: str, target: GGMLType, verbose=True,
+                  imatrix: str | None = None):
+    """imatrix: optional .npz of per-tensor column importance weights
+    (tools/imatrix.py output) — enables the reference's weighted K-quant
+    search (quantize_row_*_impl quant_weights, ggml-quants.c)."""
+    imx = dict(np.load(imatrix)) if imatrix else {}
     with GGUFReader(src) as r:
         w = GGUFWriter(dst)
         for k, v in r.metadata.items():
@@ -54,7 +59,11 @@ def quantize_file(src: str, dst: str, target: GGMLType, verbose=True):
         for name, info in r.tensors.items():
             data = r.tensor_data(name)
             t = pick_type(name, info.shape, target)
-            raw = quants.quantize(np.ascontiguousarray(data, np.float32), t)
+            qw = imx.get(name)
+            if qw is not None and qw.shape[-1] != info.shape[-1]:
+                qw = None  # stale imatrix for a different model
+            raw = quants.quantize(np.ascontiguousarray(data, np.float32), t,
+                                  quant_weights=qw)
             w.add_tensor(name, raw, t)
             total_in += info.nbytes
             total_out += raw.nbytes
@@ -72,8 +81,11 @@ def main():
     ap.add_argument("input")
     ap.add_argument("output")
     ap.add_argument("type", choices=sorted(TYPE_MAP))
+    ap.add_argument("--imatrix", default=None,
+                    help=".npz importance matrix from tools/imatrix.py")
     args = ap.parse_args()
-    quantize_file(args.input, args.output, TYPE_MAP[args.type])
+    quantize_file(args.input, args.output, TYPE_MAP[args.type],
+                  imatrix=args.imatrix)
 
 
 if __name__ == "__main__":
