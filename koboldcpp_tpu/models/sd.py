@@ -426,13 +426,116 @@ def sample_dpmpp_2m(kd, x, sigmas, cond, uncond, cfg_scale, rng):
     return x
 
 
+def sample_dpm2(kd, x, sigmas, cond, uncond, cfg_scale, rng):
+    """DPM2 (k-diffusion sample_dpm_2): midpoint second-order step."""
+    for i in range(len(sigmas) - 1):
+        s, sn = float(sigmas[i]), float(sigmas[i + 1])
+        denoised = kd.denoise(x, s, cond, uncond, cfg_scale)
+        d = (x - denoised) / s
+        if sn == 0:
+            x = x + d * (sn - s)
+        else:
+            # geometric midpoint in log-sigma
+            s_mid = math.exp(0.5 * (math.log(s) + math.log(sn)))
+            x2 = x + d * (s_mid - s)
+            denoised2 = kd.denoise(x2, s_mid, cond, uncond, cfg_scale)
+            d2 = (x2 - denoised2) / s_mid
+            x = x + d2 * (sn - s)
+    return x
+
+
+def sample_dpmpp_2s_a(kd, x, sigmas, cond, uncond, cfg_scale, rng):
+    """DPM++ (2s) ancestral (k-diffusion sample_dpmpp_2s_ancestral)."""
+    for i in range(len(sigmas) - 1):
+        s, sn = float(sigmas[i]), float(sigmas[i + 1])
+        denoised = kd.denoise(x, s, cond, uncond, cfg_scale)
+        if sn == 0:
+            d = (x - denoised) / s
+            x = x + d * (sn - s)
+            continue
+        su = min(sn, math.sqrt(sn ** 2 * (s ** 2 - sn ** 2) / s ** 2))
+        sd = math.sqrt(max(sn ** 2 - su ** 2, 0.0))
+        t, tn = -math.log(s), -math.log(max(sd, 1e-10))
+        r = 1 / 2
+        h = tn - t
+        s_mid = math.exp(-(t + r * h))
+        x2 = (s_mid / s) * x - math.expm1(-h * r) * denoised
+        denoised2 = kd.denoise(x2, s_mid, cond, uncond, cfg_scale)
+        x = (sd / s) * x - math.expm1(-h) * denoised2
+        if su > 0:
+            x = x + jnp.asarray(rng.standard_normal(x.shape), x.dtype) * su
+    return x
+
+
+def _ipndm_step(kd, x, s, sn, cond, uncond, cfg_scale, hist, order_cap=4):
+    """Shared iPNDM machinery: Adams-Bashforth multistep over d = (x-D)/s
+    (stable-diffusion.cpp sample_ipndm; coefficients per Zhang & Chen)."""
+    denoised = kd.denoise(x, s, cond, uncond, cfg_scale)
+    d = (x - denoised) / s
+    hist.append(d)
+    if len(hist) > 4:
+        hist.pop(0)
+    order = min(len(hist), order_cap)
+    if order == 1:
+        dd = hist[-1]
+    elif order == 2:
+        dd = (3 * hist[-1] - hist[-2]) / 2
+    elif order == 3:
+        dd = (23 * hist[-1] - 16 * hist[-2] + 5 * hist[-3]) / 12
+    else:
+        dd = (55 * hist[-1] - 59 * hist[-2] + 37 * hist[-3]
+              - 9 * hist[-4]) / 24
+    return x + dd * (sn - s)
+
+
+def sample_ipndm(kd, x, sigmas, cond, uncond, cfg_scale, rng):
+    hist: list = []
+    for i in range(len(sigmas) - 1):
+        x = _ipndm_step(kd, x, float(sigmas[i]), float(sigmas[i + 1]),
+                        cond, uncond, cfg_scale, hist)
+    return x
+
+
+def sample_ipndm_v(kd, x, sigmas, cond, uncond, cfg_scale, rng):
+    """Variable-step iPNDM (stable-diffusion.cpp sample_ipndm_v): the
+    multistep coefficients account for non-uniform sigma spacing."""
+    d_hist: list = []
+    h_hist: list = []
+    for i in range(len(sigmas) - 1):
+        s, sn = float(sigmas[i]), float(sigmas[i + 1])
+        denoised = kd.denoise(x, s, cond, uncond, cfg_scale)
+        d = (x - denoised) / s
+        h = sn - s
+        d_hist.append(d)
+        h_hist.append(h)
+        if len(d_hist) > 4:
+            d_hist.pop(0)
+            h_hist.pop(0)
+        order = len(d_hist)
+        if order == 1:
+            dd = d_hist[-1]
+        elif order == 2:
+            h0, h1 = h_hist[-1], h_hist[-2]
+            r = h1 / h0 if h0 else 1.0
+            dd = (1 + 1 / (2 * r)) * d_hist[-1] - (1 / (2 * r)) * d_hist[-2]
+        else:  # 3rd+ order falls back to the uniform-step AB3 weights
+            dd = (23 * d_hist[-1] - 16 * d_hist[-2] + 5 * d_hist[-3]) / 12
+        x = x + dd * h
+    return x
+
+
 SAMPLERS = {
     "euler": partial(sample_euler, ancestral=False),
     "euler a": partial(sample_euler, ancestral=True),
     "euler_a": partial(sample_euler, ancestral=True),
     "heun": sample_heun,
+    "dpm2": sample_dpm2,
+    "dpm++ 2s a": sample_dpmpp_2s_a,
+    "dpm++2s_a": sample_dpmpp_2s_a,
     "dpm++ 2m": sample_dpmpp_2m,
     "dpm++2m": sample_dpmpp_2m,
+    "ipndm": sample_ipndm,
+    "ipndm_v": sample_ipndm_v,
     "lcm": partial(sample_euler, ancestral=False),
 }
 

@@ -349,7 +349,8 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
 
     async def get_sd_samplers(request):
         return _json([{"name": n, "aliases": [n], "options": {}} for n in
-                      ["Euler a", "Euler", "Heun", "DPM2", "DPM++ 2M", "LCM"]])
+                      ["Euler a", "Euler", "Heun", "DPM2", "DPM++ 2S a",
+                       "DPM++ 2M", "iPNDM", "iPNDM_v", "LCM"]])
 
     async def get_sd_upscale_modes(request):
         return _json([{"name": "None"}])
