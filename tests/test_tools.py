@@ -184,3 +184,38 @@ def test_imatrix_collect_and_quantize(tmp_path):
         assert any(i.ggml_type == GGMLType.Q4_K for i in r.tensors.values())
     m = load_model(q, packed=False)
     assert m.cfg.n_layers == 1
+
+
+def test_gui_schema_covers_every_cli_flag():
+    """The launcher form is generated from the argparse parser — every
+    non-suppressed CLI flag must appear in exactly one tab (the reference's
+    every-flag GUI, koboldcpp.py:2202, without 1200 lines of widgets)."""
+    import argparse
+    from koboldcpp_tpu.cli import build_parser
+    from koboldcpp_tpu.gui import _HIDDEN, build_argv, gui_schema
+
+    schema = gui_schema()
+    names = [f["name"] for _, fs in schema for f in fs]
+    assert len(names) == len(set(names)), "flag in two tabs"
+    want = set()
+    for a in build_parser()._actions:
+        if (a.option_strings and a.dest not in _HIDDEN
+                and not isinstance(a, argparse._HelpAction)
+                and a.help != argparse.SUPPRESS):
+            want.add(a.dest)
+    assert set(names) == want, set(names) ^ want
+
+    # argv building round-trips through the parser
+    argv = build_argv({"model": "/tmp/m.gguf", "port": 5099,
+                       "multiuser": 4, "paged": True,
+                       "contextsize": 4096})
+    args = build_parser().parse_args(argv)
+    assert args.model_param == "/tmp/m.gguf"
+    assert args.port == 5099 and args.multiuser == 4
+    assert args.paged is True and args.contextsize == 4096
+
+    # nargs flags split correctly
+    argv = build_argv({"ropeconfig": "0.5 20000", "lora": "/a.gguf"})
+    args = build_parser().parse_args(argv)
+    assert args.ropeconfig == [0.5, 20000.0]
+    assert args.lora == ["/a.gguf"]
