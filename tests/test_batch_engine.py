@@ -315,3 +315,43 @@ def test_prefill_is_single_row(model):
         assert len(shapes) >= 2
     finally:
         eng.shutdown()
+
+
+def test_device_argmax_path_engages_and_matches(model):
+    """Greedy-capable batches decode through the device-argmax step (B int
+    ids pulled instead of (B, vocab) logits) with identical output; a
+    grammar-bearing slot falls the whole batch back to the host sampler."""
+    eng = BatchedEngine(model, max_context=128, n_slots=2,
+                        cache_dtype=jnp.float32)
+    try:
+        calls = {"greedy": 0}
+        orig = eng._greedy_forward
+
+        def spy(*a, **k):
+            calls["greedy"] += 1
+            return orig(*a, **k)
+
+        eng._greedy_forward = spy
+        ref = eng.generate([1, 5, 9], greedy(8))
+        assert calls["greedy"] > 0, "device path never engaged"
+        # host-sampler reference (force fallback via a grammar-free but
+        # non-greedy sampler temperature check): compare with single engine
+        simple = Engine(model, max_context=128, cache_dtype=jnp.float32)
+        want = simple.generate([1, 5, 9], greedy(8))
+        assert ref.tokens == want.tokens
+
+        calls["greedy"] = 0
+        g = 'root ::= "tok7" | "tok11"'
+        eng.generate([1, 5, 9], greedy(4, grammar=g))
+        assert calls["greedy"] == 0, "grammar slot must use the host sampler"
+
+        # logit bias + banned tokens ride the device bias rows
+        calls["greedy"] = 0
+        sp = SamplerParams(temperature=0.0, rep_pen=1.0,
+                           logit_biases={want.tokens[1]: -1000.0})
+        r = eng.generate([1, 5, 9], GenParams(max_length=8, sampler=sp))
+        assert calls["greedy"] > 0
+        assert r.tokens != want.tokens  # the bias changed the argmax
+        assert want.tokens[1] not in r.tokens
+    finally:
+        eng.shutdown()
