@@ -853,6 +853,76 @@ def _iq4_nl_quantize(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def _iq4_xs_quantize(x: np.ndarray) -> np.ndarray:
+    """IQ4_XS quantizer without imatrix (quantize_row_iq4_nl_impl with
+    super_block_size=256, block_size=32, ntry=7, weight=x^2;
+    /root/reference/ggml/src/ggml-quants.c:15065-15165,15229): per-32 NL scale
+    search, 6-bit sub-scales against a shared super-block d, final re-index."""
+    b = _rows(x, QK_K)
+    NB = len(b)
+    sb = b.reshape(NB, 8, 32)  # sub-blocks
+    w = sb * sb
+    amax = np.abs(sb).max(axis=-1)
+    arg = np.abs(sb).argmax(axis=-1)
+    mx = np.take_along_axis(sb, arg[..., None], axis=-1)[..., 0]
+    zero = amax < GROUP_MAX_EPS
+    safe_mx = np.where(zero, 1, mx)
+
+    def best_index(v):
+        return np.abs(v[..., None] - IQ4_NL_VALUES[None, None, None, :]).argmin(axis=-1)
+
+    def refit(idv):
+        L = best_index(idv[..., None] * sb)
+        lv = IQ4_NL_VALUES[L]
+        sumqx = (w * lv * sb).sum(axis=-1)
+        sumq2 = (w * lv * lv).sum(axis=-1)
+        return L, sumqx, sumq2
+
+    # initial pass: d = max/127 (= -max/values[0]), then refit
+    d0 = safe_mx / np.float32(IQ4_NL_VALUES[0])
+    d0 = -d0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        _, sumqx, sumq2 = refit(np.float32(1.0) / d0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = np.where(sumq2 > 0, sumqx / sumq2, d0)
+    best = d * sumqx
+    for itry in range(-7, 8):
+        idv = (np.float32(itry) + np.float32(IQ4_NL_VALUES[0])) / safe_mx
+        _, sumqx, sumq2 = refit(idv)
+        upd = (sumq2 > 0) & (sumqx * sumqx > best * sumq2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = np.where(upd, sumqx / sumq2, d)
+        best = np.where(upd, d * sumqx, best)
+    scales = np.where(zero, 0, d).astype(np.float32)  # (NB, 8)
+
+    # 6-bit sub-scales vs shared super d
+    amax_scale = np.abs(scales).max(axis=-1)
+    arg_s = np.abs(scales).argmax(axis=-1)
+    max_scale = np.take_along_axis(scales, arg_s[:, None], axis=-1)[:, 0]
+    d_super = (-max_scale / np.float32(32.0)).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        id_super = np.where(d_super != 0, np.float32(1.0) / d_super, np.float32(0.0))
+    ls = np.clip(_nearest_int(id_super[:, None] * scales), -32, 31)
+    dl = d_super[:, None] * ls
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idl = np.where(dl != 0, np.float32(1.0) / dl, np.float32(0.0))
+    L = best_index(idl[..., None] * sb).astype(np.uint8)  # (NB, 8, 32)
+
+    lsu = (ls + 32).astype(np.uint32)
+    scales_l = (lsu[:, 0::2] & 0xF) | ((lsu[:, 1::2] & 0xF) << 4)  # (NB, 4)
+    scales_h = ((lsu >> 4) << (2 * np.arange(8, dtype=np.uint32))[None, :]).sum(
+        axis=-1).astype(np.uint16)
+    qs = np.zeros((NB, 128), dtype=np.uint8)
+    Lf = L.reshape(NB, QK_K)
+    np.bitwise_or.at(qs.T, _IQ4XS_BYTE, (Lf << _IQ4XS_SHIFT[None, :]).T)
+    out = np.empty((NB, 136), dtype=np.uint8)
+    out[:, 0:2] = _f16(d_super)[:, None].view(np.uint8)
+    out[:, 2:4] = scales_h[:, None].view(np.uint8)
+    out[:, 4:8] = scales_l.astype(np.uint8)
+    out[:, 8:] = qs
+    return out
+
+
 def _iq4_xs_dequantize(raw: np.ndarray) -> np.ndarray:
     blocks = raw.reshape(-1, 136)
     d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
@@ -1062,6 +1132,49 @@ def _tq2_0_dequantize(raw: np.ndarray) -> np.ndarray:
     return d[:, None] * q.astype(np.float32)
 
 
+def _roundaway(v: np.ndarray) -> np.ndarray:
+    """Round half away from zero (gguf-py np_roundf semantics)."""
+    return np.trunc(v + np.where(v >= 0, np.float32(0.5), np.float32(-0.5)))
+
+
+def _tq1_0_quantize(x: np.ndarray) -> np.ndarray:
+    """Ternary 1.69 bpw: 5 trits per byte base-3 packed, MSB-first digits
+    (quantize_row_tq1_0, /root/reference/ggml/src/ggml-quants.c; layout
+    ggml-common.h block_tq1_0)."""
+    b = _rows(x, QK_K)
+    N = len(b)
+    d = np.abs(b).max(axis=-1).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(d != 0, np.float32(1.0) / d, np.float32(0.0))
+    q = (_roundaway(b * inv[:, None]).astype(np.int8) + 1).astype(np.uint16)  # 0..2
+    w5 = np.array([81, 27, 9, 3, 1], dtype=np.uint16)
+    q0 = (q[:, :160].reshape(N, 5, 32) * w5[None, :, None]).sum(axis=1)
+    q1 = (q[:, 160:240].reshape(N, 5, 16) * w5[None, :, None]).sum(axis=1)
+    qh = (q[:, 240:].reshape(N, 4, 4) * w5[None, :4, None]).sum(axis=1)
+    packed = np.concatenate([q0, q1, qh], axis=1).astype(np.uint32)
+    packed = ((packed * 256 + 242) // 243).astype(np.uint8)
+    out = np.empty((N, 54), dtype=np.uint8)
+    out[:, :52] = packed
+    out[:, 52:54] = _f16(d)[:, None].view(np.uint8)
+    return out
+
+
+def _tq2_0_quantize(x: np.ndarray) -> np.ndarray:
+    """Ternary 2.06 bpw: 4 trits per byte in 2-bit fields (quantize_row_tq2_0)."""
+    b = _rows(x, QK_K)
+    N = len(b)
+    d = np.abs(b).max(axis=-1).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(d != 0, np.float32(1.0) / d, np.float32(0.0))
+    q = (_roundaway(b * inv[:, None]).astype(np.int8) + 1).astype(np.uint8)  # 0..2
+    q = q.reshape(N, 2, 4, 32) << np.array([0, 2, 4, 6], dtype=np.uint8)[None, None, :, None]
+    qs = np.bitwise_or.reduce(q, axis=2).reshape(N, 64)
+    out = np.empty((N, 66), dtype=np.uint8)
+    out[:, :64] = qs
+    out[:, 64:66] = _f16(d)[:, None].view(np.uint8)
+    return out
+
+
 def _q8_1_quantize(x: np.ndarray) -> np.ndarray:
     b = _rows(x, 32)
     amax = np.abs(b).max(axis=-1)
@@ -1140,6 +1253,9 @@ _QUANTIZERS = {
     GGMLType.Q8_K: _q8_k_quantize,
     GGMLType.Q8_1: _q8_1_quantize,
     GGMLType.IQ4_NL: _iq4_nl_quantize,
+    GGMLType.IQ4_XS: _iq4_xs_quantize,
+    GGMLType.TQ1_0: _tq1_0_quantize,
+    GGMLType.TQ2_0: _tq2_0_quantize,
 }
 
 # formats with a weighted (imatrix) search variant

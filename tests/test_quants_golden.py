@@ -28,7 +28,8 @@ _parts = [
 ]
 X = np.concatenate(_parts, axis=0)
 
-SIMPLE = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0]
+SIMPLE = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0,
+          GGMLType.TQ1_0, GGMLType.TQ2_0]
 KQUANT = [GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K]
 
 # max round-trip abs error per format, in units of per-row max|x|
@@ -37,7 +38,8 @@ RT_TOL = {
     GGMLType.Q5_1: 0.08, GGMLType.Q8_0: 0.01,
     GGMLType.Q2_K: 0.40, GGMLType.Q3_K: 0.18, GGMLType.Q4_K: 0.12,
     GGMLType.Q5_K: 0.06, GGMLType.Q6_K: 0.05, GGMLType.Q8_K: 0.01,
-    GGMLType.IQ4_NL: 0.15,
+    GGMLType.IQ4_NL: 0.15, GGMLType.IQ4_XS: 0.16,
+    GGMLType.TQ1_0: 0.51, GGMLType.TQ2_0: 0.51,
 }
 
 
@@ -53,12 +55,7 @@ def test_simple_quantize_bit_exact(t):
                          ids=lambda t: t.name)
 def test_dequantize_bit_exact_vs_oracle(t):
     # quantize with whichever impl supports it, then compare dequants bit-wise
-    if t in (GGMLType.IQ4_XS,):
-        # no quantizer: build random (valid) raw bytes instead
-        blk, sz = GGML_BLOCK_SIZES[t]
-        raw = rng.integers(0, 256, size=(8, 1024 // blk * sz), dtype=np.uint8)
-    else:
-        raw = quants.quantize(X, t)
+    raw = quants.quantize(X, t)
     ours = quants.dequantize(raw, t)
     theirs = gguf_ref.quants.dequantize(raw.copy(), RT[t.name])
     assert ours.shape == theirs.shape

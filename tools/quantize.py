@@ -25,6 +25,7 @@ TYPE_MAP = {
     "q4_k_m": GGMLType.Q4_K, "q4_k_s": GGMLType.Q4_K,
     "q5_k_m": GGMLType.Q5_K, "q5_k_s": GGMLType.Q5_K,
     "q6_k": GGMLType.Q6_K, "iq4_nl": GGMLType.IQ4_NL,
+    "iq4_xs": GGMLType.IQ4_XS, "tq1_0": GGMLType.TQ1_0, "tq2_0": GGMLType.TQ2_0,
 }
 
 
@@ -37,7 +38,8 @@ def pick_type(name: str, shape, target: GGMLType) -> GGMLType:
         # can't K-quant this row length; fall back
         return GGMLType.Q8_0 if shape[-1] % 32 == 0 else GGMLType.F16
     if name in ("output.weight", "token_embd.weight") and target in (
-            GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K):
+            GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
+            GGMLType.IQ4_XS, GGMLType.TQ1_0, GGMLType.TQ2_0):
         return GGMLType.Q6_K
     return target
 
