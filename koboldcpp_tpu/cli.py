@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sdvaeauto", action="store_true",
                    help="use TAESD instead of the VAE (needs --sdtaesd weights)")
     p.add_argument("--sdtaesd", default="", help="TAESD weights (.safetensors/.pt)")
+    p.add_argument("--sdvae", default="",
+                   help="standalone SD VAE to load in place of the model's "
+                        "(.safetensors or converted .gguf)")
     p.add_argument("--sdlora", default="", help="SD LoRA adapter GGUF to merge")
     p.add_argument("--sdloramult", type=float, default=1.0,
                    help="SD LoRA multiplier")
@@ -359,7 +362,8 @@ def main(argv=None):
 
         print(f"Loading SD model: {args.sdmodel}")
         sd_loras = [(args.sdlora, args.sdloramult)] if args.sdlora else None
-        sd_model = load_sd(args.sdmodel, loras=sd_loras)
+        sd_model = load_sd(args.sdmodel, loras=sd_loras,
+                           vae_path=args.sdvae or None)
         if args.sdtaesd:
             print(f"Loading TAESD: {args.sdtaesd}")
             sd_model.set_taesd(args.sdtaesd)

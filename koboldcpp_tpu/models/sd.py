@@ -860,7 +860,36 @@ def apply_sd_lora(params: Params, path: str, multiplier: float = 1.0) -> int:
     return n
 
 
-def load_sd(path: str, loras: list[tuple[str, float]] | None = None) -> SDModel:
+def load_sd_vae(params: Params, vae_path: str) -> int:
+    """Replace the model's VAE weights with a standalone VAE file (--sdvae,
+    reference: vae_filename in sd_load_model_inputs, expose.h:131 /
+    sdtype_adapter.cpp).  Accepts a GGUF written by tools/convert_sd.py (tensors
+    already under "vae.") or a diffusers-layout .safetensors."""
+    new: dict[str, np.ndarray] = {}
+    if vae_path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        for name, arr in load_file(vae_path).items():
+            new[name if name.startswith("vae.") else "vae." + name] = arr
+    else:
+        with GGUFReader(vae_path) as r:
+            for name in r.tensors:
+                key = name if name.startswith("vae.") else "vae." + name
+                new[key] = r.tensor_data(name)
+    n = 0
+    for key, arr in new.items():
+        if key in params:
+            if tuple(params[key].shape) != tuple(arr.shape):
+                raise ValueError(f"--sdvae tensor {key} shape {arr.shape} != "
+                                 f"model {tuple(params[key].shape)}")
+            params[key] = jnp.asarray(np.asarray(arr, dtype=np.float32))
+            n += 1
+    if n == 0:
+        raise ValueError(f"--sdvae {vae_path}: no vae.* tensors matched the model")
+    return n
+
+
+def load_sd(path: str, loras: list[tuple[str, float]] | None = None,
+            vae_path: str | None = None) -> SDModel:
     from ..tokenizers import Tokenizer
 
     with GGUFReader(path) as r:
@@ -898,6 +927,9 @@ def load_sd(path: str, loras: list[tuple[str, float]] | None = None) -> SDModel:
         tok = None
         if md.get("tokenizer.ggml.tokens") is not None:
             tok = Tokenizer.from_metadata(md)
+    if vae_path:
+        n = load_sd_vae(params, vae_path)
+        print(f"SD VAE {vae_path}: replaced {n} tensors")
     for lp, mult in (loras or []):
         n = apply_sd_lora(params, lp, mult)
         print(f"SD LoRA {lp}: merged {n} tensors (x{mult})")

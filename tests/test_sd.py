@@ -165,6 +165,32 @@ def test_gguf_roundtrip(tmp_path, tiny_sd):
     assert img.shape == (4, 4, 3)
 
 
+def test_sd_vae_override(tmp_path, tiny_sd):
+    """--sdvae: standalone VAE (safetensors, diffusers layout) replaces the
+    model's vae.* tensors; shape mismatch rejected."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(3)
+    vae_new = {name[len("vae."):]: rng.standard_normal(
+                   np.asarray(arr).shape).astype(np.float32)
+               for name, arr in tiny_sd.params.items() if name.startswith("vae.")}
+    path = str(tmp_path / "vae.safetensors")
+    save_file(vae_new, path)
+
+    params = dict(tiny_sd.params)
+    n = jsd.load_sd_vae(params, path)
+    assert n == len(vae_new) and n > 0
+    key = "vae." + next(iter(vae_new))
+    np.testing.assert_allclose(np.asarray(params[key]), vae_new[key[4:]],
+                               rtol=1e-6)
+
+    bad = {next(iter(vae_new)): np.zeros((3, 3), np.float32)}
+    bad_path = str(tmp_path / "bad.safetensors")
+    save_file(bad, bad_path)
+    with pytest.raises(ValueError):
+        jsd.load_sd_vae(dict(tiny_sd.params), bad_path)
+
+
 def test_sd_lora_merge(tmp_path, tiny_sd):
     """SD LoRA: diffusers-PEFT keys -> GGUF adapter -> merged weights
     (W + mult*(alpha/r)*B@A), unmappable keys skipped, txt2img changes."""
