@@ -101,6 +101,29 @@ def collect(model_path: str, text: str, chunk: int = 512,
     return expand_names(collector.weights())
 
 
+def write_llamacpp_imatrix(path: str, weights: dict[str, np.ndarray],
+                           dataset: str = "local-calibration") -> None:
+    """Write llama.cpp's binary imatrix format so the REFERENCE quantize tool
+    can consume our collected statistics (reader: load_imatrix,
+    /root/reference/examples/quantize/quantize.cpp; format: i32 n_entries,
+    then per entry [i32 len, name, i32 ncall, i32 nval, f32*nval], then an
+    optional [i32 last_call, i32 len, dataset] trailer)."""
+    import struct
+
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<i", len(weights)))
+        for name, vals in weights.items():
+            v = np.ascontiguousarray(np.asarray(vals, dtype=np.float32).ravel())
+            nb = name.encode()
+            # ncall=0: values stored as-is (quant_weights are per-tensor
+            # scale-invariant, so the sum-vs-mean distinction is immaterial)
+            fh.write(struct.pack("<i", len(nb)) + nb)
+            fh.write(struct.pack("<ii", 0, v.size))
+            fh.write(v.tobytes())
+        db = dataset.encode()
+        fh.write(struct.pack("<ii", 1, len(db)) + db)
+
+
 def main():
     ap = argparse.ArgumentParser(description="Collect an importance matrix")
     ap.add_argument("model")
@@ -109,11 +132,16 @@ def main():
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--chunks", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--bin", default="",
+                    help="also write llama.cpp binary imatrix to this path")
     args = ap.parse_args()
     text = open(args.calib, encoding="utf-8", errors="ignore").read()
     weights = collect(args.model, text, args.chunk, args.chunks, args.cpu)
     np.savez_compressed(args.output, **weights)
     print(f"wrote {args.output}: {len(weights)} tensors")
+    if args.bin:
+        write_llamacpp_imatrix(args.bin, weights)
+        print(f"wrote {args.bin} (llama.cpp imatrix format)")
 
 
 if __name__ == "__main__":

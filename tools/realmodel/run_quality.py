@@ -29,8 +29,12 @@ sys.path.insert(0, REPO)
 FORMATS = [
     "Q4_0", "Q4_1", "Q5_0", "Q5_1", "Q8_0",
     "Q2_K", "Q3_K_M", "Q4_K_S", "Q4_K_M", "Q5_K_M", "Q6_K",
-    "IQ4_NL", "IQ4_XS", "IQ3_XXS", "IQ3_S",
+    "IQ4_NL", "IQ4_XS",
     "TQ1_0", "TQ2_0",
+    # imatrix-required formats: files quantized by the REFERENCE binary
+    # consuming OUR collected imatrix (tools/imatrix.py --bin)
+    "IQ3_XXS-IM", "IQ3_S-IM", "IQ2_XXS-IM", "IQ2_XS-IM", "IQ2_S-IM",
+    "IQ2_M-IM", "IQ1_S-IM", "IQ1_M-IM",
 ]
 
 EVAL_BYTES = 150_000   # ~36K tokens -> ~70 windows of 512
@@ -43,13 +47,18 @@ def sh(cmd, **kw):
 
 def stage_quantize(wd, ref):
     f16 = os.path.join(wd, "gguf", "model-f16.gguf")
+    imatrix = os.path.join(wd, "imatrix.bin")
     for fmt in FORMATS:
         out = os.path.join(wd, "gguf", f"model-{fmt.lower()}.gguf")
         if os.path.exists(out):
             continue
+        cmd = [os.path.join(ref, "quantize_gguf")]
+        base = fmt
+        if fmt.endswith("-IM"):
+            base = fmt[:-3]
+            cmd += ["--imatrix", imatrix]
         try:
-            sh([os.path.join(ref, "quantize_gguf"), f16, out, fmt, "2"],
-               stdout=subprocess.DEVNULL)
+            sh(cmd + [f16, out, base, "2"], stdout=subprocess.DEVNULL)
         except subprocess.CalledProcessError as e:
             print(f"!! {fmt} failed ({e.returncode}) — skipped")
 
