@@ -48,10 +48,12 @@ def perplexity(model, text: str, n_ctx: int = 512, n_batch: int = 512,
         toks = jnp.asarray(np.array([chunk], dtype=np.int32))
         pos = jnp.arange(n_ctx, dtype=jnp.int32)[None, :]
         logits, cache = jfwd(model.params, toks, pos, cache)
+        # gather the target NLLs ON DEVICE: transferring the full (T, vocab)
+        # log-softmax (16 MB/window at 8K vocab) stalls on slow links
         lp = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
-        targets = np.array(chunk[1:], dtype=np.int64)
-        lp_np = np.asarray(lp[:-1])
-        nll = -lp_np[np.arange(len(targets)), targets]
+        targets = jnp.asarray(np.array(chunk[1:], dtype=np.int32))
+        nll_dev = -jnp.take_along_axis(lp[:-1], targets[:, None], axis=-1)[:, 0]
+        nll = np.asarray(nll_dev)
         sel = nll[first_eval - 1:]
         total_nll += float(sel.sum())
         total_cnt += len(sel)

@@ -107,13 +107,21 @@ def stage_ourppl(wd, packed=True):
         model = os.path.join(wd, "gguf", f"model-{fmt.lower()}.gguf")
         if not os.path.exists(model):
             continue
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "perplexity.py"),
-             model, "--file", evalf, "--ctx", "512"],
-            capture_output=True, text=True, env=env)
-        m = re.search(r"Final perplexity: ([0-9.]+)", r.stdout)
-        if not m:
+        m = None
+        for attempt in range(2):  # axon tunnel stalls are flaky; one retry
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "tools", "perplexity.py"),
+                     model, "--file", evalf, "--ctx", "512"],
+                    capture_output=True, text=True, env=env, timeout=300)
+            except subprocess.TimeoutExpired:
+                print(f"!! ourppl {fmt} timed out (attempt {attempt + 1})")
+                continue
+            m = re.search(r"Final perplexity: ([0-9.]+)", r.stdout)
+            if m:
+                break
             print(f"!! ourppl {fmt} failed:\n{r.stdout[-500:]}\n{r.stderr[-2000:]}")
+        if not m:
             continue
         results[fmt] = {"ppl": float(m.group(1))}
         print(f"ours {fmt}: {results[fmt]}")
