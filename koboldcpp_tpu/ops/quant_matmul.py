@@ -649,9 +649,13 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
     T = x.shape[0]
     GS = in_f // 64
     C2 = in_f // 2
-    # int8 MXU path (A/B-gated): raw x in, int8 masked expansion + i8 P-dots
+    # int8 MXU path — DEFAULT ON after the round-2 on-TPU A/B: decode 800 ->
+    # 1068 t/s (103% of the resident-bytes roofline, 86% of streamed-bytes;
+    # BENCH_r02), served greedy 664 -> 790.  Activation int8 noise is the same
+    # class llama.cpp serves with (q8_1 activations, ggml-cuda/mmq.cuh:25-60);
+    # QUALITY.md shows that noise class costs <0.05 ppl.  KCPP_Q4K_I8=0 reverts.
     i8 = (T == 1 and in_f % 256 == 0
-          and os.environ.get("KCPP_Q4K_I8", "0") == "1")
+          and os.environ.get("KCPP_Q4K_I8", "1") == "1")
     raw = i8 or (kind == "q4_k" and T == 1 and in_f % 256 == 0
                  and os.environ.get("KCPP_Q4K_RAW_X", "1") == "1")
     if raw:
