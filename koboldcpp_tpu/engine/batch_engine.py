@@ -189,6 +189,21 @@ class BatchedEngine:
         self._bias_dev = None  # (n_slots, V) device bias; None = rebuild
         self._prefill_row_jit = None
         self._prefill_row_mm_jit = None
+        # per-slot device SAMPLING (VERDICT r2 item 6): any mix of greedy and
+        # common-preset stochastic slots decodes fully on device; only slots
+        # needing the host chain (grammar/DRY/XTC/mirostat/anti-slop) pull
+        # their logits row.  Device state: per-slot rep-pen windows (rolled by
+        # the step itself; rows rebuilt from slot.context when a slot's
+        # context changes outside decode feeds).
+        self._sampled_fwd: dict = {}  # effective order key -> jitted step
+        self._recent_W = max_context
+        self._recent_dev = jnp.zeros((n_slots, self._recent_W), jnp.int32)
+        self._count_dev = jnp.zeros((n_slots,), jnp.int32)
+        self._recent_dirty: set[int] = set()
+        self._dyn_rows = None  # per-slot knob vectors; None = rebuild
+        import os as _os
+        self._sample_key = jax.random.PRNGKey(
+            int.from_bytes(_os.urandom(4), "little"))
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -338,6 +353,8 @@ class BatchedEngine:
                            self.max_context - len(prompt))
         slot.pending_prefill = todo
         self._bias_dev = None  # slot set changed: rebuild device bias rows
+        self._dyn_rows = None
+        self._recent_dirty.add(slot.idx)
 
     # -- context shift (per slot) -------------------------------------------
     def _context_shift(self, slot: _Slot, prompt: list[int]):
@@ -364,6 +381,7 @@ class BatchedEngine:
             self.cache, slot.idx, p0, p0 + ci, freqs,
             self.cfg.rope_type, self.cfg.rope_dim)
         slot.context = ctx[:p0] + ctx[p0 + ci:]
+        self._recent_dirty.add(slot.idx)
 
     # -- prefill (single-row chunks) ----------------------------------------
     def _get_prefill_row(self, multimodal: bool):
@@ -448,6 +466,7 @@ class BatchedEngine:
             logits = np.asarray(lg[0, -1])
         slot.context.extend(chunk)
         slot.pending_prefill = slot.pending_prefill[len(chunk):]
+        self._recent_dirty.add(slot.idx)
         if not slot.pending_prefill:
             slot.t_prefill_done = time.perf_counter()
             self._sample_and_emit(slot, logits)
@@ -497,6 +516,67 @@ class BatchedEngine:
                 s.sampled += 1
                 self._emit_sampled(s, int(toks[s.idx]))
             return
+
+        # per-slot device sampling (VERDICT r2 item 6): slots whose preset the
+        # device chain covers (greedy OR common stochastic) sample on device;
+        # only host-chain slots (grammar/DRY/XTC/mirostat/anti-slop/...) pull
+        # their (V,) logits row over the link.
+        order_key = self._stoch_order_key(feeds)
+        dev_idx = {s.idx for s in feeds
+                   if self._slot_greedy_ok(s)
+                   or self._slot_stoch_ok(s, order_key)}
+        dev_slots = [s for s in feeds if s.idx in dev_idx]
+        host_slots = [s for s in feeds if s.idx not in dev_idx]
+        if feeds and dev_slots:
+            self._sync_recent()
+            if self._bias_dev is None:
+                self._bias_dev = jnp.asarray(self._build_bias_rows())
+            if self._dyn_rows is None:
+                from .device_sampler import make_dyn_rows
+                self._dyn_rows = make_dyn_rows(
+                    [s.sampler_params or SamplerParams()
+                     for s in self.slots], self.max_context)
+            greedy = jnp.asarray(np.array(
+                [s.idx not in dev_idx or self._slot_greedy_ok(s)
+                 for s in self.slots], bool))
+            roll = jnp.asarray(np.array(
+                [s.decoding and s.feed is not None and s.feed[2]
+                 for s in self.slots], bool))
+            self._sample_key, sub = jax.random.split(self._sample_key)
+            sfwd = self._get_sampled_forward(order_key)
+            args = [self.model.params, jnp.asarray(tok), jnp.asarray(pos),
+                    self.cache]
+            if self.paged:
+                args.append(table)
+            (nxt, lg_dev, self.cache, self._recent_dev,
+             self._count_dev) = sfwd(
+                *args, self._bias_dev, self._recent_dev, self._count_dev,
+                roll, sub, self._dyn_rows, greedy)
+            toks = np.asarray(nxt)
+            host_rows = {}
+            if host_slots:
+                idx = jnp.asarray([s.idx for s in host_slots])
+                rows = np.asarray(lg_dev[idx])
+                host_rows = {s.idx: rows[i]
+                             for i, s in enumerate(host_slots)}
+            for s in feeds:
+                t, p, append = s.feed
+                s.feed = None
+                if append:
+                    s.context.append(t)
+                if s.idx in dev_idx:
+                    if s.request.aborted or self.abort_event.is_set():
+                        self._finish(s, "abort")
+                        continue
+                    if s.sampled >= s.max_new:
+                        self._finish(s, "length")
+                        continue
+                    s.sampled += 1
+                    self._emit_sampled(s, int(toks[s.idx]))
+                else:
+                    self._sample_and_emit(s, host_rows[s.idx])
+            return
+
         if self.paged:
             lg, self.cache = self._forward(
                 self.model.params, jnp.asarray(tok), jnp.asarray(pos),
@@ -506,6 +586,9 @@ class BatchedEngine:
                 self.model.params, jnp.asarray(tok), jnp.asarray(pos),
                 self.cache)
         lg = np.asarray(lg)
+        # host-sampled tick: the device rep-pen windows missed these feeds
+        for s in feeds:
+            self._recent_dirty.add(s.idx)
         for s in feeds:
             t, p, append = s.feed
             s.feed = None
@@ -523,6 +606,101 @@ class BatchedEngine:
                 and sp.temperature == 0.0 and sp.rep_pen == 1.0
                 and sp.presence_penalty == 0.0 and sp.dry_multiplier == 0.0
                 and sp.xtc_probability == 0.0 and sp.mirostat == 0)
+
+    def _slot_stoch_ok(self, slot: _Slot, order_key: tuple) -> bool:
+        """The batched device sampler covers this slot: common stochastic
+        preset (temp/top-k/top-p/min-p/rep-pen/bias/ban), rep-pen leading
+        the order, and the same effective stage order as the tick's jitted
+        chain (mirrors Engine._fast_stoch_ok)."""
+        import os
+
+        from .device_sampler import supported_order
+
+        if os.environ.get("KCPP_BATCH_DEV_SAMPLE", "1") != "1":
+            return False
+        sp = slot.sampler_params
+        if not (slot.grammar is None
+                and not slot.request.params.banned_phrases
+                and not slot.antislop_bans
+                and sp.temperature > 0.0 and sp.mirostat == 0
+                and sp.dry_multiplier == 0.0 and sp.xtc_probability == 0.0
+                and sp.top_a == 0.0 and sp.tfs >= 1.0 and sp.typical_p >= 1.0
+                and sp.dynatemp_range == 0.0 and sp.smoothing_factor == 0.0):
+            return False
+        rep_active = sp.rep_pen != 1.0 or sp.presence_penalty != 0.0
+        if not supported_order(sp.sampler_order, rep_active):
+            return False
+        return self._order_key(sp.sampler_order) == order_key
+
+    @staticmethod
+    def _order_key(order) -> tuple:
+        from ..sampling.samplers import (KCPP_SAMPLER_TEMP, KCPP_SAMPLER_TOP_K,
+                                         KCPP_SAMPLER_TOP_P)
+        return tuple(s for s in order if s in (
+            KCPP_SAMPLER_TOP_K, KCPP_SAMPLER_TOP_P, KCPP_SAMPLER_TEMP))
+
+    def _stoch_order_key(self, feeds) -> tuple:
+        """Effective stage order for this tick's device chain: the first
+        stochastic-capable feed's order (slots with a different order fall
+        back to the host chain this tick); default order if none."""
+        for s in feeds:
+            sp = s.sampler_params
+            if sp.temperature > 0.0 and s.grammar is None:
+                return self._order_key(sp.sampler_order)
+        return self._order_key(SamplerParams().sampler_order)
+
+    def _sync_recent(self):
+        """Rebuild device rep-pen window rows for slots whose context changed
+        outside decode feeds (start/shift/rewind/prefill/host ticks)."""
+        if not self._recent_dirty:
+            return
+        W = self._recent_W
+        for idx in list(self._recent_dirty):
+            ctx = self.slots[idx].context
+            row = np.zeros(W, np.int32)
+            tail = ctx[-W:]
+            if tail:
+                row[-len(tail):] = tail
+            self._recent_dev = self._recent_dev.at[idx].set(jnp.asarray(row))
+            self._count_dev = self._count_dev.at[idx].set(min(len(ctx), W))
+        self._recent_dirty.clear()
+
+    def _get_sampled_forward(self, order_key: tuple):
+        """Jitted decode tick: batched forward + device rep-pen window roll +
+        per-slot vmapped sampling.  Returns (toks (B,), logits (B, V), cache,
+        recent, count); host-chain slots read their logits row from the
+        second output."""
+        fn = self._sampled_fwd.get(order_key)
+        if fn is not None:
+            return fn
+        from .device_sampler import sample_step_batched
+        paged = self.paged
+        cfg = self.cfg
+
+        def sfwd(params, tokens, positions, cache, *rest):
+            if paged:
+                table, bias, recent, count, roll, key, dyn, greedy = rest
+                logits, cache = model_llama.forward_paged(
+                    params, cfg, tokens, positions, cache, table,
+                    last_only=True)
+            else:
+                bias, recent, count, roll, key, dyn, greedy = rest
+                logits, cache = model_llama.forward(
+                    params, cfg, tokens, positions, cache, last_only=True)
+            l = logits[:, -1]
+            # the fed token enters each slot's context before sampling (the
+            # host chain samples over context incl. the fed token)
+            rolled = jnp.roll(recent, -1, axis=1).at[:, -1].set(tokens[:, 0])
+            recent = jnp.where(roll[:, None], rolled, recent)
+            count = jnp.where(roll, jnp.minimum(count + 1, recent.shape[1]),
+                              count)
+            toks = sample_step_batched(l, bias, recent, count, key, dyn,
+                                       order_key, greedy)
+            return toks, l, cache, recent, count
+
+        fn = jax.jit(sfwd, donate_argnames=("cache",))
+        self._sampled_fwd[order_key] = fn
+        return fn
 
     def _build_bias_rows(self) -> np.ndarray:
         rows = np.zeros((self.n_slots, self.cfg.vocab_size), np.float32)
@@ -613,6 +791,7 @@ class BatchedEngine:
                     :len(slot.context) - (n_rewind - 1)]
                 slot.antislop_bans.setdefault(
                     len(slot.context), set()).add(ban_tok)
+                self._recent_dirty.add(slot.idx)
                 slot.stream_q = [e for e in slot.stream_q
                                  if e[0] <= len(slot.out_tokens)]
                 # replay: recompute logits at the rewound tail (re-evaluates
@@ -662,6 +841,7 @@ class BatchedEngine:
         # (prompt + generated-and-fed), which the next request fast-forwards on
         slot.request = None
         self._bias_dev = None
+        self._dyn_rows = None
         req.done.set()
 
 

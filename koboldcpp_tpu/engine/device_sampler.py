@@ -150,6 +150,48 @@ def sample_step(logits, bias_mask, recent, count, key, dyn, order):
     return sorted_ids[pick].astype(jnp.int32)
 
 
+def make_dyn_rows(sps, max_context: int) -> dict:
+    """Per-slot dynamic knob vectors for the batched sampler: one (B,)
+    array per knob.  Greedy slots (temperature == 0) get sanitized values
+    (temp 1, rep_pen 1) — their pick is overridden by the greedy mask, the
+    sanitized row just keeps the vmapped chain NaN-free."""
+    import numpy as np
+
+    def col(f, dtype):
+        return jnp.asarray(np.array([f(sp) for sp in sps], dtype=dtype))
+
+    return dict(
+        temperature=col(lambda sp: sp.temperature if sp.temperature > 0
+                        else 1.0, "float32"),
+        top_k=col(lambda sp: sp.top_k, "int32"),
+        top_p=col(lambda sp: sp.top_p, "float32"),
+        min_p=col(lambda sp: sp.min_p, "float32"),
+        rep_pen=col(lambda sp: sp.rep_pen, "float32"),
+        rep_pen_slope=col(lambda sp: sp.rep_pen_slope, "float32"),
+        presence=col(lambda sp: sp.presence_penalty, "float32"),
+        rep_limit=col(lambda sp: min(max(sp.rep_pen_range, 0), max_context),
+                      "int32"),
+    )
+
+
+def sample_step_batched(logits, bias, recent, count, key, dyn, order, greedy):
+    """Per-slot device sampling for the batched engine (VERDICT r2 item 6):
+    vmap of the single-slot chain over B rows with per-slot knob vectors.
+    `greedy` rows take argmax(logits + bias) — the host semantics of
+    temperature == 0.  Returns (B,) int32 token ids."""
+    B = logits.shape[0]
+    keys = jax.random.split(key, B)
+
+    def one(l, b, r, c, k, d, g):
+        final, sorted_ids = _chain(l, b, r, c, d, order)
+        gmb = jax.random.gumbel(k, final.shape, jnp.float32)
+        pick = sorted_ids[jnp.argmax(final + gmb)]
+        gpick = jnp.argmax(l.astype(jnp.float32) + b)
+        return jnp.where(g, gpick, pick).astype(jnp.int32)
+
+    return jax.vmap(one)(logits, bias, recent, count, keys, dyn, greedy)
+
+
 def candidate_distribution(logits, bias_mask, recent, count, dyn, order):
     """Full-vocab probability vector the device sampler draws from — the
     test/parity hook against the host chain."""

@@ -853,15 +853,23 @@ def _iq4_nl_quantize(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def _iq4_xs_quantize(x: np.ndarray) -> np.ndarray:
-    """IQ4_XS quantizer without imatrix (quantize_row_iq4_nl_impl with
-    super_block_size=256, block_size=32, ntry=7, weight=x^2;
-    /root/reference/ggml/src/ggml-quants.c:15065-15165,15229): per-32 NL scale
-    search, 6-bit sub-scales against a shared super-block d, final re-index."""
+def _iq4_xs_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ4_XS quantizer (quantize_row_iq4_nl_impl with super_block_size=256,
+    block_size=32, ntry=7; /root/reference/ggml/src/ggml-quants.c:15065-15165,
+    15229): per-32 NL scale search, 6-bit sub-scales against a shared
+    super-block d, final re-index.  Without imatrix weight=x^2; with imatrix
+    weight = qw * sqrt(sigma2 + x^2), sigma2 = 2*sum(x^2)/256 per super-block
+    (ggml-quants.c:15072-15085)."""
     b = _rows(x, QK_K)
     NB = len(b)
     sb = b.reshape(NB, 8, 32)  # sub-blocks
-    w = sb * sb
+    if qw is None:
+        w = sb * sb
+    else:
+        qwb = _rows(np.asarray(qw, np.float32), QK_K).reshape(NB, 8, 32)
+        sigma2 = np.float32(2.0) * (b * b).sum(axis=-1,
+                                               dtype=np.float32) / QK_K
+        w = qwb * np.sqrt(sigma2[:, None, None] + sb * sb)
     amax = np.abs(sb).max(axis=-1)
     arg = np.abs(sb).argmax(axis=-1)
     mx = np.take_along_axis(sb, arg[..., None], axis=-1)[..., 0]
@@ -1264,6 +1272,7 @@ _IMATRIX_QUANTIZERS = {
     GGMLType.Q4_K: _q4_k_quantize,
     GGMLType.Q5_K: _q5_k_quantize,
     GGMLType.Q6_K: _q6_k_quantize,
+    GGMLType.IQ4_XS: _iq4_xs_quantize,
 }
 
 _DEQUANTIZERS = {
@@ -1319,6 +1328,13 @@ def quantize(x: np.ndarray, t: GGMLType,
                              x.shape).reshape(x.shape)
         out = _IMATRIX_QUANTIZERS[t](x, qw)
     else:
+        if quant_weights is not None:
+            import warnings
+
+            warnings.warn(
+                f"imatrix provided but {t.name} has no weighted search "
+                "variant — falling back to the unweighted x^2 search",
+                stacklevel=2)
         out = _QUANTIZERS[t](x)
     return np.ascontiguousarray(out).reshape(_out_shape(shape, t))
 

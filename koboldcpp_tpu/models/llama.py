@@ -621,6 +621,22 @@ def _take_layer(stacked: Params, li) -> Params:
     return out
 
 
+def _layer_view(stacked: Params, li) -> Params:
+    """Per-layer view for the scan decode body: packed QTensors become
+    LayerRefs (linear.matmul serves them via scalar-prefetch stacked Pallas
+    kernels — weights stream from HBM with no per-layer XLA slice copies);
+    small per-layer arrays (norms, biases) dynamic-slice, which is cheap."""
+    out = {}
+    for k, v in stacked.items():
+        if isinstance(v, QTensor):
+            out[k] = (linear.LayerRef(v, li) if v.kind != "dense"
+                      else QTensor(kind="dense", shape=v.shape,
+                                   data={n: a[li] for n, a in v.data.items()}))
+        else:
+            out[k] = v[li]
+    return out
+
+
 def forward_stacked(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                     positions: jnp.ndarray, cache: KVCache,
                     last_only: bool = False) -> tuple[jnp.ndarray, KVCache]:
@@ -713,9 +729,13 @@ def forward_stacked(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
         interp = jax.default_backend() == "cpu"
 
-        def body_pool(carry, xs):
+        def body_pool(carry, li):
+            # weights stay OUT of scan xs: the _layer_view LayerRefs hit the
+            # scalar-prefetch stacked kernels, so XLA never materializes a
+            # per-layer weight slice (scan xs slicing read+wrote every weight
+            # byte per step — the 490 vs 1068 t/s gap in BENCH_r02)
             x, k_pool, v_pool = carry
-            layer, li = xs
+            layer = _layer_view(stacked, li)
             h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
             q, k, v = qkv_of(layer, h)
             out, k_pool, v_pool = flash_decode.decode_attention_rows(
@@ -727,8 +747,7 @@ def forward_stacked(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             return (x, k_pool, v_pool), None
 
         (x, k_all, v_all), _ = jax.lax.scan(
-            body_pool, (x, cache.k, cache.v),
-            (stacked, jnp.arange(n_layers)))
+            body_pool, (x, cache.k, cache.v), jnp.arange(n_layers))
         new_cache = KVCache(k=k_all, v=v_all, heads=cache.heads)
     else:
         per_layer = _is_layers(cache.k)

@@ -876,6 +876,7 @@ def load_sd_vae(params: Params, vae_path: str) -> int:
                 key = name if name.startswith("vae.") else "vae." + name
                 new[key] = r.tensor_data(name)
     n = 0
+    unmatched = []
     for key, arr in new.items():
         if key in params:
             if tuple(params[key].shape) != tuple(arr.shape):
@@ -883,8 +884,20 @@ def load_sd_vae(params: Params, vae_path: str) -> int:
                                  f"model {tuple(params[key].shape)}")
             params[key] = jnp.asarray(np.asarray(arr, dtype=np.float32))
             n += 1
+        else:
+            unmatched.append(key)
     if n == 0:
         raise ValueError(f"--sdvae {vae_path}: no vae.* tensors matched the model")
+    if unmatched:
+        # a wrong-architecture VAE with partial key overlap would otherwise be
+        # half-applied silently
+        if len(unmatched) > n:
+            raise ValueError(
+                f"--sdvae {vae_path}: {len(unmatched)} of {len(new)} tensors "
+                f"have no counterpart in the model (e.g. {unmatched[0]}) — "
+                "wrong VAE architecture?")
+        print(f"[sdvae] warning: {len(unmatched)} of {len(new)} VAE tensors "
+              f"not present in the model were skipped (e.g. {unmatched[0]})")
     return n
 
 

@@ -313,6 +313,8 @@ def ffn_fused(x: jnp.ndarray, w_gateup: QTensor, w_down: QTensor):
     phases; T>1: 2-D scale-expansion phases); None if not covered."""
     if not (_enabled() and _pallas_enabled()):
         return None
+    if not (isinstance(w_gateup, QTensor) and isinstance(w_down, QTensor)):
+        return None  # LayerRef (scan stacked path) — composed matvecs cover it
     if w_gateup.kind != "q4_k" or w_down.kind != "q4_k":
         return None
     if any(n not in w_gateup.data or n not in w_down.data

@@ -575,8 +575,43 @@ class ActivationCollector:
         return {n: s / max(self.counts[n], 1) for n, s in self.sums.items()}
 
 
+class LayerRef:
+    """A (layer-stacked QTensor, traced layer index) pair.
+
+    `matmul` serves it through the scalar-prefetch stacked Pallas kernels
+    (quant_matmul.matmul_packed_stacked) so a lax.scan decode body reads
+    per-layer packed weights straight from HBM; when no stacked kernel
+    covers the tensor, the layer is dynamic-sliced out and takes the
+    regular path (the pre-round-3 scan behavior)."""
+    __slots__ = ("qt", "li")
+
+    def __init__(self, qt: QTensor, li):
+        self.qt = qt
+        self.li = li
+
+    @property
+    def kind(self):
+        return self.qt.kind
+
+    @property
+    def shape(self):
+        return self.qt.shape
+
+    def take(self) -> QTensor:
+        """Dynamic-slice this layer out of the stacked fields."""
+        return QTensor(kind=self.qt.kind, shape=self.qt.shape,
+                       data={n: a[self.li] for n, a in self.qt.data.items()})
+
+
 def matmul(x: jnp.ndarray, qt: QTensor, out_dtype=None) -> jnp.ndarray:
     """y = x @ W^T for any QTensor. x: (..., in) -> (..., out)."""
+    if isinstance(qt, LayerRef):
+        out_dtype = out_dtype or x.dtype
+        from . import quant_matmul
+        y = quant_matmul.matmul_packed_stacked(x, qt.qt, qt.li)
+        if y is not None:
+            return y.astype(out_dtype)
+        qt = qt.take()
     if _COLLECTOR is not None:
         _COLLECTOR.record(qt, x)
     out_dtype = out_dtype or x.dtype

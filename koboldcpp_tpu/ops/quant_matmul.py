@@ -49,6 +49,15 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _mm_i8(kind: str) -> bool:
+    """int8-MXU decode variant gate for the q8_0/q6_k row matvecs
+    (KCPP_MM_I8, default on after the round-3 on-TPU A/B — see PERF_NOTES).
+    Read in the non-jitted dispatch and passed as a static arg."""
+    if kind not in ("q8_0", "q6_k"):
+        return False
+    return os.environ.get("KCPP_MM_I8", "1") == "1"
+
+
 def _pallas_enabled() -> bool:
     """On-TPU default comes from KCPP_PALLAS_MM (set after A/B benchmarks);
     the CPU interpreter always exercises the kernels (tests)."""
@@ -410,6 +419,75 @@ def _q8_0_decode_kernel(x_ref, q_ref, s_ref, o_ref):
     o_ref[:] = t.astype(o_ref.dtype)
 
 
+def _q8_0_row_kernel_i8(x_ref, q_ref, st_ref, o_ref, mi_s, sx_s):
+    """T=1 Q8_0 matvec on the int8 MXU path: the weights are ALREADY int8,
+    so this is a pure relayout of the q4_k i8 trick (mmq/mmvq q8_0 path,
+    ggml-cuda/mmvq.cu) — per-32-group int8 activation quantization in-kernel,
+    i8xi8->i32 P-dot (double contraction throughput per MXU pass vs the
+    bf16-cast kernel), scale products on the (GS, R) partials."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        x = x_ref[:]                      # (1, C) bf16
+        C = x.shape[1]
+        GS = C // 32
+        E = _expand_mat(GS, C, 32)
+        mb = (E * x).astype(jnp.float32)  # (GS, C) block-diagonal
+        a = jnp.maximum(jnp.max(jnp.abs(mb), axis=1, keepdims=True), 1e-20)
+        mi_s[:] = jnp.round(mb * (127.0 / a)).astype(jnp.int32).astype(jnp.int8)
+        sx_s[:] = a / 127.0
+
+    q = q_ref[:]                          # (R, C) int8
+    P = jax.lax.dot_general(mi_s[:], q, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)  # (GS, R)
+    t = jnp.sum(P.astype(jnp.float32) * sx_s[:]
+                * st_ref[:].astype(jnp.float32), axis=0, keepdims=True)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _q6k_row_kernel_i8(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
+                       ql_ref, qh_ref, st_ref, o_ref,
+                       m0_s, m1_s, m2_s, m3_s, sx_s):
+    """T=1 Q6_K matvec on the int8 MXU path: 6-bit plane values expand to
+    int8 (nibble | 2-bit high, 0..63 fits i8 — ggml's vec_dot_q6_K does the
+    same expansion before dp4a), activations quantize per-16-group to int8
+    per plane, i32 P-dots, and the -32 offset folds into an EXACT f32
+    group-sum dot so only the product term carries activation-quant noise."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        C4 = x0_ref.shape[1]
+        GS = C4 // 16
+        E = _expand_mat(GS, C4, 16)
+        for xp, mi, col in ((x0_ref, m0_s, 0), (x1_ref, m1_s, 1),
+                            (x2_ref, m2_s, 2), (x3_ref, m3_s, 3)):
+            mb = (E * xp[:]).astype(jnp.float32)
+            a = jnp.maximum(jnp.max(jnp.abs(mb), axis=1, keepdims=True), 1e-20)
+            mi[:] = jnp.round(mb * (127.0 / a)).astype(jnp.int32).astype(jnp.int8)
+            sx_s[:, col:col + 1] = a / 127.0
+
+    ql = ql_ref[:].astype(jnp.int32)
+    qh = qh_ref[:].astype(jnp.int32)
+    C2 = ql.shape[1]
+    C4 = C2 // 2
+    qlA, qlB = ql[:, :C4], ql[:, C4:]
+    p0 = ((qlA & 0xF) | ((qh & 3) << 4)).astype(jnp.int8)
+    p1 = ((qlB & 0xF) | (((qh >> 2) & 3) << 4)).astype(jnp.int8)
+    p2 = (((qlA >> 4) & 0xF) | (((qh >> 4) & 3) << 4)).astype(jnp.int8)
+    p3 = (((qlB >> 4) & 0xF) | (((qh >> 6) & 3) << 4)).astype(jnp.int8)
+    st = st_ref[:].astype(jnp.float32)  # (in/16, R) plane-major
+    n = st.shape[0] // 4
+    t = jnp.zeros((1, st.shape[1]), jnp.float32)
+    for i, (p, mi) in enumerate(((p0, m0_s), (p1, m1_s),
+                                 (p2, m2_s), (p3, m3_s))):
+        P = jax.lax.dot_general(mi[:], p, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)  # (GS, R)
+        t += jnp.sum(P.astype(jnp.float32) * sx_s[:, i:i + 1]
+                     * st[i * n:(i + 1) * n], axis=0, keepdims=True)
+    t -= 32.0 * jax.lax.dot_general(
+        xs_ref[:].astype(jnp.float32), st, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
 def _q8_0_row_kernel(x_ref, q_ref, st_ref, o_ref):
     """Row-output (1, R) Q8_0 matvec: P-dot against the activation-masked
     expansion stack + lane-transposed scales (GS, R) — no in-kernel
@@ -641,23 +719,20 @@ def _specs_w(shapes):
                          memory_space=pltpu.VMEM) for s in shapes]
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
+@functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret",
+                                             "i8", "raw"))
 def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
-                       interpret: bool):
+                       interpret: bool, i8: bool = False, raw: bool = False):
     """T<=8 q4_k/q5_k matvec through the row-output kernels.
-    Returns (T, out_f)."""
+    Returns (T, out_f).
+
+    `i8`/`raw` are decided by the (non-jitted) dispatch layer `matmul_packed`
+    from the KCPP_Q4K_I8 / KCPP_Q4K_RAW_X env flags and arrive as static args,
+    so flipping the env between calls actually changes the compiled path
+    instead of hitting the jit cache (round-2 advisor finding)."""
     T = x.shape[0]
     GS = in_f // 64
     C2 = in_f // 2
-    # int8 MXU path — DEFAULT ON after the round-2 on-TPU A/B: decode 800 ->
-    # 1068 t/s (103% of the resident-bytes roofline, 86% of streamed-bytes;
-    # BENCH_r02), served greedy 664 -> 790.  Activation int8 noise is the same
-    # class llama.cpp serves with (q8_1 activations, ggml-cuda/mmq.cuh:25-60);
-    # QUALITY.md shows that noise class costs <0.05 ppl.  KCPP_Q4K_I8=0 reverts.
-    i8 = (T == 1 and in_f % 256 == 0
-          and os.environ.get("KCPP_Q4K_I8", "1") == "1")
-    raw = i8 or (kind == "q4_k" and T == 1 and in_f % 256 == 0
-                 and os.environ.get("KCPP_Q4K_RAW_X", "1") == "1")
     if raw:
         # kernel does its own plane split / group sums / masked expansion
         x_args = (x,)
@@ -727,13 +802,17 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
     )(*x_args, *fields)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
+@functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f",
+                                             "interpret", "i8"))
 def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
-                   interpret: bool):
+                   interpret: bool, i8: bool = False):
     """T=1 fast path through the row-output *_row_kernel variants for
     q6_k/q8_0 (lane-transposed scale sidecars; same design as the q4_k
-    decode kernel); returns (1, out_f)."""
+    decode kernel); returns (1, out_f).  `i8` (decided by the non-jitted
+    dispatch from KCPP_MM_I8) selects the int8 MXU variants for
+    q6_k/q8_0 — the mmvq-equivalent ports (VERDICT r2 item 3)."""
     T = x.shape[0]
+    scratch = []
     if kind in ("q6_k", "q2_k", "q3_k"):
         x4 = x.reshape(1, in_f // 128, 128)
         planes = [x4[:, :, i * 32:(i + 1) * 32].reshape(1, in_f // 4)
@@ -743,14 +822,26 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
         x_args = (*planes, xs)
         x_rows = (1,) * 5
         x_shapes = (in_f // 4,) * 4 + (in_f // 16,)
-        kernel = {"q6_k": _q6k_row_kernel, "q2_k": _q2k_row_kernel,
-                  "q3_k": _q3k_row_kernel}[kind]
+        if kind == "q6_k" and i8:
+            kernel = _q6k_row_kernel_i8
+            C4, GS4 = in_f // 4, in_f // 64
+            scratch = [pltpu.VMEM((GS4, C4), jnp.int8) for _ in range(4)] \
+                + [pltpu.VMEM((GS4, 4), jnp.float32)]
+        else:
+            kernel = {"q6_k": _q6k_row_kernel, "q2_k": _q2k_row_kernel,
+                      "q3_k": _q3k_row_kernel}[kind]
         st_rows = in_f // 16
     elif kind == "q8_0":
         x_args = (x,)
         x_rows = (1,)
         x_shapes = (in_f,)
-        kernel = _q8_0_row_kernel
+        if i8:
+            kernel = _q8_0_row_kernel_i8
+            GS = in_f // 32
+            scratch = [pltpu.VMEM((GS, in_f), jnp.int8),
+                       pltpu.VMEM((GS, 1), jnp.float32)]
+        else:
+            kernel = _q8_0_row_kernel
         st_rows = in_f // 32
     else:
         raise ValueError(kind)
@@ -784,6 +875,7 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
         out_specs=pl.BlockSpec((1, rt), lambda o: (0, o),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, out_f), x.dtype),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * T * in_f * out_f,
             bytes_accessed=sum(f.nbytes for f in fields) + x.nbytes
@@ -793,9 +885,10 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
     )(*x_args, *fields)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret"))
+@functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret",
+                                             "q4k_2d"))
 def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
-                      interpret: bool):
+                      interpret: bool, q4k_2d: str = "sexp"):
     T = x.shape[0]
     t_tile = min(T_TILE, T)
     grid = (out_f // ROW_TILE, pl.cdiv(T, t_tile))
@@ -803,7 +896,7 @@ def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
     if kind == "q4_k":
         xl, xh = _plane_split2(x, in_f)
         xs = _group_sums(x, in_f, 32)  # logical groups (min term)
-        if os.environ.get("KCPP_Q4K_2D", "sexp") == "magic":
+        if q4k_2d == "magic":
             xsl = _group_sums(xl, in_f // 2, 32)
             xsh = _group_sums(xh, in_f // 2, 32)
             x_args = (xl, xh, xsl, xsh, xs)
@@ -882,6 +975,223 @@ _MATVEC_FIELDS = {"q6_k": ("ql2", "qh2", "scale_pt"),
                   "q8_0": ("q", "scale_t")}
 
 
+class _SqView:
+    """Kernel-ref adapter presenting a (1, *dims) block as its squeezed
+    (*dims) self, so the shared matvec kernel bodies (written against 2-D
+    weight refs) also serve layer-STACKED fields whose BlockSpec carries a
+    leading block dim of 1 selected by the scalar-prefetched layer index."""
+    __slots__ = ("r",)
+
+    def __init__(self, r):
+        self.r = r
+
+    def __getitem__(self, idx):
+        if idx == slice(None):
+            return self.r[0]
+        if isinstance(idx, tuple):
+            return self.r[(0,) + idx]
+        return self.r[(0, idx)]
+
+    @property
+    def shape(self):
+        return self.r.shape[1:]
+
+    @property
+    def dtype(self):
+        return self.r.dtype
+
+
+def _stacked_kernel(kernel, n_x: int, n_w: int):
+    """Wrap a matvec kernel for the stacked-weight pallas_call: the scalar
+    ref arrives first (consumed by the index maps, unused in the body) and
+    the n_w weight refs after the n_x activation refs get the leading-1
+    squeeze view."""
+    def wrapped(li_ref, *refs):
+        del li_ref
+        xs = refs[:n_x]
+        ws = tuple(_SqView(r) for r in refs[n_x:n_x + n_w])
+        rest = refs[n_x + n_w:]
+        kernel(*xs, *ws, *rest)
+    return wrapped
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f",
+                                             "interpret", "i8"))
+def _packed_matvec_q4k_stacked(x, li, fields: tuple, kind: str, out_f: int,
+                               in_f: int, interpret: bool, i8: bool):
+    """T=1 q4_k/q5_k matvec against LAYER-STACKED packed fields.
+
+    Each field in `fields` carries a leading layer axis (stack_layers);
+    the kernel's BlockSpec index maps select layer `li` through scalar
+    prefetch, so a lax.scan decode body reads each layer's packed weights
+    straight from HBM — XLA never materializes a per-layer slice copy
+    (the copy+write-back tripled HBM traffic and held scan decode at 46%
+    of unrolled in BENCH_r02)."""
+    T = x.shape[0]
+    GS = in_f // 64
+    C2 = in_f // 2
+    n_qfields = 2 if kind == "q5_k" else 1  # qs2 (+ hb)
+    budget = 13 * 1024 * 1024 - 2 * 2 * T * GS * C2 * 2
+    rt = ROW_TILE
+    for cand in (DECODE_ROW_TILE, ROW_TILE, 128):
+        if out_f % cand == 0 and 2 * cand * (n_qfields * C2 + 8 * GS) <= budget:
+            rt = cand
+            break
+    if i8:
+        scratch = [pltpu.VMEM((GS, C2), jnp.int8),
+                   pltpu.VMEM((GS, C2), jnp.int8),
+                   pltpu.VMEM((GS, 2), jnp.float32),
+                   pltpu.VMEM((2, GS), jnp.bfloat16)]
+        kernel = (_q5k_decode_kernel_i8 if kind == "q5_k"
+                  else _q4k_decode_kernel_i8)
+    else:
+        scratch = [pltpu.VMEM((GS, C2), jnp.bfloat16),
+                   pltpu.VMEM((GS, C2), jnp.bfloat16),
+                   pltpu.VMEM((2, GS), jnp.bfloat16)]
+        kernel = _q4k_decode_kernel_raw
+    n_layers = fields[0].shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(out_f // rt,),
+        in_specs=[pl.BlockSpec((T, in_f), lambda o, p: (0, 0))]
+        + [pl.BlockSpec((1, rt, C2), lambda o, p: (p[0], o, 0))] * n_qfields
+        + [pl.BlockSpec((1, GS, rt), lambda o, p: (p[0], 0, o))] * 4,
+        out_specs=pl.BlockSpec((T, rt), lambda o, p: (0, o)),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        _stacked_kernel(kernel, 1, n_qfields + 4),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, out_f), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * in_f * out_f,
+            bytes_accessed=sum(f.nbytes for f in fields) // n_layers
+            + x.nbytes + T * out_f * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(li, jnp.int32).reshape(1), x, *fields)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f",
+                                             "interpret", "i8"))
+def _packed_matvec_stacked(x, li, fields: tuple, kind: str, out_f: int,
+                           in_f: int, interpret: bool, i8: bool = False):
+    """Stacked-field analog of _packed_matvec (q6_k/q2_k/q3_k/q8_0 row
+    matvecs) for the lax.scan decode body — see _packed_matvec_q4k_stacked."""
+    T = x.shape[0]
+    scratch = []
+    if kind in ("q6_k", "q2_k", "q3_k"):
+        x4 = x.reshape(1, in_f // 128, 128)
+        planes = [x4[:, :, i * 32:(i + 1) * 32].reshape(1, in_f // 4)
+                  for i in range(4)]
+        xs = jnp.concatenate(
+            [_group_sums(p, in_f // 4, 16) for p in planes], axis=1)
+        x_args = (*planes, xs)
+        x_rows = (1,) * 5
+        x_shapes = (in_f // 4,) * 4 + (in_f // 16,)
+        if kind == "q6_k" and i8:
+            kernel = _q6k_row_kernel_i8
+            C4, GS4 = in_f // 4, in_f // 64
+            scratch = [pltpu.VMEM((GS4, C4), jnp.int8) for _ in range(4)] \
+                + [pltpu.VMEM((GS4, 4), jnp.float32)]
+        else:
+            kernel = {"q6_k": _q6k_row_kernel, "q2_k": _q2k_row_kernel,
+                      "q3_k": _q3k_row_kernel}[kind]
+        st_rows = in_f // 16
+    elif kind == "q8_0":
+        x_args = (x,)
+        x_rows = (1,)
+        x_shapes = (in_f,)
+        if i8:
+            kernel = _q8_0_row_kernel_i8
+            GS = in_f // 32
+            scratch = [pltpu.VMEM((GS, in_f), jnp.int8),
+                       pltpu.VMEM((GS, 1), jnp.float32)]
+        else:
+            kernel = _q8_0_row_kernel
+        st_rows = in_f // 32
+    else:
+        raise ValueError(kind)
+    rt = (DECODE_ROW_TILE if T == 1 and out_f % DECODE_ROW_TILE == 0
+          else ROW_TILE)
+
+    def row_spec3(width):
+        return pl.BlockSpec((1, rt, width), lambda o, p: (p[0], o, 0))
+
+    n_t = 1
+    if kind == "q6_k":
+        w_in_specs = [row_spec3(in_f // 2), row_spec3(in_f // 4)]
+    elif kind == "q2_k":
+        w_in_specs = [row_spec3(in_f // 4)]
+        n_t = 2  # scale_pt + min_pt
+    elif kind == "q3_k":
+        w_in_specs = [row_spec3(in_f // 4), row_spec3(in_f // 4)]
+    else:
+        w_in_specs = [row_spec3(in_f)]
+    n_layers = fields[0].shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(out_f // rt,),
+        in_specs=[pl.BlockSpec((r, s), lambda o, p: (0, 0))
+                  for r, s in zip(x_rows, x_shapes)]
+        + w_in_specs
+        + [pl.BlockSpec((1, st_rows, rt), lambda o, p: (p[0], 0, o))] * n_t,
+        out_specs=pl.BlockSpec((1, rt), lambda o, p: (0, o)),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        _stacked_kernel(kernel, len(x_args), len(w_in_specs) + n_t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, out_f), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * in_f * out_f,
+            bytes_accessed=sum(f.nbytes for f in fields) // n_layers
+            + x.nbytes + T * out_f * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(li, jnp.int32).reshape(1), *x_args, *fields)
+
+
+def matmul_packed_stacked(x: jnp.ndarray, qt: QTensor, li):
+    """Dispatch a T=1 matvec against a layer-STACKED QTensor (data fields
+    carry a leading layer axis, logical shape is still per-layer (out, in));
+    `li` is a traced layer index.  Returns None when no stacked kernel
+    covers (kind, shape) — the caller falls back to dynamic-slicing the
+    layer out (the pre-round-3 scan behavior)."""
+    if qt.kind not in _FIELD_LISTS or not _pallas_enabled():
+        return None
+    out_f, in_f = qt.shape
+    if out_f % ROW_TILE or in_f % 256:
+        return None
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, in_f)
+    if x2.shape[0] != 1 or os.environ.get("KCPP_Q4K_DECODE", "1") != "1":
+        return None
+    if x2.dtype != jnp.bfloat16:
+        x2 = x2.astype(jnp.bfloat16)
+    if qt.kind in ("q4_k", "q5_k"):
+        mv = _MATVEC_FIELDS_Q5K if qt.kind == "q5_k" else _MATVEC_FIELDS_Q4K
+        if not all(n in qt.data for n in mv):
+            return None
+        i8 = os.environ.get("KCPP_Q4K_I8", "1") == "1"
+        if not i8 and qt.kind == "q5_k":
+            return None  # bf16 q5_k needs host-side plane prep — not ported
+        y = _packed_matvec_q4k_stacked(
+            x2, jnp.asarray(li, jnp.int32),
+            tuple(qt.data[n] for n in mv), kind=qt.kind,
+            out_f=out_f, in_f=in_f, interpret=_use_interpret(), i8=i8)
+        return y.reshape(*lead, out_f)
+    if (qt.kind in _MATVEC_FIELDS
+            and all(n in qt.data for n in _MATVEC_FIELDS[qt.kind])):
+        y = _packed_matvec_stacked(
+            x2, jnp.asarray(li, jnp.int32),
+            tuple(qt.data[n] for n in _MATVEC_FIELDS[qt.kind]),
+            kind=qt.kind, out_f=out_f, in_f=in_f, interpret=_use_interpret(),
+            i8=_mm_i8(qt.kind))
+        return y.reshape(*lead, out_f)
+    return None
+
+
 def matmul_packed(x: jnp.ndarray, qt: QTensor):
     """Dispatch to a Pallas kernel if one covers this QTensor, else None."""
     if qt.kind not in _FIELD_LISTS or not _pallas_enabled():
@@ -908,18 +1218,35 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
         mv45 = _MATVEC_FIELDS_Q5K if qt.kind == "q5_k" else _MATVEC_FIELDS_Q4K
         if (qt.kind in ("q4_k", "q5_k")
                 and all(n in qt.data for n in mv45)):
+            # int8 MXU path — DEFAULT ON after the round-2 on-TPU A/B: decode
+            # 800 -> 1068 t/s (86% of the streamed-bytes roofline; BENCH_r02),
+            # served greedy 664 -> 790.  Activation int8 noise is the same
+            # class llama.cpp serves with (q8_1 activations, ggml-cuda/
+            # mmq.cuh:25-60); QUALITY.md bounds that class at <0.05 ppl for
+            # BOTH q4_k and q5_k (ppl re-measured per-kind in round 3).
+            # KCPP_Q4K_I8=0 reverts.  Env is read here, in the non-jitted
+            # dispatch, and passed as a static arg (advisor r2 finding).
+            T2 = x2.shape[0]
+            i8 = (T2 == 1 and in_f % 256 == 0
+                  and os.environ.get("KCPP_Q4K_I8", "1") == "1")
+            raw = i8 or (qt.kind == "q4_k" and T2 == 1 and in_f % 256 == 0
+                         and os.environ.get("KCPP_Q4K_RAW_X", "1") == "1")
             y = _packed_matvec_q4k(
                 x2, tuple(qt.data[n] for n in mv45),
                 kind=qt.kind, out_f=out_f, in_f=in_f,
-                interpret=_use_interpret())
+                interpret=_use_interpret(), i8=i8, raw=raw)
             return y.reshape(*lead, out_f)
         if (qt.kind in _MATVEC_FIELDS and x2.shape[0] == 1
                 and all(n in qt.data for n in _MATVEC_FIELDS[qt.kind])):
+            # int8 MXU path for q8_0 (pure relayout — weights are already
+            # int8) and q6_k (6-bit -> i8 expansion): the mmvq-equivalent
+            # ports of the q4_k i8 win.  KCPP_MM_I8=0 reverts.
             y = _packed_matvec(
                 x2, tuple(qt.data[n] for n in _MATVEC_FIELDS[qt.kind]),
                 kind=qt.kind, out_f=out_f, in_f=in_f,
-                interpret=_use_interpret())
+                interpret=_use_interpret(), i8=_mm_i8(qt.kind))
             return y.reshape(*lead, out_f)
     y = _packed_matmul_2d(x2, fields, kind=qt.kind, out_f=out_f, in_f=in_f,
-                          interpret=_use_interpret())
+                          interpret=_use_interpret(),
+                          q4k_2d=os.environ.get("KCPP_Q4K_2D", "sexp"))
     return y.reshape(*lead, out_f)

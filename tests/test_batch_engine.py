@@ -355,3 +355,68 @@ def test_device_argmax_path_engages_and_matches(model):
         assert want.tokens[1] not in r.tokens
     finally:
         eng.shutdown()
+
+
+def test_device_sampled_path_per_slot(model):
+    """Per-slot device sampling (VERDICT r2 item 6): a stochastic
+    common-preset slot decodes through the batched device sampler (no
+    (B, vocab) logits pull), mixed greedy+stochastic batches stay on
+    device, and a host-chain slot (DRY) only pulls its own row."""
+    eng = BatchedEngine(model, max_context=128, n_slots=3,
+                        cache_dtype=jnp.float32)
+    try:
+        calls = {"sampled": 0}
+        orig = eng._get_sampled_forward
+
+        def spy(order_key):
+            fn = orig(order_key)
+
+            def wrapped(*a, **k):
+                calls["sampled"] += 1
+                return fn(*a, **k)
+            return wrapped
+
+        eng._get_sampled_forward = spy
+
+        # pure stochastic request rides the device sampler
+        sp = SamplerParams(temperature=0.7, top_k=40, top_p=0.9, rep_pen=1.1)
+        r = eng.generate([1, 5, 9], GenParams(max_length=8, sampler=sp))
+        assert calls["sampled"] > 0, "device sampled path never engaged"
+        assert len(r.tokens) == 8
+        assert all(0 <= t < 512 for t in r.tokens)
+
+        # near-greedy temperature == argmax tokens (distribution sanity)
+        simple = Engine(model, max_context=128, cache_dtype=jnp.float32)
+        want = simple.generate([1, 5, 9], greedy(8))
+        eng.reset_context()
+        sp = SamplerParams(temperature=0.01, top_k=1, rep_pen=1.0)
+        r = eng.generate([1, 5, 9], GenParams(max_length=8, sampler=sp))
+        assert r.tokens == want.tokens
+
+        # mixed batch: greedy + stochastic + DRY(host) concurrently
+        calls["sampled"] = 0
+        results = {}
+
+        def run(name, prompt, params):
+            results[name] = eng.generate(prompt, params)
+
+        th = [threading.Thread(target=run, args=a) for a in [
+            ("greedy", [1, 5, 9], greedy(8)),
+            ("stoch", [1, 42, 7], GenParams(
+                max_length=8, bypass_eos=True, sampler=SamplerParams(
+                    temperature=0.8, top_p=0.9, rep_pen=1.05))),
+            ("dry", [1, 300], GenParams(
+                max_length=8, bypass_eos=True, sampler=SamplerParams(
+                    temperature=0.0, rep_pen=1.0, dry_multiplier=0.8))),
+        ]]
+        for t in th:
+            t.start()
+        for t in th:
+            t.join(timeout=120)
+        assert set(results) == {"greedy", "stoch", "dry"}
+        assert len(results["stoch"].tokens) == 8
+        assert len(results["dry"].tokens) == 8
+        # greedy slot's argmax stream is path-independent
+        assert results["greedy"].tokens == want.tokens
+    finally:
+        eng.shutdown()

@@ -149,3 +149,28 @@ def test_i8_decode_matvec_close_to_exact(kind, monkeypatch):
     assert err_i8 < 0.03, err_i8
     # and it should be in the same error ballpark as the bf16 kernel
     assert err_i8 < max(4 * err_bf, 0.02), (err_i8, err_bf)
+
+
+@pytest.mark.parametrize("kind", ["q8_0", "q6_k"])
+def test_i8_decode_matvec_q8_q6(kind, monkeypatch):
+    """The q8_0/q6_k int8-MXU row matvecs (mmvq ports, VERDICT r2 item 3)
+    must stay within activation-quant noise of the exact product AND of the
+    bf16 kernels they replace."""
+    t = GGMLType.Q8_0 if kind == "q8_0" else GGMLType.Q6_K
+    qt, wref = make_qt(t, seed=11)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray((rng.standard_normal((1, qt.in_features)) * 0.7)
+                    .astype(np.float32), jnp.bfloat16)
+    ref = np.asarray(x, np.float32) @ wref.T
+
+    monkeypatch.setenv("KCPP_MM_I8", "1")
+    y_i8 = quant_matmul.matmul_packed(x, qt)
+    assert y_i8 is not None
+    monkeypatch.setenv("KCPP_MM_I8", "0")
+    y_bf = quant_matmul.matmul_packed(x, qt)
+
+    scale = np.abs(ref).max() + 1e-6
+    err_i8 = np.abs(np.asarray(y_i8, np.float32) - ref).max() / scale
+    err_bf = np.abs(np.asarray(y_bf, np.float32) - ref).max() / scale
+    assert err_i8 < 0.03, err_i8
+    assert err_i8 < max(4 * err_bf, 0.02), (err_i8, err_bf)

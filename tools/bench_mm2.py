@@ -148,9 +148,11 @@ def main():
                 qt.data["scale_hi"], qt.data["min"], out_f=out_f, in_f=in_f,
                 row_tile=rt)
             if T <= 8:
-                variants["row"] = lambda a, x=x, f=mv_fields: qm._packed_matvec_q4k(
-                    x + a * 0, f, kind="q4_k", out_f=out_f, in_f=in_f,
-                    interpret=False)
+                i8 = T == 1 and os.environ.get("KCPP_Q4K_I8", "1") == "1"
+                variants["row"] = lambda a, x=x, f=mv_fields, i8=i8: \
+                    qm._packed_matvec_q4k(
+                        x + a * 0, f, kind="q4_k", out_f=out_f, in_f=in_f,
+                        interpret=False, i8=i8, raw=T == 1)
             if T >= 64:
                 w = dequant_xla(qt)
                 variants["xla"] = lambda a, x=x, w=w: (x + a * 0) @ w.T
