@@ -1,5 +1,6 @@
-"""Benchmark: steady-state decode + prefill throughput on a TinyLlama-1.1B-
-shaped Q4_K-packed synthetic model (BASELINE.json config 1 shape), one chip.
+"""Benchmark: steady-state decode + prefill throughput on synthetic Q4_K
+models of the BASELINE.json shapes — TinyLlama-1.1B (config 1) AND
+Llama2-7B (the BASELINE.md headline size), one chip.
 
 Timing methodology: the axon tunnel makes per-call host syncs cost ~30ms and
 `block_until_ready` unreliable, so the measured loops run ON DEVICE
@@ -10,10 +11,14 @@ GenerationSpeed T/s (koboldcpp.py:4320).
 
 Prints ONE JSON line; vs_baseline = measured / HBM-roofline decode rate
 (reference publishes no absolute numbers — BASELINE.md; >=0.85 of roofline is
-the north-star target).
+the north-star target). The 7B numbers ride in extra["7b"].
+
+KCPP_BENCH_MODEL=1b skips the 7B pass (quick iteration); =7b runs 7B as the
+primary metric.
 """
 from __future__ import annotations
 
+import gc
 import json
 from functools import partial
 import os
@@ -43,179 +48,25 @@ def measure_latency() -> float:
     return min(ts)
 
 
-def main():
-    from koboldcpp_tpu.kv.cache import init_cache
-    from koboldcpp_tpu.models import llama
-    from koboldcpp_tpu.models.synthetic import (LLAMA2_7B, TINYLLAMA_1_1B,
-                                                synthetic_params)
-
-    from koboldcpp_tpu.models.llama import stack_layers
-
-    cfg = (LLAMA2_7B if os.environ.get("KCPP_BENCH_MODEL", "") == "7b"
-           else TINYLLAMA_1_1B)
-    params = synthetic_params(cfg, kind=os.environ.get("KCPP_BENCH_KIND", "q4_k"), seed=0)
-    sparams = stack_layers(params)
-    use_scan = False  # scan compiles ~10x faster but decode is ~30% slower (cache copies)
-    big = cfg.hidden_size >= 4096
-    # 7B-class: halve the cache working set (the chip is shared; B=8 MHA
-    # caches at S=1024 are 4.3 GB)
-    max_seq = 512 if big else 1024
-    prefill_len = 256 if big else 512
-    n_decode = 256
-    latency = measure_latency()
-
-    use_flash = jax.default_backend() != "cpu" and cfg.head_dim in (64, 128, 256)
-
-    @jax.jit
-    def prefill(params, tokens, positions, cache):
-        logits, cache = llama.forward(params, cfg, tokens, positions, cache,
-                                      last_only=True, flash_prefill=use_flash)
-        return logits, cache
-
-    @jax.jit
-    def decode_n(dparams, cache, tok0, start_pos):
-        def body(i, carry):
-            tok, cache, acc = carry
-            fwd = llama.forward_stacked if use_scan else llama.forward
-            logits, cache = fwd(
-                dparams, cfg, tok, jnp.full((1, 1), start_pos + i, jnp.int32),
-                cache, last_only=True)
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
-            return nxt, cache, acc + logits[0, -1, 0]
-        tok, cache, acc = jax.lax.fori_loop(
-            0, n_decode, body, (tok0, cache, jnp.float32(0)))
-        return tok, cache, acc
-
-    rng = np.random.default_rng(0)
-    ptoks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, prefill_len)),
-                        dtype=jnp.int32)
-    ppos = jnp.arange(prefill_len, dtype=jnp.int32)[None, :]
-
-    # ---- prefill ----------------------------------------------------------
-    cache = init_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads, cfg.head_dim)
-    t0 = time.perf_counter()
-    logits, cache = prefill(params, ptoks, ppos, cache)
-    first = float(logits.sum())
-    prefill_first_s = time.perf_counter() - t0
-
-    n_pre = 16
-    t0 = time.perf_counter()
-    for _ in range(n_pre - 1):
-        logits, cache = prefill(params, ptoks, ppos, cache)
-    s = float(logits.sum())  # one sync at the end
-    dt = max(time.perf_counter() - t0 - latency, 1e-6)
-    prefill_tps = (n_pre - 1) * prefill_len / dt
-
-    # ---- decode -----------------------------------------------------------
-    dparams = sparams if use_scan else params
-    tok0 = jnp.full((1, 1), 7, jnp.int32)
-    t0 = time.perf_counter()
-    tok, cache, acc = decode_n(dparams, cache, tok0, prefill_len)
-    _ = float(acc)  # compile + run once
-    decode_compile_s = time.perf_counter() - t0
-    cache2 = init_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads, cfg.head_dim)
-    logits, cache2 = prefill(params, ptoks, ppos, cache2)
-    dt = 1e9  # min over repeats: the shared chip has contention spikes
-    for _ in range(3):
-        t0 = time.perf_counter()
-        tok, _c, acc = decode_n(dparams, cache2, tok0, prefill_len)
-        _ = float(acc)
-        dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
-    decode_tps = n_decode / dt
-
-    # ---- scan decode (pooled cache + rows kernel; VERDICT r1 item 6) ------
-    # the cache pool rides the scan carry; decode_attention_rows addresses
-    # each layer's rows via scalar prefetch + aliased outputs, so the scan
-    # body has no XLA cache slices. Compile cost is one body trace.
-    scan_tps, scan_compile_s = 0.0, 0.0
-    try:
-        from koboldcpp_tpu.kv.cache import KVCache, init_pool_cache
-
-        @jax.jit
-        def decode_n_scan(sp, pcache, tok0, start_pos):
-            def body(i, carry):
-                tok, cache, acc = carry
-                logits, cache = llama.forward_stacked(
-                    sp, cfg, tok, jnp.full((1, 1), start_pos + i, jnp.int32),
-                    cache, last_only=True)
-                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
-                return nxt, cache, acc + logits[0, -1, 0]
-            tok, pcache, acc = jax.lax.fori_loop(
-                0, n_decode, body, (tok0, pcache, jnp.float32(0)))
-            return tok, pcache, acc
-
-        pc = init_pool_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads,
-                             cfg.head_dim)
-        t0 = time.perf_counter()
-        tok, pc, acc = decode_n_scan(sparams, pc, tok0, prefill_len)
-        _ = float(acc)
-        scan_compile_s = time.perf_counter() - t0
-        dt = 1e9
-        for _ in range(3):
-            pc2 = init_pool_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads,
-                                  cfg.head_dim)
-            t0 = time.perf_counter()
-            tok, pc2, acc = decode_n_scan(sparams, pc2, tok0, prefill_len)
-            _ = float(acc)
-            dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
-        scan_tps = n_decode / dt
-    except Exception as e:
-        print(f"scan bench skipped: {e!r}", file=sys.stderr)
-
-    # ---- batched decode (continuous-batching throughput, 8 slots) ---------
-    B = 8
-
-    @partial(jax.jit, donate_argnums=(1,))
-    def decode_n_batched(dparams, cache, tok0, start_pos):
-        def body(i, carry):
-            tok, cache, acc = carry
-            fwd = llama.forward_stacked if use_scan else llama.forward
-            logits, cache = fwd(
-                dparams, cfg, tok,
-                jnp.full((B, 1), start_pos + i, jnp.int32), cache,
-                last_only=True)
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
-            return nxt, cache, acc + logits[0, -1, 0]
-        tok, cache, acc = jax.lax.fori_loop(
-            0, n_decode, body, (tok0, cache, jnp.float32(0)))
-        return tok, cache, acc
-
-    # large models: one live batched cache at a time (B=8, long-S caches are
-    # GBs on 7B-class shapes); fresh zeros per repeat are ~free
-    btok = jnp.full((B, 1), 7, jnp.int32)
-    bcache = init_cache(cfg.n_layers, B, max_seq, cfg.n_kv_heads, cfg.head_dim)
-    tok, bcache, acc = decode_n_batched(dparams, bcache, btok, 64)
-    _ = float(acc)
-    del bcache
-    dt = 1e9
-    for _ in range(3):
-        bcache2 = init_cache(cfg.n_layers, B, max_seq, cfg.n_kv_heads,
-                             cfg.head_dim)
-        t0 = time.perf_counter()
-        tok, bcache2, acc = decode_n_batched(dparams, bcache2, btok, 64)
-        _ = float(acc)
-        dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
-        del bcache2
-    batched_tps = B * n_decode / dt
-
-    # ---- roofline ---------------------------------------------------------
+def roofline(params, cfg, prefill_len, n_decode):
+    """(resident_roofline_tps, streamed_roofline_tps, weight_bytes,
+    streamed_bytes) for the decode loop."""
     def nbytes(tree):
         return sum(x.nbytes for x in jax.tree_util.tree_leaves(tree)
                    if hasattr(x, "nbytes"))
 
-    weight_bytes = nbytes(params) - nbytes(params["tok_embd"])  # gather reads 1 row
+    weight_bytes = nbytes(params) - nbytes(params["tok_embd"])
 
     def streamed_bytes(tree):
         """Bytes the decode kernels actually read per step: packed QTensors
-        carry both kernel-layout and legacy/2-D fields; only one set streams.
-        (weight_bytes above counts ALL resident fields — kept for metric
-        continuity across rounds.)"""
+        carry both kernel-layout and legacy/2-D fields; only one set
+        streams."""
         from koboldcpp_tpu.ops.linear import QTensor
         from koboldcpp_tpu.ops.quant_matmul import (_MATVEC_FIELDS,
                                                     _MATVEC_FIELDS_Q4K)
         total = 0
         for leaf in jax.tree_util.tree_leaves(
-                params, is_leaf=lambda x: isinstance(x, QTensor)):
+                tree, is_leaf=lambda x: isinstance(x, QTensor)):
             if not isinstance(leaf, QTensor):
                 continue
             names = {"q4_k": _MATVEC_FIELDS_Q4K}.get(
@@ -230,21 +81,198 @@ def main():
     kv_bytes = 2 * cfg.n_layers * (prefill_len + n_decode // 2) \
         * cfg.n_kv_heads * cfg.head_dim * 2
     hbm_bw = 819e9  # v5e HBM ~819 GB/s
-    roofline_tps = hbm_bw / (weight_bytes + kv_bytes)
-    streamed_roofline_tps = hbm_bw / (streamed + kv_bytes)
+    return (hbm_bw / (weight_bytes + kv_bytes),
+            hbm_bw / (streamed + kv_bytes), weight_bytes, streamed)
 
-    # ---- served greedy throughput (engine fast path, host in the loop) ----
-    served_tps = 0.0
+
+def bench_model(cfg, latency: float, kind: str, scan: bool = True,
+                batched: bool = True) -> dict:
+    """Prefill/decode/scan/batched throughput for one model shape."""
+    from koboldcpp_tpu.kv.cache import init_cache
+    from koboldcpp_tpu.models import llama
+    from koboldcpp_tpu.models.llama import stack_layers
+    from koboldcpp_tpu.models.synthetic import synthetic_params
+
+    params = synthetic_params(cfg, kind=kind, seed=0)
+    sparams = stack_layers(params)
+    big = cfg.hidden_size >= 4096
+    # 7B-class: halve the cache working set (the chip is shared; B=8 MHA
+    # caches at S=1024 are 4.3 GB)
+    max_seq = 512 if big else 1024
+    prefill_len = 256 if big else 512
+    n_decode = 256
+    use_flash = jax.default_backend() != "cpu" and cfg.head_dim in (64, 128, 256)
+
+    @jax.jit
+    def prefill(params, tokens, positions, cache):
+        logits, cache = llama.forward(params, cfg, tokens, positions, cache,
+                                      last_only=True, flash_prefill=use_flash)
+        return logits, cache
+
+    @jax.jit
+    def decode_n(dparams, cache, tok0, start_pos):
+        def body(i, carry):
+            tok, cache, acc = carry
+            logits, cache = llama.forward(
+                dparams, cfg, tok, jnp.full((1, 1), start_pos + i, jnp.int32),
+                cache, last_only=True)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+            return nxt, cache, acc + logits[0, -1, 0]
+        tok, cache, acc = jax.lax.fori_loop(
+            0, n_decode, body, (tok0, cache, jnp.float32(0)))
+        return tok, cache, acc
+
+    rng = np.random.default_rng(0)
+    ptoks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, prefill_len)),
+                        dtype=jnp.int32)
+    ppos = jnp.arange(prefill_len, dtype=jnp.int32)[None, :]
+
+    out: dict = {}
+    # ---- prefill ----------------------------------------------------------
+    cache = init_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads, cfg.head_dim)
+    t0 = time.perf_counter()
+    logits, cache = prefill(params, ptoks, ppos, cache)
+    _ = float(logits.sum())
+    out["first_call_s"] = round(time.perf_counter() - t0, 2)
+
+    n_pre = 16
+    t0 = time.perf_counter()
+    for _ in range(n_pre - 1):
+        logits, cache = prefill(params, ptoks, ppos, cache)
+    _ = float(logits.sum())  # one sync at the end
+    dt = max(time.perf_counter() - t0 - latency, 1e-6)
+    out["prefill_tps"] = round((n_pre - 1) * prefill_len / dt, 1)
+
+    # ---- decode -----------------------------------------------------------
+    tok0 = jnp.full((1, 1), 7, jnp.int32)
+    t0 = time.perf_counter()
+    tok, cache, acc = decode_n(params, cache, tok0, prefill_len)
+    _ = float(acc)  # compile + run once
+    out["decode_compile_s"] = round(time.perf_counter() - t0, 2)
+    cache2 = init_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads, cfg.head_dim)
+    logits, cache2 = prefill(params, ptoks, ppos, cache2)
+    dt = 1e9  # min over repeats: the shared chip has contention spikes
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tok, _c, acc = decode_n(params, cache2, tok0, prefill_len)
+        _ = float(acc)
+        dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
+    out["decode_tps"] = round(n_decode / dt, 2)
+    del cache, cache2, _c
+
+    # ---- scan decode (pooled cache + stacked-weight kernels) --------------
+    # weights stay out of scan xs (scalar-prefetch layer indexing), the
+    # cache pool rides the carry — the big-model serving path (VERDICT r2
+    # item 1): one body trace, no per-layer weight slice copies.
+    out["scan_decode_tps"], out["scan_compile_s"] = 0.0, 0.0
+    if scan:
+        try:
+            from koboldcpp_tpu.kv.cache import init_pool_cache
+
+            @jax.jit
+            def decode_n_scan(sp, pcache, tok0, start_pos):
+                def body(i, carry):
+                    tok, cache, acc = carry
+                    logits, cache = llama.forward_stacked(
+                        sp, cfg, tok,
+                        jnp.full((1, 1), start_pos + i, jnp.int32),
+                        cache, last_only=True)
+                    nxt = jnp.argmax(logits[:, -1],
+                                     axis=-1).astype(jnp.int32)[:, None]
+                    return nxt, cache, acc + logits[0, -1, 0]
+                tok, pcache, acc = jax.lax.fori_loop(
+                    0, n_decode, body, (tok0, pcache, jnp.float32(0)))
+                return tok, pcache, acc
+
+            pc = init_pool_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads,
+                                 cfg.head_dim)
+            t0 = time.perf_counter()
+            tok, pc, acc = decode_n_scan(sparams, pc, tok0, prefill_len)
+            _ = float(acc)
+            out["scan_compile_s"] = round(time.perf_counter() - t0, 2)
+            dt = 1e9
+            for _ in range(3):
+                pc2 = init_pool_cache(cfg.n_layers, 1, max_seq,
+                                      cfg.n_kv_heads, cfg.head_dim)
+                t0 = time.perf_counter()
+                tok, pc2, acc = decode_n_scan(sparams, pc2, tok0, prefill_len)
+                _ = float(acc)
+                dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
+            out["scan_decode_tps"] = round(n_decode / dt, 2)
+            del pc, pc2
+        except Exception as e:
+            print(f"scan bench skipped: {e!r}", file=sys.stderr)
+
+    # ---- batched decode (continuous-batching throughput, 8 slots) ---------
+    out["batched_decode_tps_8slots"] = 0.0
+    if batched:
+        B = 8
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def decode_n_batched(dparams, cache, tok0, start_pos):
+            def body(i, carry):
+                tok, cache, acc = carry
+                logits, cache = llama.forward(
+                    dparams, cfg, tok,
+                    jnp.full((B, 1), start_pos + i, jnp.int32), cache,
+                    last_only=True)
+                nxt = jnp.argmax(logits[:, -1],
+                                 axis=-1).astype(jnp.int32)[:, None]
+                return nxt, cache, acc + logits[0, -1, 0]
+            tok, cache, acc = jax.lax.fori_loop(
+                0, n_decode, body, (tok0, cache, jnp.float32(0)))
+            return tok, cache, acc
+
+        btok = jnp.full((B, 1), 7, jnp.int32)
+        bcache = init_cache(cfg.n_layers, B, max_seq, cfg.n_kv_heads,
+                            cfg.head_dim)
+        tok, bcache, acc = decode_n_batched(params, bcache, btok, 64)
+        _ = float(acc)
+        del bcache
+        dt = 1e9
+        for _ in range(3):
+            bcache2 = init_cache(cfg.n_layers, B, max_seq, cfg.n_kv_heads,
+                                 cfg.head_dim)
+            t0 = time.perf_counter()
+            tok, bcache2, acc = decode_n_batched(params, bcache2, btok, 64)
+            _ = float(acc)
+            dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
+            del bcache2
+        out["batched_decode_tps_8slots"] = round(B * n_decode / dt, 1)
+
+    # ---- roofline ---------------------------------------------------------
+    roof, sroof, wb, sb = roofline(params, cfg, prefill_len, n_decode)
+    out["roofline_tps"] = round(roof, 1)
+    out["streamed_roofline_tps"] = round(sroof, 1)
+    out["weight_gb"] = round(wb / 1e9, 3)
+    out["streamed_gb"] = round(sb / 1e9, 3)
+    kv_bytes = 2 * cfg.n_layers * (prefill_len + n_decode // 2) \
+        * cfg.n_kv_heads * cfg.head_dim * 2
+    out["effective_gbs"] = round(out["decode_tps"] * (sb + kv_bytes) / 1e9, 1)
+    out["pct_streamed_roofline"] = round(out["decode_tps"] / sroof, 4)
+    out["prefill_len"] = prefill_len
+    out["flash_prefill"] = use_flash
+    del params, sparams
+    gc.collect()
+    return out
+
+
+def bench_served(cfg, params_kind: str, max_seq: int) -> float:
+    """Engine-level served greedy throughput (host in the loop)."""
     try:
         from koboldcpp_tpu.engine.engine import Engine, GenParams
         from koboldcpp_tpu.models.loader import Model
+        from koboldcpp_tpu.models.synthetic import synthetic_params
         from koboldcpp_tpu.sampling.samplers import SamplerParams
         from koboldcpp_tpu.tokenizers import Tokenizer
         from koboldcpp_tpu.tokenizers.vocab import vocab_from_metadata
 
+        params = synthetic_params(cfg, kind=params_kind, seed=0)
         md = {"tokenizer.ggml.model": "gpt2",
-              "tokenizer.ggml.tokens": [f"tok{i}" for i in range(cfg.vocab_size)],
-              "tokenizer.ggml.token_type": np.full(cfg.vocab_size, 1, np.int32),
+              "tokenizer.ggml.tokens": [f"tok{i}"
+                                        for i in range(cfg.vocab_size)],
+              "tokenizer.ggml.token_type": np.full(cfg.vocab_size, 1,
+                                                   np.int32),
               "tokenizer.ggml.bos_token_id": np.uint32(1),
               "tokenizer.ggml.eos_token_id": np.uint32(2),
               "tokenizer.ggml.add_bos_token": False}
@@ -260,30 +288,52 @@ def main():
             r = eng.generate([1, 5, 9], gp)
             served_tps = max(served_tps,
                              len(r.tokens) / (time.perf_counter() - t0))
+        del params, model, eng
+        gc.collect()
+        return round(served_tps, 1)
     except Exception:
-        pass
+        return 0.0
+
+
+def main():
+    from koboldcpp_tpu.models.synthetic import LLAMA2_7B, TINYLLAMA_1_1B
+
+    mode = os.environ.get("KCPP_BENCH_MODEL", "")
+    kind = os.environ.get("KCPP_BENCH_KIND", "q4_k")
+    latency = measure_latency()
+
+    if mode == "7b":
+        r7 = bench_model(LLAMA2_7B, latency, kind)
+        result = {
+            "metric": "decode_tokens_per_sec_llama2_7b_q4k_1chip",
+            "value": r7["decode_tps"],
+            "unit": "tokens/s",
+            "vs_baseline": round(r7["decode_tps"] / r7["roofline_tps"], 4),
+            "extra": {**r7, "tunnel_latency_ms": round(latency * 1e3, 1),
+                      "device": str(jax.devices()[0])},
+        }
+        print(json.dumps(result))
+        return
+
+    r1 = bench_model(TINYLLAMA_1_1B, latency, kind)
+    served = bench_served(TINYLLAMA_1_1B, kind, 1024)
+    r7 = {}
+    if mode != "1b":
+        try:
+            r7 = bench_model(LLAMA2_7B, latency, kind)
+        except Exception as e:
+            print(f"7b bench skipped: {e!r}", file=sys.stderr)
 
     result = {
         "metric": "decode_tokens_per_sec_tinyllama1.1b_q4k_1chip",
-        "value": round(decode_tps, 2),
+        "value": r1["decode_tps"],
         "unit": "tokens/s",
-        "vs_baseline": round(decode_tps / roofline_tps, 4),
+        "vs_baseline": round(r1["decode_tps"] / r1["roofline_tps"], 4),
         "extra": {
-            "roofline_tps": round(roofline_tps, 1),
-            "weight_gb": round(weight_bytes / 1e9, 3),
-            "streamed_gb": round(streamed / 1e9, 3),
-            "streamed_roofline_tps": round(streamed_roofline_tps, 1),
-            "effective_gbs": round(decode_tps * (streamed + kv_bytes) / 1e9, 1),
-            "prefill_tps": round(prefill_tps, 1),
-            "batched_decode_tps_8slots": round(batched_tps, 1),
-            "flash_prefill": use_flash,
-            "prefill_len": prefill_len,
-            "first_call_s": round(prefill_first_s, 2),
-            "decode_compile_s": round(decode_compile_s, 2),
-            "scan_layers": use_scan,
-            "scan_decode_tps": round(scan_tps, 2),
-            "scan_compile_s": round(scan_compile_s, 2),
-            "served_greedy_tps": round(served_tps, 1),
+            **{k: v for k, v in r1.items() if k != "decode_tps"},
+            "served_greedy_tps": served,
+            "scan_layers": False,
+            "7b": r7,
             "tunnel_latency_ms": round(latency * 1e3, 1),
             "device": str(jax.devices()[0]),
         },

@@ -1109,6 +1109,369 @@ def _iq1_m_dequantize(raw: np.ndarray) -> np.ndarray:
     return out.reshape(N, QK_K).astype(np.float32)
 
 
+_IQ_QTABLES: dict = {}
+
+
+def _iq_quant_tables(fmt: str):
+    """Quantizer-space tables for a codebook grid: (q_grid (E, gs) of
+    2l+1 values, L_grid (E, gs) ints, pattern_map) — the reference builds
+    these at runtime in iq2xs_init_impl/iq3xs_init_impl
+    (/root/reference/ggml/src/ggml-quants.c); we derive them from the
+    dequant grids (iq_grids.npz)."""
+    if fmt in _IQ_QTABLES:
+        return _IQ_QTABLES[fmt]
+    g = _iq_grids()
+    if fmt == "iq2_xxs":
+        vals = g["grid_iq2_xxs"].astype(np.int64)     # (256, 8) of {8,25,43}
+        lmap = np.zeros(64, np.int64)
+        lmap[[8, 25, 43]] = [0, 1, 2]
+        L = lmap[vals]
+        bits = 2
+    elif fmt == "iq3_xxs":
+        vals = g["grid_iq3_xxs"].astype(np.int64)     # (256, 4) of 4+8l (62)
+        L = vals // 8                                  # 4->0 ... 62->7
+        bits = 3
+    else:
+        raise ValueError(fmt)
+    E, gs = L.shape
+    q = (2 * L + 1).astype(np.float32)
+    pat = (L << (bits * np.arange(gs))[None, :]).sum(axis=1)
+    pmap = np.full(1 << (bits * gs), -1, np.int64)
+    pmap[pat] = np.arange(E)
+    _IQ_QTABLES[fmt] = (q, L.astype(np.int64), pmap, bits)
+    return _IQ_QTABLES[fmt]
+
+
+def _iq_signs_parity(xb: np.ndarray, w: np.ndarray):
+    """Per-8-group sign extraction with even-parity enforcement (the grids
+    carry 7-bit sign indices; the 8th sign is the parity bit): flip the
+    min-weight*x^2 element when the flip count is odd.  xb, w: (M, 32).
+    Returns (xval (M, 32) magnitudes w/ parity flips, signs (M, 4) 7-bit)."""
+    M = len(xb)
+    gx = xb.reshape(M, 4, 8)
+    gw = w.reshape(M, 4, 8)
+    sbits = gx < 0
+    xval = np.abs(gx)
+    crit = gw * gx * gx
+    imin = crit.argmin(axis=-1)
+    odd = (sbits.sum(axis=-1) % 2) == 1
+    mi, gi = np.nonzero(odd)
+    xval[mi, gi, imin[mi, gi]] *= -1.0
+    sbits[mi, gi, imin[mi, gi]] ^= True
+    signs = (sbits << np.arange(8)[None, None, :]).sum(axis=-1) & 127
+    return xval.reshape(M, 32), signs.astype(np.uint32)
+
+
+def _iq_grid_project(xval, waux, scale, Laux, fmt: str, mask=None):
+    """Project rounded L-patterns onto the grid: on-grid patterns stay
+    (reference kmap fast path); off-grid ones take the weighted nearest
+    entry under the sqrt-weight metric — the role of the reference's
+    precomputed neighbour lists (iq2_find_best_neighbour), computed here as
+    a brute-force argmin over all E entries (chunked).  Returns (L, idx)."""
+    q, L_grid, pmap, bits = _iq_quant_tables(fmt)
+    E, gs = q.shape
+    M = len(xval)
+    ng = 32 // gs
+    Lg = Laux.reshape(M * ng, gs)
+    u = (Lg.astype(np.int64) << (bits * np.arange(gs))[None, :]).sum(axis=1)
+    idx = pmap[u]                                       # (M*ng,)
+    off = idx < 0
+    if mask is not None:
+        off &= np.repeat(mask, ng)
+    if off.any():
+        xg = xval.reshape(M * ng, gs)[off]
+        wg = waux.reshape(M * ng, gs)[off]
+        s = np.repeat(np.asarray(scale, np.float32), ng)[off]
+        best = np.empty(len(xg), np.int64)
+        q2 = (q * q).astype(np.float32)
+        for c0 in range(0, len(xg), 65536):
+            sl = slice(c0, c0 + 65536)
+            t1 = wg[sl] @ q2.T                          # (K, E) sum w q^2
+            t2 = (wg[sl] * xg[sl]) @ q.T                # (K, E) sum w q x
+            dist = (s[sl, None] ** 2) * t1 - 2 * s[sl, None] * t2
+            best[sl] = dist.argmin(axis=1)
+        idx = idx.copy()
+        idx[off] = best
+    L = np.where(idx[:, None] >= 0, L_grid[np.maximum(idx, 0)], Lg)
+    return L.reshape(M, 32), idx.reshape(M, ng), (~off).reshape(M, ng)
+
+
+def _iq_xxs_quantize(x: np.ndarray, qw: np.ndarray | None, fmt: str) -> np.ndarray:
+    """Shared IQ2_XXS/IQ3_XXS quantizer (quantize_row_iq2_xxs_impl /
+    quantize_row_iq3_xxs_impl, /root/reference/ggml/src/ggml-quants.c:13434,
+    12xxx): per-32-block scale-candidate sweep with grid projection and
+    weighted refit, 7-bit parity signs, 4-bit block scales against
+    d = max_scale/31."""
+    b = _rows(x, QK_K).astype(np.float32)
+    N = len(b)
+    M = N * 8
+    xb = b.reshape(M, 32)
+    if fmt == "iq2_xxs":
+        kmax = 3
+        sigma2 = (b * b).sum(axis=-1) / QK_K
+        cand = [(2 * kmax - 1 + 0.1 * s) for s in range(-6, 7)]
+        eps = GROUP_MAX_EPS
+    else:
+        kmax = 8
+        sigma2 = 2.0 * (b * b).sum(axis=-1) / QK_K
+        cand = [(2 * kmax - 1 + 0.2 * s) for s in range(-15, 16)]
+        eps = np.float32(1e-8)  # GROUP_MAX_EPS_IQ3_XXS
+    sig = np.repeat(sigma2, 8)[:, None]
+    if qw is not None:
+        qwb = _rows(np.asarray(qw, np.float32), QK_K).reshape(M, 32)
+        w = qwb * np.sqrt(sig + xb * xb)
+    elif fmt == "iq2_xxs":
+        # reference requires an imatrix for iq2_xxs; without one we keep
+        # the sqrt weighting with unit importance
+        w = np.sqrt(sig + xb * xb)
+    else:
+        w = xb * xb
+    waux = np.sqrt(w)
+
+    xval, signs = _iq_signs_parity(xb, w)
+    mx = xval.max(axis=-1)
+    live = mx >= eps
+
+    if fmt == "iq2_xxs":
+        _, d0 = _make_qp(xval, kmax + 1, w)
+        eff_max = np.where(d0 * kmax > 0, d0 * kmax, 1.0)
+        scale = d0.copy()
+    else:
+        eff_max = np.where(mx > 0, mx, 1.0)
+        scale = mx / (2 * kmax - 1)
+    best = np.zeros(M, np.float32)
+    L = np.zeros((M, 32), np.int64)
+    ongrid = np.ones((M, 32 // (8 if fmt == "iq2_xxs" else 4)), bool)
+    for c in cand:
+        idv = np.float32(c) / eff_max
+        this_scale = 1.0 / idv
+        Laux = np.clip(_nearest_int(0.5 * (idv[:, None] * xval - 1.0)),
+                       0, kmax - 1)
+        Laux, _, og = _iq_grid_project(xval, waux, this_scale, Laux, fmt,
+                                       mask=live)
+        qv = 2 * Laux + 1
+        sumqx = (w * xval * qv).sum(axis=-1)
+        sumq2 = (w * qv * qv).sum(axis=-1)
+        upd = (sumq2 > 0) & (sumqx * sumqx > best * sumq2) & live
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ns = np.where(sumq2 > 0, sumqx / sumq2, 0.0)
+        scale = np.where(upd, ns, scale)
+        best = np.where(upd, ns * sumqx, best)
+        L = np.where(upd[:, None], Laux, L)
+        ongrid = np.where(upd[:, None], og, ongrid)
+
+    # final re-projection with the winning scale
+    pos = live & (scale > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idv = np.where(scale > 0, 1.0 / np.where(scale > 0, scale, 1.0), 0.0)
+    Lr = np.clip(_nearest_int(0.5 * (idv[:, None] * xval - 1.0)), 0, kmax - 1)
+    if fmt == "iq2_xxs":
+        remap = pos  # iq2 re-maps every group
+    else:
+        remap = pos & ~ongrid.all(axis=-1)  # iq3 re-maps off-grid only
+    Lf = np.where(remap[:, None], Lr, L)
+    Lf, idx, _ = _iq_grid_project(xval, waux, scale, Lf, fmt, mask=pos)
+    if fmt == "iq3_xxs":
+        ng = 8
+        keep = (~remap)[:, None] & ongrid
+        Lf = np.where(np.repeat(keep, 4, axis=1), L, Lf)
+        # recompute idx for kept groups from their (on-grid) patterns
+        q_, Lg_, pmap_, bits_ = _iq_quant_tables(fmt)
+        u = (Lf.reshape(M * ng, 4).astype(np.int64)
+             << (bits_ * np.arange(4))[None, :]).sum(axis=1)
+        idx = pmap_[u].reshape(M, ng)
+    qv = 2 * Lf + 1
+    sumqx = (w * xval * qv).sum(axis=-1)
+    sumq2 = (w * qv * qv).sum(axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(remap & (sumq2 > 0), sumqx / sumq2, scale)
+    neg = scale < 0
+    scale = np.abs(scale)
+    signs = np.where(neg[:, None], (~signs.astype(np.int64)) & 127, signs)
+    scale = np.where(live, scale, 0.0)
+    idx = np.maximum(idx, 0)
+
+    # encode per super-block
+    scale_b = scale.reshape(N, 8)
+    max_scale = scale_b.max(axis=-1)
+    d = max_scale / 31.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idd = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    ls = np.clip(_nearest_int(0.5 * (idd[:, None] * scale_b - 1.0)),
+                 0, 15).astype(np.uint32)
+    sb = signs.reshape(N, 8, 4).astype(np.uint32)
+    aux1 = (sb[:, :, 0] | (sb[:, :, 1] << 7) | (sb[:, :, 2] << 14)
+            | (sb[:, :, 3] << 21) | (ls << 28))
+    dead_sb = max_scale <= 0
+    if fmt == "iq2_xxs":
+        gi = idx.reshape(N, 8, 4).astype(np.uint32)
+        aux0 = (gi[:, :, 0] | (gi[:, :, 1] << 8) | (gi[:, :, 2] << 16)
+                | (gi[:, :, 3] << 24))
+        aux0 = np.where(dead_sb[:, None], 0, aux0)
+        aux1 = np.where(dead_sb[:, None], 0, aux1)
+        out = np.empty((N, 66), np.uint8)
+        out[:, 0:2] = _f16(np.where(dead_sb, 0.0, d).astype(np.float32)
+                           )[:, None].view(np.uint8)
+        q16 = np.empty((N, 8, 4), np.uint16)
+        q16[:, :, 0] = aux0 & 0xFFFF
+        q16[:, :, 1] = aux0 >> 16
+        q16[:, :, 2] = aux1 & 0xFFFF
+        q16[:, :, 3] = aux1 >> 16
+        out[:, 2:] = q16.reshape(N, 32).view(np.uint8)
+        return out
+    # iq3_xxs: qs = 8 grid bytes per 32-block, then 8 aux32
+    gi = idx.reshape(N, 64).astype(np.uint8)
+    gi = np.where(dead_sb[:, None], 0, gi)
+    aux1 = np.where(dead_sb[:, None], 0, aux1)
+    out = np.empty((N, 98), np.uint8)
+    out[:, 0:2] = _f16(np.where(dead_sb, 0.0, d * 1.0125)
+                       .astype(np.float32))[:, None].view(np.uint8)
+    out[:, 2:66] = gi
+    out[:, 66:98] = aux1.astype(np.uint32).reshape(N, 8).view(np.uint8)
+    return out
+
+
+def _iq2_xxs_quantize(x, qw=None):
+    return _iq_xxs_quantize(x, qw, "iq2_xxs")
+
+
+def _iq3_xxs_quantize(x, qw=None):
+    return _iq_xxs_quantize(x, qw, "iq3_xxs")
+
+
+def iq_decompose(raw: np.ndarray, t) -> tuple:
+    """Decompose raw IQ blocks into (v, scales, delta, G):
+
+    - v: (N, 256) int8 SIGNED grid values (sign applied) — the full alphabet
+      of every IQ1/IQ2/IQ3 grid fits int8 ({±8,±25,±43}, {±1..±15},
+      {±4..±62}, {-1,0,1}), so w = scale * v (+ scale*delta for IQ1) exactly.
+    - scales: (N, 256//G) float32 per-G-group scales.
+    - delta: (N, 256//G) float32 per-group IQ1 offsets (None otherwise);
+      w = s*(v + delta) for IQ1.
+    - G: group size (8/16/32).
+
+    This is the basis of the native low-bit serving layouts (pack_iq_native):
+    the codebook grids become per-element codes + sign bits decodable with
+    pure arithmetic in a Pallas kernel — no in-kernel LUT gather needed.
+    Reference layouts: ggml/src/ggml-common.h:336-419."""
+    from .constants import GGMLType as T
+
+    g = _iq_grids()
+    if t == T.IQ2_XXS:
+        blocks = raw.reshape(-1, 66)
+        N = len(blocks)
+        d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+        q16 = blocks[:, 2:].copy().view(np.uint16).reshape(N, 8, 4).astype(np.uint32)
+        aux0 = q16[:, :, 0] | (q16[:, :, 1] << 16)
+        aux1 = q16[:, :, 2] | (q16[:, :, 3] << 16)
+        db = d[:, None] * (0.5 + (aux1 >> 28)).astype(np.float32) * 0.25
+        gidx = np.stack([(aux0 >> (8 * l)) & 0xFF for l in range(4)], axis=2)
+        sidx = np.stack([(aux1 >> (7 * l)) & 127 for l in range(4)], axis=2)
+        v = g["grid_iq2_xxs"][gidx] * _signs_from_index(sidx)
+        return (v.reshape(N, QK_K).astype(np.int8), db.astype(np.float32),
+                None, 32)
+    if t == T.IQ2_XS:
+        blocks = raw.reshape(-1, 74)
+        N = len(blocks)
+        d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+        q16 = blocks[:, 2:66].copy().view(np.uint16).reshape(N, 8, 4)
+        scales = blocks[:, 66:74]
+        db = np.stack([d[:, None] * (0.5 + (scales & 0xF)) * 0.25,
+                       d[:, None] * (0.5 + (scales >> 4)) * 0.25], axis=2)
+        gidx = (q16 & 511).astype(np.int64)
+        sidx = (q16 >> 9).astype(np.int64)
+        v = g["grid_iq2_xs"][gidx] * _signs_from_index(sidx)
+        return (v.reshape(N, QK_K).astype(np.int8),
+                db.reshape(N, 16).astype(np.float32), None, 16)
+    if t == T.IQ2_S:
+        blocks = raw.reshape(-1, 82)
+        N = len(blocks)
+        d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+        qs = blocks[:, 2:34].reshape(N, 8, 4).astype(np.int64)
+        signs = blocks[:, 34:66].reshape(N, 8, 4)
+        qh = blocks[:, 66:74].astype(np.int64)
+        scales = blocks[:, 74:82]
+        db = np.stack([d[:, None] * (0.5 + (scales & 0xF)) * 0.25,
+                       d[:, None] * (0.5 + (scales >> 4)) * 0.25], axis=2)
+        shift = (8 - 2 * np.arange(4))
+        gidx = qs | ((qh[:, :, None] << shift[None, None, :]) & 0x300)
+        bits = (signs[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+        sgn = np.where(bits == 1, np.float32(-1), np.float32(1))
+        v = g["grid_iq2_s"][gidx] * sgn
+        return (v.reshape(N, QK_K).astype(np.int8),
+                db.reshape(N, 16).astype(np.float32), None, 16)
+    if t == T.IQ3_XXS:
+        blocks = raw.reshape(-1, 98)
+        N = len(blocks)
+        d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+        qs = blocks[:, 2:66].reshape(N, 8, 8).astype(np.int64)
+        aux = blocks[:, 66:98].copy().view(np.uint32).reshape(N, 8)
+        db = d[:, None] * (0.5 + (aux >> 28)).astype(np.float32) * 0.5
+        sidx = np.stack([(aux >> (7 * l)) & 127 for l in range(4)], axis=2)
+        v = (g["grid_iq3_xxs"][qs].reshape(N, 8, 4, 8)
+             * _signs_from_index(sidx))
+        return (v.reshape(N, QK_K).astype(np.int8), db.astype(np.float32),
+                None, 32)
+    if t == T.IQ3_S:
+        blocks = raw.reshape(-1, 110)
+        N = len(blocks)
+        d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+        qs = blocks[:, 2:66].reshape(N, 8, 8).astype(np.int64)
+        qh = blocks[:, 66:74].astype(np.int64)
+        signs = blocks[:, 74:106].reshape(N, 8, 4)
+        scales = blocks[:, 106:110]
+        db = np.stack([d[:, None] * (1 + 2 * (scales & 0xF)).astype(np.float32),
+                       d[:, None] * (1 + 2 * (scales >> 4)).astype(np.float32)],
+                      axis=2).reshape(N, 8)
+        k = np.arange(8)
+        gidx = qs | (((qh[:, :, None] << (8 - k)[None, None, :]) & 256))
+        bits = (signs[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+        sgn = np.where(bits == 1, np.float32(-1), np.float32(1))
+        v = g["grid_iq3_s"][gidx].reshape(N, 8, 4, 8) * sgn
+        return (v.reshape(N, QK_K).astype(np.int8), db.astype(np.float32),
+                None, 32)
+    if t == T.IQ1_S:
+        blocks = raw.reshape(-1, 50)
+        N = len(blocks)
+        d = _f16_to_f32(blocks[:, 0:2].copy())[:, 0]
+        qs = blocks[:, 2:34].reshape(N, 8, 4).astype(np.int64)
+        qh = blocks[:, 34:50].copy().view(np.uint16).reshape(N, 8).astype(np.int64)
+        dl = d[:, None] * (2 * ((qh >> 12) & 7) + 1).astype(np.float32)
+        delta = np.where(qh & 0x8000, -IQ1S_DELTA, IQ1S_DELTA)
+        l = np.arange(4)
+        gidx = qs | (((qh[:, :, None] >> (3 * l)[None, None, :]) & 7) << 8)
+        v = g["grid_iq1_s"][gidx]
+        return (v.reshape(N, QK_K).astype(np.int8), dl.astype(np.float32),
+                delta.astype(np.float32), 32)
+    if t == T.IQ1_M:
+        blocks = raw.reshape(-1, 56)
+        N = len(blocks)
+        qs = blocks[:, 0:32].reshape(N, 8, 4).astype(np.int64)
+        qh = blocks[:, 32:48].reshape(N, 8, 2).astype(np.int64)
+        sc = blocks[:, 48:56].copy().view(np.uint16).reshape(N, 4).astype(np.uint32)
+        scale_bits = ((sc[:, 0] >> 12) | ((sc[:, 1] >> 8) & 0x00F0)
+                      | ((sc[:, 2] >> 4) & 0x0F00) | (sc[:, 3] & 0xF000))
+        d = scale_bits.astype(np.uint16)[:, None].view(np.float16).astype(np.float32)[:, 0]
+        ib = np.arange(8)
+        dl1 = (2 * ((sc[:, ib // 2] >> (6 * (ib % 2))) & 7) + 1).astype(np.float32)
+        dl2 = (2 * ((sc[:, ib // 2] >> (6 * (ib % 2) + 3)) & 7) + 1).astype(np.float32)
+        dl = np.stack([dl1, dl1, dl2, dl2], axis=2) * d[:, None, None]  # (N,8,4)
+        idx = np.stack([
+            qs[:, :, 0] | ((qh[:, :, 0] << 8) & 0x700),
+            qs[:, :, 1] | ((qh[:, :, 0] << 4) & 0x700),
+            qs[:, :, 2] | ((qh[:, :, 1] << 8) & 0x700),
+            qs[:, :, 3] | ((qh[:, :, 1] << 4) & 0x700),
+        ], axis=2)  # (N, 8, 4) — per-8-element sub-blocks
+        dmask = np.stack([qh[:, :, 0] & 0x08, qh[:, :, 0] & 0x80,
+                          qh[:, :, 1] & 0x08, qh[:, :, 1] & 0x80], axis=2)
+        delta = np.where(dmask != 0, -IQ1S_DELTA, IQ1S_DELTA)  # (N, 8, 4)
+        v = g["grid_iq1_m"][idx]
+        return (v.reshape(N, QK_K).astype(np.int8),
+                dl.reshape(N, 32).astype(np.float32),
+                delta.reshape(N, 32).astype(np.float32), 8)
+    raise NotImplementedError(f"iq_decompose {t}")
+
+
 def _tq1_0_dequantize(raw: np.ndarray) -> np.ndarray:
     blocks = raw.reshape(-1, 54)
     N = len(blocks)
@@ -1262,6 +1625,8 @@ _QUANTIZERS = {
     GGMLType.Q8_1: _q8_1_quantize,
     GGMLType.IQ4_NL: _iq4_nl_quantize,
     GGMLType.IQ4_XS: _iq4_xs_quantize,
+    GGMLType.IQ2_XXS: _iq2_xxs_quantize,
+    GGMLType.IQ3_XXS: _iq3_xxs_quantize,
     GGMLType.TQ1_0: _tq1_0_quantize,
     GGMLType.TQ2_0: _tq2_0_quantize,
 }
@@ -1273,6 +1638,8 @@ _IMATRIX_QUANTIZERS = {
     GGMLType.Q5_K: _q5_k_quantize,
     GGMLType.Q6_K: _q6_k_quantize,
     GGMLType.IQ4_XS: _iq4_xs_quantize,
+    GGMLType.IQ2_XXS: _iq2_xxs_quantize,
+    GGMLType.IQ3_XXS: _iq3_xxs_quantize,
 }
 
 _DEQUANTIZERS = {

@@ -746,8 +746,17 @@ def forward_stacked(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             x = tail_of(layer, x, out[:, None].astype(x.dtype))
             return (x, k_pool, v_pool), None
 
+        # modest unroll: XLA can overlap one layer's weight DMA with the
+        # previous layer's compute across in-body boundaries; at unroll=1
+        # every scan iteration is a scheduling barrier (measured ~24us/layer
+        # idle, tools/profile_scan.py). Compile cost scales with the factor.
+        unroll = int(os.environ.get("KCPP_SCAN_UNROLL", "4"))
+        unroll = max(1, min(unroll, n_layers))
+        while n_layers % unroll:
+            unroll -= 1
         (x, k_all, v_all), _ = jax.lax.scan(
-            body_pool, (x, cache.k, cache.v), jnp.arange(n_layers))
+            body_pool, (x, cache.k, cache.v), jnp.arange(n_layers),
+            unroll=unroll)
         new_cache = KVCache(k=k_all, v=v_all, heads=cache.heads)
     else:
         per_layer = _is_layers(cache.k)

@@ -393,6 +393,96 @@ def pack_q5_1(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     return _fields_4bit_planes(q, d, -m, shape, hi_bits=q >> 4)
 
 
+_IQ_NATIVE_KINDS = {
+    GGMLType.IQ2_XXS: "iq2p", GGMLType.IQ2_XS: "iq2p", GGMLType.IQ2_S: "iq2p",
+    GGMLType.IQ3_XXS: "iq3px", GGMLType.IQ3_S: "iq3ps",
+    GGMLType.IQ1_S: "iq1p", GGMLType.IQ1_M: "iq1p",
+}
+# code maps: |grid value| -> small code the kernel decodes arithmetically
+_IQ2_CODE = np.zeros(64, np.uint8)
+_IQ2_CODE[[8, 25, 43]] = [0, 1, 2]          # v = 8 + 17c + (c>>1)
+_IQ3X_CODE = np.zeros(64, np.uint8)
+_IQ3X_CODE[[4, 12, 20, 28, 36, 44, 52, 62]] = np.arange(8)  # v = 4+8k (+2@7)
+_IQ3S_CODE = np.zeros(16, np.uint8)
+_IQ3S_CODE[[1, 3, 5, 7, 9, 11, 13, 15]] = np.arange(8)      # v = 2k+1
+
+
+def pack_iq_native(raw: np.ndarray, shape: tuple[int, int],
+                   ggml_type: GGMLType) -> QTensor:
+    """Native low-bit serving layout for the codebook IQ formats.
+
+    The grids' value alphabets are tiny and arithmetically decodable
+    (iq2: {8,25,43}; iq3_s: 2k+1; iq3_xxs: 4+8k (+2 at k=7); iq1: {-1,0,1}),
+    so instead of re-expanding to int8 at 8.5 bpw (the r2 stopgap) the
+    codebook entries become per-element CODES in q2_k-style 2-bit plane
+    streams plus sign-bit sidecars, decoded with shifts/xors inside the
+    kernel — no in-kernel LUT gather.  HBM footprint: iq2 ~3.5-4 bpw,
+    iq3 ~4.5-5, iq1 ~2.5-4 (vs 8.5 before; native file bpw is 2.06-3.44 —
+    the remaining gap is the vector-quantized grid index the TPU cannot
+    gather at stream rate).  Reference layouts: ggml-common.h:336-419.
+
+    Plane semantics match pack_q2_k: byte b of the (R, C/4) stream holds
+    2-bit planes j=0..3; plane j covers logical cols 128*blk + 32*j + l.
+    Per-G scales ride plane-major (scale_p (R, in/G) + lane-transposed
+    scale_pt); IQ1's per-group delta folds into min_p/min_pt = -(s*delta),
+    the exact q2_k min-term machinery."""
+    rows, cols = shape
+    v, scales, delta, G = nq.iq_decompose(raw.reshape(rows, -1), ggml_type)
+    v = v.reshape(rows, cols).astype(np.int16)
+    scales = scales.reshape(rows, cols // G)
+    kind = _IQ_NATIVE_KINDS[ggml_type]
+
+    v4 = v.reshape(rows, cols // 128, 4, 32)       # (R, blk, plane, l)
+    mag = np.abs(v4).astype(np.int64)
+    sgn = (v4 < 0).astype(np.uint8)
+    if kind == "iq2p":
+        code = _IQ2_CODE[mag]
+    elif kind == "iq3px":
+        code = _IQ3X_CODE[mag]
+    elif kind == "iq3ps":
+        code = _IQ3S_CODE[mag]
+    else:  # iq1p: v in {-1,0,1} -> c = v+1
+        code = (v4 + 1).astype(np.uint8)
+        sgn = None
+    qs2 = np.zeros((rows, cols // 128, 32), np.uint8)
+    for j in range(4):
+        qs2 |= (code[:, :, j, :] & 3) << (2 * j)
+    data = {"qs2": jnp.asarray(qs2.reshape(rows, cols // 4))}
+    if kind == "iq2p":
+        # signs (R, C/8): bit j = plane j position e (lo half), bit 4+j =
+        # plane j position e + C/8 (hi half) — halves are contiguous plane
+        # runs, so the kernel reassembles with a lane-aligned concat
+        sp = sgn.transpose(0, 2, 1, 3).reshape(rows, 4, cols // 4)
+        sg = np.zeros((rows, cols // 8), np.uint8)
+        for j in range(4):
+            sg |= (sp[:, j, :cols // 8] << j) | (sp[:, j, cols // 8:] << (4 + j))
+        data["sg"] = jnp.asarray(sg)
+    elif kind in ("iq3px", "iq3ps"):
+        # hs (R, C/4): bits 0..3 = high code bit per plane, 4..7 = sign
+        hs = np.zeros((rows, cols // 128, 32), np.uint8)
+        for j in range(4):
+            hs |= ((code[:, :, j, :] >> 2) & 1) << j
+            hs |= sgn[:, :, j, :] << (4 + j)
+        data["hs"] = jnp.asarray(hs.reshape(rows, cols // 4))
+
+    # plane-major scale order: plane j plane-group k (m = 32//G groups per
+    # 32-run) <-> logical group 4m*(k//m) + m*j + (k%m)
+    m = 32 // G
+    n_g = cols // G
+    n_p = n_g // 4  # groups per plane
+    j_idx = np.repeat(np.arange(4), n_p)
+    k_idx = np.tile(np.arange(n_p), 4)
+    lg = 4 * m * (k_idx // m) + m * j_idx + (k_idx % m)
+    sp_arr = scales[:, lg]  # (R, n_g) plane-major
+    data["scale_p"] = jnp.asarray(sp_arr, dtype=jnp.bfloat16)
+    data["scale_pt"] = jnp.asarray(sp_arr.T, dtype=jnp.bfloat16)
+    if delta is not None:
+        mp = -(scales * delta.reshape(rows, n_g))[:, lg]
+        data["min_p"] = jnp.asarray(mp, dtype=jnp.bfloat16)
+        data["min_pt"] = jnp.asarray(mp.T, dtype=jnp.bfloat16)
+    return QTensor(kind=kind, shape=shape, data=data)
+
+
 def pack_q8_expand(raw: np.ndarray, shape: tuple[int, int],
                    ggml_type: GGMLType = GGMLType.IQ4_NL) -> QTensor:
     """IQ/TQ grid-codebook formats: exact dequant (gguf/quants.py) then
@@ -422,6 +512,17 @@ _Q8_EXPAND_TYPES = (
     GGMLType.IQ1_M, GGMLType.TQ1_0, GGMLType.TQ2_0,
 )
 
+
+def _iq_packer(raw, shape, ggml_type):
+    """IQ1/IQ2/IQ3: native low-bit plane layout (default) or the r2 int8
+    re-expansion (KCPP_IQ_NATIVE=0 reverts)."""
+    import os
+
+    if os.environ.get("KCPP_IQ_NATIVE", "1") == "1" and shape[1] % QK_K == 0:
+        return pack_iq_native(raw, shape, ggml_type)
+    return pack_q8_expand(raw, shape, ggml_type=ggml_type)
+
+
 _PACKERS = {
     GGMLType.Q8_0: pack_q8_0,
     GGMLType.Q2_K: pack_q2_k,
@@ -436,6 +537,8 @@ _PACKERS = {
 }
 for _t in _Q8_EXPAND_TYPES:
     _PACKERS[_t] = partial(pack_q8_expand, ggml_type=_t)
+for _t in _IQ_NATIVE_KINDS:
+    _PACKERS[_t] = partial(_iq_packer, ggml_type=_t)
 
 
 _32COL_TYPES = (GGMLType.Q8_0,) + _Q8_EXPAND_TYPES
@@ -520,6 +623,45 @@ def dequant_xla(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
         s = qt.data["scale"].astype(jnp.float32).reshape(rows, -1, 1)
         qf = q.astype(jnp.float32).reshape(rows, -1, 16)
         return (qf * s).reshape(rows, cols).astype(dtype)
+    if qt.kind in ("iq2p", "iq3px", "iq3ps", "iq1p"):
+        cols4 = cols // 4
+        qs = qt.data["qs2"].reshape(rows, cols // 128, 32).astype(jnp.int32)
+        if qt.kind == "iq2p":
+            sg = qt.data["sg"].reshape(rows, cols // 8).astype(jnp.int32)
+        elif qt.kind != "iq1p":
+            hs = qt.data["hs"].reshape(rows, cols // 128, 32).astype(jnp.int32)
+        planes = []
+        for j in range(4):
+            c = (qs >> (2 * j)) & 3
+            if qt.kind == "iq2p":
+                v = 8 + 17 * c + (c >> 1)
+                s_pl = jnp.concatenate(
+                    [(sg >> j) & 1, (sg >> (4 + j)) & 1],
+                    axis=1).reshape(rows, cols // 128, 32)
+                v = v * (1 - 2 * s_pl)
+            elif qt.kind in ("iq3px", "iq3ps"):
+                k = c | (((hs >> j) & 1) << 2)
+                v = (jnp.where(k == 7, 62, 4 + 8 * k)
+                     if qt.kind == "iq3px" else 2 * k + 1)
+                v = v * (1 - 2 * ((hs >> (4 + j)) & 1))
+            else:  # iq1p
+                v = c - 1
+            planes.append(v)
+        q = jnp.stack(planes, axis=2).reshape(rows, cols).astype(jnp.float32)
+        # invert the plane-major scale permutation (pack_iq_native lg map)
+        n_g = qt.data["scale_p"].shape[1]
+        G = cols // n_g
+        m = 32 // G
+        n_p = n_g // 4
+        j_idx = np.repeat(np.arange(4), n_p)
+        k_idx = np.tile(np.arange(n_p), 4)
+        lg = 4 * m * (k_idx // m) + m * j_idx + (k_idx % m)
+        inv = np.argsort(lg)
+        s = qt.data["scale_p"][:, inv].astype(jnp.float32)[..., None]
+        out = q.reshape(rows, n_g, G) * s
+        if "min_p" in qt.data:
+            out = out - qt.data["min_p"][:, inv].astype(jnp.float32)[..., None]
+        return out.reshape(rows, cols).astype(dtype)
     if qt.kind in ("q2_k", "q3_k"):
         qs = qt.data["qs2"].reshape(rows, -1, 32).astype(jnp.int32)  # (R,G,32)
         G = qs.shape[1]

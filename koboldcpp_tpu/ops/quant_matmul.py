@@ -488,6 +488,183 @@ def _q6k_row_kernel_i8(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
     o_ref[:] = t.astype(o_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# native IQ layouts (pack_iq_native): 2-bit code planes + sign sidecars,
+# decoded arithmetically — the grid alphabets are {8,25,43} (iq2),
+# 2k+1 / 4+8k (iq3), {-1,0,1} (iq1).  Ref: ggml-common.h:336-419.
+# ---------------------------------------------------------------------------
+
+def _iq_i8_prep(xrefs, mrefs, sx_s, G: int):
+    """Quantize the 4 plane activations per-G-group to int8 (q8_1-equivalent,
+    same as _i8_prep / _q6k_row_kernel_i8 but parameterized group size)."""
+    C4 = xrefs[0].shape[1]
+    GS = C4 // G
+    E = _expand_mat(GS, C4, G)
+    for col, (xp, mi) in enumerate(zip(xrefs, mrefs)):
+        mb = (E * xp[:]).astype(jnp.float32)
+        a = jnp.maximum(jnp.max(jnp.abs(mb), axis=1, keepdims=True), 1e-20)
+        mi[:] = jnp.round(mb * (127.0 / a)).astype(jnp.int32).astype(jnp.int8)
+        sx_s[:, col:col + 1] = a / 127.0
+
+
+def _iq2_vals(qs, j):
+    """2-bit code -> unsigned alphabet value {8, 25, 43}."""
+    c = (qs >> (2 * j)) & 3
+    return 8 + 17 * c + (c >> 1)
+
+
+def _iq2p_row_kernel_i8(x0_ref, x1_ref, x2_ref, x3_ref, qs_ref, sg_ref,
+                        st_ref, o_ref, m0_s, m1_s, m2_s, m3_s, sx_s, *,
+                        G: int):
+    """T=1 iq2_* matvec: codes decode to {8,25,43} with shifts, signs apply
+    as (1-2s) i32 multiplies, i8 MXU dots per plane.  The sign sidecar packs
+    plane halves (bit j = lo half, bit 4+j = hi half), and groups never
+    straddle the half boundary, so each plane runs as two half-dots — no
+    in-kernel interleaving."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        _iq_i8_prep((x0_ref, x1_ref, x2_ref, x3_ref),
+                    (m0_s, m1_s, m2_s, m3_s), sx_s, G)
+
+    qs = qs_ref[:].astype(jnp.int32)   # (R, C4)
+    sg = sg_ref[:].astype(jnp.int32)   # (R, C8)
+    C8 = qs.shape[1] // 2
+    st = st_ref[:].astype(jnp.float32)  # (in/G, R) plane-major
+    n = st.shape[0] // 4
+    t = jnp.zeros((1, st.shape[1]), jnp.float32)
+    for j, mi in enumerate((m0_s, m1_s, m2_s, m3_s)):
+        v = _iq2_vals(qs, j)
+        s_lo = (sg >> j) & 1
+        s_hi = (sg >> (4 + j)) & 1
+        v_lo = (v[:, :C8] * (1 - 2 * s_lo)).astype(jnp.int8)
+        v_hi = (v[:, C8:] * (1 - 2 * s_hi)).astype(jnp.int8)
+        m = mi[:]
+        P = (jax.lax.dot_general(m[:, :C8], v_lo, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+             + jax.lax.dot_general(m[:, C8:], v_hi, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32))
+        t += jnp.sum(P.astype(jnp.float32) * sx_s[:, j:j + 1]
+                     * st[j * n:(j + 1) * n], axis=0, keepdims=True)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _iq3_vals(qs, hs, j, xxs: bool):
+    k = ((qs >> (2 * j)) & 3) | (((hs >> j) & 1) << 2)
+    if xxs:
+        return jnp.where(k == 7, 62, 4 + 8 * k)  # iq3_xxs alphabet
+    return 2 * k + 1                             # iq3_s alphabet
+
+
+def _iq3p_row_kernel_i8(x0_ref, x1_ref, x2_ref, x3_ref, qs_ref, hs_ref,
+                        st_ref, o_ref, m0_s, m1_s, m2_s, m3_s, sx_s, *,
+                        G: int, xxs: bool):
+    """T=1 iq3_xxs/iq3_s matvec: 3-bit code = 2-bit plane + hs bit j;
+    sign = hs bit 4+j (elementwise aligned — no half split needed)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        _iq_i8_prep((x0_ref, x1_ref, x2_ref, x3_ref),
+                    (m0_s, m1_s, m2_s, m3_s), sx_s, G)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    hs = hs_ref[:].astype(jnp.int32)
+    st = st_ref[:].astype(jnp.float32)
+    n = st.shape[0] // 4
+    t = jnp.zeros((1, st.shape[1]), jnp.float32)
+    for j, mi in enumerate((m0_s, m1_s, m2_s, m3_s)):
+        v = _iq3_vals(qs, hs, j, xxs)
+        s = (hs >> (4 + j)) & 1
+        p = (v * (1 - 2 * s)).astype(jnp.int8)
+        P = jax.lax.dot_general(mi[:], p, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        t += jnp.sum(P.astype(jnp.float32) * sx_s[:, j:j + 1]
+                     * st[j * n:(j + 1) * n], axis=0, keepdims=True)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _iq1p_row_kernel_i8(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref, qs_ref,
+                        st_ref, mt_ref, o_ref, m0_s, m1_s, m2_s, m3_s, sx_s,
+                        *, G: int):
+    """T=1 iq1_s/iq1_m matvec: 2-bit code -> {-1,0,1} directly; the per-group
+    IQ1 delta folds into min_pt = -(s*delta) via an EXACT f32 group-sum dot
+    (the q4_k min-term machinery), so only the product term carries
+    activation-quant noise."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        _iq_i8_prep((x0_ref, x1_ref, x2_ref, x3_ref),
+                    (m0_s, m1_s, m2_s, m3_s), sx_s, G)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    st = st_ref[:].astype(jnp.float32)
+    n = st.shape[0] // 4
+    t = jnp.zeros((1, st.shape[1]), jnp.float32)
+    for j, mi in enumerate((m0_s, m1_s, m2_s, m3_s)):
+        p = (((qs >> (2 * j)) & 3) - 1).astype(jnp.int8)
+        P = jax.lax.dot_general(mi[:], p, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        t += jnp.sum(P.astype(jnp.float32) * sx_s[:, j:j + 1]
+                     * st[j * n:(j + 1) * n], axis=0, keepdims=True)
+    t -= jax.lax.dot_general(
+        xs_ref[:].astype(jnp.float32), mt_ref[:].astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _iq2p_kernel(x0_ref, x1_ref, x2_ref, x3_ref, qs_ref, sg_ref, s_ref,
+                 o_ref, *, G: int):
+    """2-D (prefill) iq2 kernel: bf16 values * MXU scale expansion, per
+    plane halves (sign sidecar packs halves)."""
+    qs = qs_ref[:].astype(jnp.int32)
+    sg = sg_ref[:].astype(jnp.int32)
+    C4 = qs.shape[1]
+    C8 = C4 // 2
+    n = C4 // G
+    E = _expand_mat(n, C4, G)
+    s = s_ref[:]  # (R, in/G) bf16 plane-major
+    acc = jnp.zeros((x0_ref.shape[0], qs.shape[0]), jnp.float32)
+    for j, xp in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
+        v = _iq2_vals(qs, j)
+        s_lo = (sg >> j) & 1
+        s_hi = (sg >> (4 + j)) & 1
+        v_lo = (v[:, :C8] * (1 - 2 * s_lo)).astype(jnp.bfloat16)
+        v_hi = (v[:, C8:] * (1 - 2 * s_hi)).astype(jnp.bfloat16)
+        se = _sexp(s[:, j * n:(j + 1) * n], E)  # (R, C4)
+        acc += _dot_t(xp[:][:, :C8], v_lo * se[:, :C8])
+        acc += _dot_t(xp[:][:, C8:], v_hi * se[:, C8:])
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _iq3p_kernel(x0_ref, x1_ref, x2_ref, x3_ref, qs_ref, hs_ref, s_ref,
+                 o_ref, *, G: int, xxs: bool):
+    qs = qs_ref[:].astype(jnp.int32)
+    hs = hs_ref[:].astype(jnp.int32)
+    C4 = qs.shape[1]
+    n = C4 // G
+    E = _expand_mat(n, C4, G)
+    s = s_ref[:]
+    acc = jnp.zeros((x0_ref.shape[0], qs.shape[0]), jnp.float32)
+    for j, xp in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
+        v = _iq3_vals(qs, hs, j, xxs)
+        sgn = (hs >> (4 + j)) & 1
+        p = (v * (1 - 2 * sgn)).astype(jnp.bfloat16)
+        acc += _dot_t(xp[:], p * _sexp(s[:, j * n:(j + 1) * n], E))
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _iq1p_kernel(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref, qs_ref, s_ref,
+                 m_ref, o_ref, *, G: int):
+    qs = qs_ref[:].astype(jnp.int32)
+    C4 = qs.shape[1]
+    n = C4 // G
+    E = _expand_mat(n, C4, G)
+    s = s_ref[:]
+    acc = jnp.zeros((x0_ref.shape[0], qs.shape[0]), jnp.float32)
+    for j, xp in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
+        p = (((qs >> (2 * j)) & 3) - 1).astype(jnp.bfloat16)
+        acc += _dot_t(xp[:], p * _sexp(s[:, j * n:(j + 1) * n], E))
+    acc -= _dot_t(xs_ref[:], m_ref[:])
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
 def _q8_0_row_kernel(x_ref, q_ref, st_ref, o_ref):
     """Row-output (1, R) Q8_0 matvec: P-dot against the activation-masked
     expansion stack + lane-transposed scales (GS, R) — no in-kernel
@@ -803,17 +980,44 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f",
-                                             "interpret", "i8"))
+                                             "interpret", "i8", "group"))
 def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
-                   interpret: bool, i8: bool = False):
+                   interpret: bool, i8: bool = False, group: int = 0):
     """T=1 fast path through the row-output *_row_kernel variants for
-    q6_k/q8_0 (lane-transposed scale sidecars; same design as the q4_k
-    decode kernel); returns (1, out_f).  `i8` (decided by the non-jitted
-    dispatch from KCPP_MM_I8) selects the int8 MXU variants for
-    q6_k/q8_0 — the mmvq-equivalent ports (VERDICT r2 item 3)."""
+    q6_k/q8_0/native-IQ (lane-transposed scale sidecars; same design as the
+    q4_k decode kernel); returns (1, out_f).  `i8` (decided by the
+    non-jitted dispatch from KCPP_MM_I8) selects the int8 MXU variants for
+    q6_k/q8_0 — the mmvq-equivalent ports (VERDICT r2 item 3).  `group` is
+    the static scale-group size for the IQ kinds."""
     T = x.shape[0]
     scratch = []
-    if kind in ("q6_k", "q2_k", "q3_k"):
+    if kind in _IQ_KINDS:
+        G = group
+        C4 = in_f // 4
+        x4 = x.reshape(1, in_f // 128, 128)
+        planes = [x4[:, :, i * 32:(i + 1) * 32].reshape(1, C4)
+                  for i in range(4)]
+        if kind == "iq1p":
+            xs = jnp.concatenate(
+                [_group_sums(p, C4, G) for p in planes], axis=1)
+            x_args = (*planes, xs)
+            x_rows = (1,) * 5
+            x_shapes = (C4,) * 4 + (in_f // G,)
+        else:
+            x_args = tuple(planes)
+            x_rows = (1,) * 4
+            x_shapes = (C4,) * 4
+        GS4 = C4 // G
+        scratch = [pltpu.VMEM((GS4, C4), jnp.int8) for _ in range(4)] \
+            + [pltpu.VMEM((GS4, 4), jnp.float32)]
+        kernel = {
+            "iq2p": functools.partial(_iq2p_row_kernel_i8, G=G),
+            "iq3px": functools.partial(_iq3p_row_kernel_i8, G=G, xxs=True),
+            "iq3ps": functools.partial(_iq3p_row_kernel_i8, G=G, xxs=False),
+            "iq1p": functools.partial(_iq1p_row_kernel_i8, G=G),
+        }[kind]
+        st_rows = in_f // G
+    elif kind in ("q6_k", "q2_k", "q3_k"):
         x4 = x.reshape(1, in_f // 128, 128)
         planes = [x4[:, :, i * 32:(i + 1) * 32].reshape(1, in_f // 4)
                   for i in range(4)]
@@ -861,6 +1065,13 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
         n_t = 2  # scale_pt + min_pt
     elif kind == "q3_k":
         w_in_specs = [row_spec(in_f // 4), row_spec(in_f // 4)]
+    elif kind == "iq2p":
+        w_in_specs = [row_spec(in_f // 4), row_spec(in_f // 8)]
+    elif kind in ("iq3px", "iq3ps"):
+        w_in_specs = [row_spec(in_f // 4), row_spec(in_f // 4)]
+    elif kind == "iq1p":
+        w_in_specs = [row_spec(in_f // 4)]
+        n_t = 2  # scale_pt + min_pt
     else:
         w_in_specs = [row_spec(in_f)]
     return pl.pallas_call(
@@ -886,14 +1097,38 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret",
-                                             "q4k_2d"))
+                                             "q4k_2d", "group"))
 def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
-                      interpret: bool, q4k_2d: str = "sexp"):
+                      interpret: bool, q4k_2d: str = "sexp", group: int = 0):
     T = x.shape[0]
     t_tile = min(T_TILE, T)
     grid = (out_f // ROW_TILE, pl.cdiv(T, t_tile))
 
-    if kind == "q4_k":
+    if kind in _IQ_KINDS:
+        G = group
+        C4 = in_f // 4
+        Tn = x.shape[0]
+        x4 = x.reshape(Tn, in_f // 128, 128)
+        planes = [x4[:, :, i * 32:(i + 1) * 32].reshape(Tn, C4)
+                  for i in range(4)]
+        if kind == "iq1p":
+            xs = jnp.concatenate(
+                [_group_sums(p, C4, G) for p in planes], axis=1)
+            x_args = (*planes, xs)
+            x_shapes = (C4,) * 4 + (in_f // G,)
+            kernel = functools.partial(_iq1p_kernel, G=G)
+            w_shapes = (C4, in_f // G, in_f // G)
+        else:
+            x_args = tuple(planes)
+            x_shapes = (C4,) * 4
+            kernel = {
+                "iq2p": functools.partial(_iq2p_kernel, G=G),
+                "iq3px": functools.partial(_iq3p_kernel, G=G, xxs=True),
+                "iq3ps": functools.partial(_iq3p_kernel, G=G, xxs=False),
+            }[kind]
+            w_shapes = ((C4, in_f // 8, in_f // G) if kind == "iq2p"
+                        else (C4, C4, in_f // G))
+    elif kind == "q4_k":
         xl, xh = _plane_split2(x, in_f)
         xs = _group_sums(x, in_f, 32)  # logical groups (min term)
         if q4k_2d == "magic":
@@ -966,13 +1201,29 @@ _FIELD_LISTS = {
     "q2_k": ("qs2", "scale_p", "min_p"),
     "q3_k": ("qs2", "hm2", "scale_p"),
     "q8_0": ("q", "scale"),
+    "iq2p": ("qs2", "sg", "scale_p"),
+    "iq3px": ("qs2", "hs", "scale_p"),
+    "iq3ps": ("qs2", "hs", "scale_p"),
+    "iq1p": ("qs2", "scale_p", "min_p"),
 }
 _MATVEC_FIELDS_Q4K = ("qs2", "slo_t", "shi_t", "mlo_t", "mhi_t")
 _MATVEC_FIELDS_Q5K = ("qs2", "hb", "slo_t", "shi_t", "mlo_t", "mhi_t")
 _MATVEC_FIELDS = {"q6_k": ("ql2", "qh2", "scale_pt"),
                   "q2_k": ("qs2", "scale_pt", "min_pt"),
                   "q3_k": ("qs2", "hm2", "scale_pt"),
-                  "q8_0": ("q", "scale_t")}
+                  "q8_0": ("q", "scale_t"),
+                  "iq2p": ("qs2", "sg", "scale_pt"),
+                  "iq3px": ("qs2", "hs", "scale_pt"),
+                  "iq3ps": ("qs2", "hs", "scale_pt"),
+                  "iq1p": ("qs2", "scale_pt", "min_pt")}
+_IQ_KINDS = ("iq2p", "iq3px", "iq3ps", "iq1p")
+
+
+def _iq_group(qt: QTensor) -> int:
+    """Scale-group size of a native-IQ QTensor (static, from field shape).
+    scale_p's LAST dim is n_groups whether or not the fields carry a
+    leading layer axis (stack_layers)."""
+    return qt.shape[1] // qt.data["scale_p"].shape[-1]
 
 
 class _SqView:
@@ -1073,14 +1324,42 @@ def _packed_matvec_q4k_stacked(x, li, fields: tuple, kind: str, out_f: int,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f",
-                                             "interpret", "i8"))
+                                             "interpret", "i8", "group"))
 def _packed_matvec_stacked(x, li, fields: tuple, kind: str, out_f: int,
-                           in_f: int, interpret: bool, i8: bool = False):
-    """Stacked-field analog of _packed_matvec (q6_k/q2_k/q3_k/q8_0 row
-    matvecs) for the lax.scan decode body — see _packed_matvec_q4k_stacked."""
+                           in_f: int, interpret: bool, i8: bool = False,
+                           group: int = 0):
+    """Stacked-field analog of _packed_matvec (q6_k/q2_k/q3_k/q8_0/native-IQ
+    row matvecs) for the lax.scan decode body — see
+    _packed_matvec_q4k_stacked."""
     T = x.shape[0]
     scratch = []
-    if kind in ("q6_k", "q2_k", "q3_k"):
+    if kind in _IQ_KINDS:
+        G = group
+        C4 = in_f // 4
+        x4 = x.reshape(1, in_f // 128, 128)
+        planes = [x4[:, :, i * 32:(i + 1) * 32].reshape(1, C4)
+                  for i in range(4)]
+        if kind == "iq1p":
+            xs = jnp.concatenate(
+                [_group_sums(p, C4, G) for p in planes], axis=1)
+            x_args = (*planes, xs)
+            x_rows = (1,) * 5
+            x_shapes = (C4,) * 4 + (in_f // G,)
+        else:
+            x_args = tuple(planes)
+            x_rows = (1,) * 4
+            x_shapes = (C4,) * 4
+        GS4 = C4 // G
+        scratch = [pltpu.VMEM((GS4, C4), jnp.int8) for _ in range(4)] \
+            + [pltpu.VMEM((GS4, 4), jnp.float32)]
+        kernel = {
+            "iq2p": functools.partial(_iq2p_row_kernel_i8, G=G),
+            "iq3px": functools.partial(_iq3p_row_kernel_i8, G=G, xxs=True),
+            "iq3ps": functools.partial(_iq3p_row_kernel_i8, G=G, xxs=False),
+            "iq1p": functools.partial(_iq1p_row_kernel_i8, G=G),
+        }[kind]
+        st_rows = in_f // G
+    elif kind in ("q6_k", "q2_k", "q3_k"):
         x4 = x.reshape(1, in_f // 128, 128)
         planes = [x4[:, :, i * 32:(i + 1) * 32].reshape(1, in_f // 4)
                   for i in range(4)]
@@ -1126,6 +1405,13 @@ def _packed_matvec_stacked(x, li, fields: tuple, kind: str, out_f: int,
         n_t = 2  # scale_pt + min_pt
     elif kind == "q3_k":
         w_in_specs = [row_spec3(in_f // 4), row_spec3(in_f // 4)]
+    elif kind == "iq2p":
+        w_in_specs = [row_spec3(in_f // 4), row_spec3(in_f // 8)]
+    elif kind in ("iq3px", "iq3ps"):
+        w_in_specs = [row_spec3(in_f // 4), row_spec3(in_f // 4)]
+    elif kind == "iq1p":
+        w_in_specs = [row_spec3(in_f // 4)]
+        n_t = 2  # scale_pt + min_pt
     else:
         w_in_specs = [row_spec3(in_f)]
     n_layers = fields[0].shape[0]
@@ -1187,7 +1473,8 @@ def matmul_packed_stacked(x: jnp.ndarray, qt: QTensor, li):
             x2, jnp.asarray(li, jnp.int32),
             tuple(qt.data[n] for n in _MATVEC_FIELDS[qt.kind]),
             kind=qt.kind, out_f=out_f, in_f=in_f, interpret=_use_interpret(),
-            i8=_mm_i8(qt.kind))
+            i8=_mm_i8(qt.kind),
+            group=_iq_group(qt) if qt.kind in _IQ_KINDS else 0)
         return y.reshape(*lead, out_f)
     return None
 
@@ -1244,9 +1531,11 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
             y = _packed_matvec(
                 x2, tuple(qt.data[n] for n in _MATVEC_FIELDS[qt.kind]),
                 kind=qt.kind, out_f=out_f, in_f=in_f,
-                interpret=_use_interpret(), i8=_mm_i8(qt.kind))
+                interpret=_use_interpret(), i8=_mm_i8(qt.kind),
+                group=_iq_group(qt) if qt.kind in _IQ_KINDS else 0)
             return y.reshape(*lead, out_f)
     y = _packed_matmul_2d(x2, fields, kind=qt.kind, out_f=out_f, in_f=in_f,
                           interpret=_use_interpret(),
-                          q4k_2d=os.environ.get("KCPP_Q4K_2D", "sexp"))
+                          q4k_2d=os.environ.get("KCPP_Q4K_2D", "sexp"),
+                          group=_iq_group(qt) if qt.kind in _IQ_KINDS else 0)
     return y.reshape(*lead, out_f)

@@ -86,6 +86,11 @@ def _qt_spec(qt: QTensor, axis: int) -> dict[str, P]:
 def _shard_qtensor(qt: QTensor, mesh: Mesh, axis: int | None) -> QTensor:
     data = {}
     tp = mesh.shape["tp"]
+    if qt.kind == "iq2p" and axis == 1:
+        # iq2p's sign sidecar packs GLOBAL plane halves per byte (bit j =
+        # position e, bit 4+j = e + C/8), so an in-dim shard of sg is not a
+        # self-consistent sub-tensor — replicate these (wo/w_down) for now
+        axis = None
     if axis is None:
         for name, arr in qt.data.items():
             data[name] = jax.device_put(arr, NamedSharding(mesh, P()))

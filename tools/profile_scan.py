@@ -78,16 +78,22 @@ def parse(n_decode: int, mode: str):
     dev_pids = {p for p, n in pid_names.items()
                 if "TPU" in n or "Tensor" in n or "/device" in n.lower()}
     agg = collections.Counter()
+    cnt = collections.Counter()
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
-        agg[e["name"]] += e.get("dur", 0)
+        name = e["name"].rstrip("0123456789").rstrip(".")
+        if name.startswith("jit_") or name == "while" or name == "scan":
+            continue  # enclosing spans double-count their children
+        agg[name] += e.get("dur", 0)
+        cnt[name] += 1
         total += e.get("dur", 0)
     print(f"\n== {mode}: device op time over {n_decode} steps "
-          f"(per-step us, track total {total/n_decode:.0f} us/step) ==")
-    for name, dur in agg.most_common(40):
-        print(f"{dur/n_decode:9.1f} us  {100*dur/total:5.1f}%  {name[:110]}")
+          f"(per-step us, op total {total/n_decode:.0f} us/step) ==")
+    for name, dur in agg.most_common(60):
+        print(f"{dur/n_decode:9.1f} us  {100*dur/total:5.1f}%  "
+              f"n={cnt[name]:6d}  {name[:100]}")
 
 
 def main():

@@ -26,6 +26,7 @@ TYPE_MAP = {
     "q5_k_m": GGMLType.Q5_K, "q5_k_s": GGMLType.Q5_K,
     "q6_k": GGMLType.Q6_K, "iq4_nl": GGMLType.IQ4_NL,
     "iq4_xs": GGMLType.IQ4_XS, "tq1_0": GGMLType.TQ1_0, "tq2_0": GGMLType.TQ2_0,
+    "iq2_xxs": GGMLType.IQ2_XXS, "iq3_xxs": GGMLType.IQ3_XXS,
 }
 
 
@@ -39,7 +40,10 @@ def pick_type(name: str, shape, target: GGMLType) -> GGMLType:
         return GGMLType.Q8_0 if shape[-1] % 32 == 0 else GGMLType.F16
     if name in ("output.weight", "token_embd.weight") and target in (
             GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
-            GGMLType.IQ4_XS, GGMLType.TQ1_0, GGMLType.TQ2_0):
+            GGMLType.IQ4_XS, GGMLType.TQ1_0, GGMLType.TQ2_0,
+            GGMLType.IQ2_XXS, GGMLType.IQ3_XXS):
+        # reference bumps output/embd for low-bit targets too
+        # (llama_tensor_get_type, src/llama.cpp:17979)
         return GGMLType.Q6_K
     return target
 
