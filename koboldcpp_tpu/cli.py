@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help=argparse.SUPPRESS)
     p.add_argument("--mesh", default="", help="dp,tp mesh shape e.g. 1,8; "
                    "shards weights/KV over the device mesh (TP serving)")
+    p.add_argument("--pipeline", type=int, default=0, metavar="N",
+                   help="pipeline parallelism: shard layers into N stages "
+                   "over N devices (GPipe microbatch schedule; big models "
+                   "whose weights exceed one chip's HBM)")
     # multi-host serving (jax.distributed; the reference's RPC scale-out
     # counterpart, ggml/src/ggml-rpc.cpp): run the same command on every
     # host, host 0 serves HTTP, the rest follow in SPMD lockstep
@@ -197,11 +201,12 @@ def main(argv=None):
         except ValueError:
             pass
 
-    if args.usecpu:
+    if args.usecpu or os.environ.get("JAX_PLATFORMS") == "cpu":
         # reference --usecpu forces the CPU backend (koboldcpp.py:4419); here
-        # it pins the jax CPU platform (the TPU plugin ignores JAX_PLATFORMS,
-        # so this is the only reliable way to run host-only, e.g. smoke tests
-        # while the chip is busy)
+        # it pins the jax CPU platform (the axon TPU plugin ignores
+        # JAX_PLATFORMS, so honor the env var explicitly too — the only
+        # reliable way to run host-only, e.g. smoke tests while the chip is
+        # busy)
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -295,6 +300,23 @@ def main(argv=None):
               f"this configuration (arch {model.cfg.arch}"
               + (", smartcontext" if args.smartcontext else "")
               + "); serving with the single-sequence engine + FIFO queue")
+    pp_mesh = None
+    if getattr(args, "pipeline", 0) and args.pipeline > 1:
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.pipeline:
+            print(f"Note: --pipeline {args.pipeline} needs that many devices "
+                  f"(have {len(devs)}); ignoring")
+        elif args.mesh or args.multiuser > 1:
+            print("Note: --pipeline is exclusive with --mesh/--multiuser "
+                  "batching in this round; ignoring")
+        else:
+            import numpy as _np
+
+            pp_mesh = Mesh(_np.array(devs[:args.pipeline]), ("pp",))
+            print(f"Pipeline parallelism: {args.pipeline} stages")
     if args.multiuser > 1 and batch_capable:
         from .engine.batch_engine import BatchedEngine
 
@@ -314,7 +336,8 @@ def main(argv=None):
                         quantkv=args.quantkv == 1,
                         use_smartcontext=args.smartcontext,
                         use_contextshift=not (args.noshift
-                                              or args.nocontextshift))
+                                              or args.nocontextshift),
+                        pp_mesh=pp_mesh)
         if args.quantkv == 1:
             print("Q8-quantized KV cache enabled")
 

@@ -96,7 +96,7 @@ class Engine:
     def __init__(self, model: Model, max_context: int = 2048,
                  cache_dtype=jnp.bfloat16, compute_dtype=None, clip_model=None,
                  quantkv: bool = False, use_smartcontext: bool = False,
-                 use_contextshift: bool = True):
+                 use_contextshift: bool = True, pp_mesh=None):
         self.model = model
         self.clip = clip_model  # models.clip.ClipModel for LLaVA requests
         self.quantkv = quantkv
@@ -185,6 +185,49 @@ class Engine:
                 partial(self._ds2.forward, cfg=self.cfg, last_only=True),
                 donate_argnames=("cache",))
             self.use_flash_prefill = False
+        elif pp_mesh is not None:
+            # ---- pipeline-parallel serving (--pipeline N): layer stages
+            # over the pp mesh axis, GPipe microbatch schedule for prefill
+            # AND decode (T=1 steps through the same schedule with M=1 at
+            # B=1 — single-stream PP decode is inherently stage-sequential).
+            # Context shift needs per-layer cache surgery the stage-sharded
+            # stacked cache doesn't support yet; fast-forward still applies.
+            from ..kv.cache import stack_cache
+            from ..models.llama import stack_layers
+            from ..parallel.pipeline import (pipeline_forward,
+                                             shard_stacked_for_pp)
+
+            n_stages = pp_mesh.shape["pp"]
+            if self.cfg.n_layers % n_stages:
+                raise ValueError(
+                    f"--pipeline {n_stages} must divide n_layers "
+                    f"{self.cfg.n_layers}")
+            sparams = stack_layers(model.params)
+            if "layers_stacked" not in sparams:
+                raise ValueError(
+                    "pipeline serving needs homogeneous layers "
+                    "(stack_layers could not stack this model)")
+            self._std_path = False
+            self.use_flash_prefill = False
+            self.use_contextshift = False
+            self.use_smartcontext = False
+            self.pp_mesh = pp_mesh
+            sparams, self.cache = shard_stacked_for_pp(
+                sparams, stack_cache(self.cache), pp_mesh)
+            model.params = sparams
+
+            import math
+
+            def _pp_fwd(params, tokens, positions, cache):
+                # B=1 serving: M = gcd(B, stages) microbatches (M=1 single
+                # stream — PP decode is stage-sequential for one sequence)
+                M = math.gcd(tokens.shape[0], n_stages)
+                logits, cache = pipeline_forward(
+                    params, self.cfg, tokens, positions, cache, pp_mesh,
+                    microbatches=M)
+                return logits[:, -1:], cache
+
+            self._forward = jax.jit(_pp_fwd, donate_argnames=("cache",))
         else:
             self._std_path = True  # llama-family forward: greedy fast path ok
             self._forward = jax.jit(

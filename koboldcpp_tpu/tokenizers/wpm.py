@@ -23,11 +23,21 @@ def _is_cjk(cp: int) -> bool:
             or (0xF900 <= cp <= 0xFAFF) or (0x2F800 <= cp <= 0x2FA1F))
 
 
+def _nfd_first(text: str) -> str:
+    """The reference's single-codepoint 'NFD': each input codepoint maps to
+    the FIRST codepoint of its canonical decomposition
+    (unicode_cpts_normalize_nfd's range->one-cp table, src/unicode.cpp) —
+    composed accents lose their combining marks, but combining marks typed
+    literally in the input survive.  Python's full NFD would keep the marks
+    and diverge (golden case 'café' -> '▁cafe')."""
+    return "".join(unicodedata.normalize("NFD", ch)[0] for ch in text)
+
+
 def preprocess(text: str) -> list[str]:
     """NFD + lowercase + split at whitespace; punctuation/ascii-symbol/CJK
     chars become single-char words."""
     words: list[str] = [""]
-    for ch in unicodedata.normalize("NFD", text):
+    for ch in _nfd_first(text):
         cp = ord(ch)
         if ch.isspace():
             if words[-1]:

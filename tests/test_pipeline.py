@@ -104,3 +104,44 @@ def test_pipeline_decode_steps(stacked_model):
         np.testing.assert_allclose(np.asarray(pp_logits),
                                    np.asarray(ref_logits),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_engine_serves_under_pipeline(tmp_path):
+    """A served generation runs under PP (VERDICT r2 item 7): Engine with a
+    pp mesh produces the same greedy tokens as the single-device engine."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from koboldcpp_tpu.engine import Engine, GenParams
+    from koboldcpp_tpu.models.config import ModelConfig
+    from koboldcpp_tpu.models.loader import Model
+    from koboldcpp_tpu.models.synthetic import synthetic_params
+    from koboldcpp_tpu.sampling import SamplerParams
+    from koboldcpp_tpu.tokenizers import Tokenizer
+    from koboldcpp_tpu.tokenizers.vocab import vocab_from_metadata
+
+    cfg = ModelConfig(arch="llama", vocab_size=256, hidden_size=128,
+                      n_layers=4, n_heads=4, n_kv_heads=2, head_dim=32,
+                      intermediate_size=256, rope_dim=32)
+
+    def make_model():
+        md = {"tokenizer.ggml.model": "gpt2",
+              "tokenizer.ggml.tokens": [f"tok{i}" for i in range(256)],
+              "tokenizer.ggml.token_type": np.full(256, 1, np.int32),
+              "tokenizer.ggml.bos_token_id": np.uint32(1),
+              "tokenizer.ggml.eos_token_id": np.uint32(2),
+              "tokenizer.ggml.add_bos_token": False}
+        return Model(cfg, synthetic_params(cfg, kind="dense", seed=21),
+                     Tokenizer(vocab_from_metadata(md)))
+
+    gp = GenParams(max_length=8, bypass_eos=True,
+                   sampler=SamplerParams(temperature=0.0, rep_pen=1.0))
+    ref = Engine(make_model(), max_context=64).generate([1, 5, 9], gp)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pp",))
+    eng = Engine(make_model(), max_context=64, pp_mesh=mesh)
+    got = eng.generate([1, 5, 9], gp)
+    assert got.tokens == ref.tokens
+    # KV reuse across requests under PP: continuation fast-forwards
+    got2 = eng.generate([1, 5, 9] + got.tokens, gp)
+    assert len(got2.tokens) == 8
