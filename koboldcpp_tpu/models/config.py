@@ -77,7 +77,11 @@ class ModelConfig:
     ffn_gated: bool = True  # False: plain up->act->down (gpt2/neox)
     moe_dense_ep: bool = False  # dense all-experts MoE (expert-parallel shardable)
     moe_sorted_ep: bool = False  # sort-based routed EP dispatch (ops/moe.py)
-    moe_capacity_factor: float = 2.0  # per-expert bucket size multiplier
+    # per-expert bucket multiplier for routed EP; None/<=0 = DROPLESS
+    # (capacity = n_tokens — exact mul_mat_id parity under any skew, the
+    # serving default; finite factors trade silent drops for smaller
+    # all-to-all buffers)
+    moe_capacity_factor: float | None = None
     moe_norm_topk: bool = True  # renormalize top-k router weights (mixtral yes, qwen2moe no)
     # SSM (mamba) hparams ({arch}.ssm.* keys)
     ssm_d_conv: int = 0

@@ -51,7 +51,7 @@ def dispatch_indices(topi: jnp.ndarray, n_experts: int, capacity: int):
 def moe_ffn_ep(xt: jnp.ndarray, topi: jnp.ndarray, topw: jnp.ndarray,
                wg: jnp.ndarray, wu: jnp.ndarray, wd: jnp.ndarray,
                act, capacity: int | None = None,
-               capacity_factor: float = 2.0) -> jnp.ndarray:
+               capacity_factor: float | None = None) -> jnp.ndarray:
     """Sorted-dispatch gated-FFN MoE.
 
     xt: (N, C) tokens; topi/topw: (N, k) routing; wg/wu: (E, F, C);
@@ -63,8 +63,16 @@ def moe_ffn_ep(xt: jnp.ndarray, topi: jnp.ndarray, topw: jnp.ndarray,
     E = wg.shape[0]
     if capacity is None:
         # per-token top-k experts are distinct, so <= N assignments per
-        # expert ever; the factor-sized bucket covers balanced routing
-        capacity = min(N, max(1, int((N * k / E) * capacity_factor + 0.999)))
+        # expert ever: capacity == N is DROPLESS — exact parity with the
+        # reference's mul_mat_id routing under ANY routing skew
+        # (ggml-cuda.cu:2063).  A finite capacity_factor opts into
+        # Switch-style capped buckets (smaller all-to-all buffers, silent
+        # drops under skew) for throughput experiments.
+        if capacity_factor is None or capacity_factor <= 0:
+            capacity = N
+        else:
+            capacity = min(N, max(1, int((N * k / E) * capacity_factor
+                                         + 0.999)))
     dest, valid = dispatch_indices(topi, E, capacity)
 
     src = jnp.broadcast_to(xt[:, None], (N, k, C)).reshape(N * k, C)

@@ -49,11 +49,15 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _mm_i8(kind: str) -> bool:
+def _mm_i8(kind: str, in_f: int = 1 << 20) -> bool:
     """int8-MXU decode variant gate for the q8_0/q6_k row matvecs
     (KCPP_MM_I8, default on after the round-3 on-TPU A/B — see PERF_NOTES).
-    Read in the non-jitted dispatch and passed as a static arg."""
+    Read in the non-jitted dispatch and passed as a static arg.  q6_k needs
+    in_f >= 512: its per-plane i8 scratch is (in_f//64, in_f//4) and Mosaic
+    rejects < 8 sublanes (same v5e constraint as the q4_k i8 kernel)."""
     if kind not in ("q8_0", "q6_k"):
+        return False
+    if kind == "q6_k" and in_f < 512:
         return False
     return os.environ.get("KCPP_MM_I8", "1") == "1"
 
@@ -1459,21 +1463,22 @@ def matmul_packed_stacked(x: jnp.ndarray, qt: QTensor, li):
         mv = _MATVEC_FIELDS_Q5K if qt.kind == "q5_k" else _MATVEC_FIELDS_Q4K
         if not all(n in qt.data for n in mv):
             return None
-        i8 = os.environ.get("KCPP_Q4K_I8", "1") == "1"
-        if not i8 and qt.kind == "q5_k":
-            return None  # bf16 q5_k needs host-side plane prep — not ported
+        i8 = in_f >= 512 and os.environ.get("KCPP_Q4K_I8", "1") == "1"
+        if in_f < 512 or (not i8 and qt.kind == "q5_k"):
+            return None  # tiny layers / bf16 q5_k: dynamic-slice fallback
         y = _packed_matvec_q4k_stacked(
             x2, jnp.asarray(li, jnp.int32),
             tuple(qt.data[n] for n in mv), kind=qt.kind,
             out_f=out_f, in_f=in_f, interpret=_use_interpret(), i8=i8)
         return y.reshape(*lead, out_f)
     if (qt.kind in _MATVEC_FIELDS
-            and all(n in qt.data for n in _MATVEC_FIELDS[qt.kind])):
+            and all(n in qt.data for n in _MATVEC_FIELDS[qt.kind])
+            and (qt.kind not in _IQ_KINDS or in_f >= 32 * _iq_group(qt))):
         y = _packed_matvec_stacked(
             x2, jnp.asarray(li, jnp.int32),
             tuple(qt.data[n] for n in _MATVEC_FIELDS[qt.kind]),
             kind=qt.kind, out_f=out_f, in_f=in_f, interpret=_use_interpret(),
-            i8=_mm_i8(qt.kind),
+            i8=_mm_i8(qt.kind, in_f),
             group=_iq_group(qt) if qt.kind in _IQ_KINDS else 0)
         return y.reshape(*lead, out_f)
     return None
@@ -1513,10 +1518,14 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
             # BOTH q4_k and q5_k (ppl re-measured per-kind in round 3).
             # KCPP_Q4K_I8=0 reverts.  Env is read here, in the non-jitted
             # dispatch, and passed as a static arg (advisor r2 finding).
+            # GS = in_f//64 must be >= 8: Mosaic rejects the (GS, C2)
+            # scratch layout below 8 sublanes (measured on v5e: GS=4 fails,
+            # GS=8 works) — tiny layers take the host-prep bf16 kernel
             T2 = x2.shape[0]
-            i8 = (T2 == 1 and in_f % 256 == 0
+            i8 = (T2 == 1 and in_f % 256 == 0 and in_f >= 512
                   and os.environ.get("KCPP_Q4K_I8", "1") == "1")
             raw = i8 or (qt.kind == "q4_k" and T2 == 1 and in_f % 256 == 0
+                         and in_f >= 512
                          and os.environ.get("KCPP_Q4K_RAW_X", "1") == "1")
             y = _packed_matvec_q4k(
                 x2, tuple(qt.data[n] for n in mv45),
@@ -1524,14 +1533,18 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
                 interpret=_use_interpret(), i8=i8, raw=raw)
             return y.reshape(*lead, out_f)
         if (qt.kind in _MATVEC_FIELDS and x2.shape[0] == 1
-                and all(n in qt.data for n in _MATVEC_FIELDS[qt.kind])):
+                and all(n in qt.data for n in _MATVEC_FIELDS[qt.kind])
+                and (qt.kind not in _IQ_KINDS
+                     or in_f >= 32 * _iq_group(qt))):
             # int8 MXU path for q8_0 (pure relayout — weights are already
             # int8) and q6_k (6-bit -> i8 expansion): the mmvq-equivalent
-            # ports of the q4_k i8 win.  KCPP_MM_I8=0 reverts.
+            # ports of the q4_k i8 win.  KCPP_MM_I8=0 reverts.  IQ kinds
+            # need >= 8 scratch sublanes (in_f >= 32*G), else the 2-D
+            # kernel serves.
             y = _packed_matvec(
                 x2, tuple(qt.data[n] for n in _MATVEC_FIELDS[qt.kind]),
                 kind=qt.kind, out_f=out_f, in_f=in_f,
-                interpret=_use_interpret(), i8=_mm_i8(qt.kind),
+                interpret=_use_interpret(), i8=_mm_i8(qt.kind, in_f),
                 group=_iq_group(qt) if qt.kind in _IQ_KINDS else 0)
             return y.reshape(*lead, out_f)
     y = _packed_matmul_2d(x2, fields, kind=qt.kind, out_f=out_f, in_f=in_f,

@@ -79,16 +79,17 @@ def test_native_iq_2d_kernel(t, T):
 
 
 def test_native_iq_stacked_matvec():
+    # in_f >= 32*G: below that the scratch sublane guard falls back to 2-D
     t = GGMLType.IQ2_XXS
     qts, refs = [], []
     for _ in range(3):
-        raw = make_raw(t, rows=256)
-        w = nq.dequantize(raw, t).reshape(256, 512)
+        raw = make_raw(t, rows=256, cols=1024)
+        w = nq.dequantize(raw, t).reshape(256, 1024)
         qts.append(pack_iq_native(raw, w.shape, t))
         refs.append(w)
     data = {n: jnp.stack([q.data[n] for q in qts]) for n in qts[0].data}
     stacked = linear.QTensor(kind=qts[0].kind, shape=qts[0].shape, data=data)
-    x = jnp.asarray((rng.standard_normal((1, 512)) * 0.5).astype(np.float32),
+    x = jnp.asarray((rng.standard_normal((1, 1024)) * 0.5).astype(np.float32),
                     jnp.bfloat16)
     for li in range(3):
         if not np.isfinite(refs[li]).all():
