@@ -1335,6 +1335,150 @@ def _iq2_xxs_quantize(x, qw=None):
     return _iq_xxs_quantize(x, qw, "iq2_xxs")
 
 
+def _iq1s_tables():
+    if "iq1_s" in _IQ_QTABLES:
+        return _IQ_QTABLES["iq1_s"]
+    g = _iq_grids()["grid_iq1_s"].astype(np.float32)   # (2048, 8) of -1/0/1
+    L = (g + 1).astype(np.int64)                       # codes 0/1/2
+    pat = (L << (2 * np.arange(8))[None, :]).sum(axis=1)
+    pmap = np.full(1 << 16, -1, np.int64)
+    pmap[pat] = np.arange(len(g))
+    _IQ_QTABLES["iq1_s"] = (g, L, pmap)
+    return _IQ_QTABLES["iq1_s"]
+
+
+def _iq1_s_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ1_S quantizer (quantize_row_iq1_s_impl, /root/reference/ggml/src/
+    ggml-quants.c): per-32-block exhaustive sorted 3-way split over levels
+    {-1,0,1} with the +-IQ1S_DELTA shift pair, 2048-entry grid projection
+    (brute-force weighted nearest replaces the neighbour lists), weighted
+    scale refit, 3-bit block scales with the reference's 1.125 fudge."""
+    BS = 32
+    b = _rows(x, QK_K).astype(np.float32)
+    N = len(b)
+    M = N * (QK_K // BS)
+    xb = b.reshape(M, BS)
+    sigma2 = np.repeat(2.0 * (b * b).sum(axis=-1) / QK_K, QK_K // BS)
+    if qw is not None:
+        qwb = _rows(np.asarray(qw, np.float32), QK_K).reshape(M, BS)
+    else:
+        qwb = np.ones_like(xb)
+    w = qwb * np.sqrt(sigma2[:, None] + xb * xb)
+
+    mx = np.abs(xb).max(axis=-1)
+    live = mx >= np.float32(1e-8)  # GROUP_MAX_EPS_IQ1_S
+
+    # sorted prefix sums -> exhaustive (i1 <= i2) split search
+    order = np.argsort(xb, axis=-1, kind="stable")
+    xs = np.take_along_axis(xb, order, axis=-1)
+    ws = np.take_along_axis(w, order, axis=-1)
+    sumx = np.zeros((M, BS + 1), np.float32)
+    sumw = np.zeros((M, BS + 1), np.float32)
+    sumx[:, 1:] = np.cumsum(ws * xs, axis=-1)
+    sumw[:, 1:] = np.cumsum(ws, axis=-1)
+    i1g, i2g = np.triu_indices(BS + 1)  # all i1 <= i2 pairs (561)
+    d = np.float32(IQ1S_DELTA)
+    xp = np.array([-1 + d, d, 1 + d], np.float32)
+    xm = np.array([-1 - d, -d, 1 - d], np.float32)
+    s1 = sumx[:, i1g]
+    s2 = sumx[:, i2g] - sumx[:, i1g]
+    s3 = sumx[:, -1:] - sumx[:, i2g]
+    w1 = sumw[:, i1g]
+    w2 = sumw[:, i2g] - sumw[:, i1g]
+    w3 = sumw[:, -1:] - sumw[:, i2g]
+    best_score = np.full(M, -np.float32(1e-38))
+    scale = mx.copy()
+    bi1 = np.zeros(M, np.int64)
+    bi2 = np.zeros(M, np.int64)
+    shift = np.ones(M, np.int8)
+    for xx, sh in ((xp, 1), (xm, -1)):
+        sumqx = s1 * xx[0] + s2 * xx[1] + s3 * xx[2]
+        sumq2 = w1 * xx[0] ** 2 + w2 * xx[1] ** 2 + w3 * xx[2] ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sc = np.where(sumq2 > 0, sumqx / sumq2, 0.0)
+        score = np.where(sumq2 > 0, sc * sumqx, -np.inf)
+        j = score.argmax(axis=-1)
+        sj = np.take_along_axis(score, j[:, None], 1)[:, 0]
+        upd = sj > best_score
+        best_score = np.where(upd, sj, best_score)
+        scale = np.where(upd, np.take_along_axis(sc, j[:, None], 1)[:, 0],
+                         scale)
+        bi1 = np.where(upd, i1g[j], bi1)
+        bi2 = np.where(upd, i2g[j], bi2)
+        shift = np.where(upd, np.int8(sh), shift)
+
+    # levels from the split (in sorted order), scattered back
+    r = np.arange(BS)[None, :]
+    Ls = (r >= bi1[:, None]).astype(np.int64) + (r >= bi2[:, None])
+    L = np.zeros((M, BS), np.int64)
+    np.put_along_axis(L, order, Ls, axis=-1)
+    neg = scale < 0
+    L = np.where(neg[:, None], 2 - L, L)
+    scale = np.abs(scale)
+    shift = np.where(neg, -shift, shift)
+    L = np.where(live[:, None], L, 1)
+    scale = np.where(live, scale, 0.0)
+
+    # grid projection per 8-group
+    g, Lg, pmap = _iq1s_tables()
+    ng = BS // 8
+    Lgrp = L.reshape(M * ng, 8)
+    u = (Lgrp << (2 * np.arange(8))[None, :]).sum(axis=1)
+    idx = pmap[u]
+    off = idx < 0
+    if off.any():
+        xg = xb.reshape(M * ng, 8)[off]
+        wg8 = w.reshape(M * ng, 8)[off]
+        sc = np.repeat(scale, ng)[off]
+        dl = np.repeat(shift.astype(np.float32) * d, ng)[off]
+        # q for entry e = grid + shift*delta; dist = sum w (xb - scale*q)^2
+        best = np.empty(len(xg), np.int64)
+        for c0 in range(0, len(xg), 32768):
+            sl = slice(c0, c0 + 32768)
+            q = g[None, :, :] + dl[sl, None, None]          # (K, E, 8)
+            diff = xg[sl, None, :] - sc[sl, None, None] * q
+            dist = (wg8[sl, None, :] * diff * diff).sum(-1)
+            best[sl] = dist.argmin(axis=1)
+        idx = idx.copy()
+        idx[off] = best
+    idx = np.maximum(idx, 0).reshape(M, ng)
+    # refit scale for blocks with any off-grid group (reference semantics)
+    had_off = off.reshape(M, ng).any(axis=-1)
+    if had_off.any():
+        qv = (g[idx] + (shift.astype(np.float32) * d)[:, None, None]
+              ).reshape(M, BS)
+        sumqx = (w * qv * xb).sum(axis=-1)
+        sumq2 = (w * qv * qv).sum(axis=-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ns = np.where((sumqx > 0) & (sumq2 > 0), sumqx / sumq2, scale)
+        scale = np.where(had_off, ns, scale)
+
+    # encode
+    nb32 = QK_K // BS
+    scale_b = scale.reshape(N, nb32)
+    shift_b = shift.reshape(N, nb32)
+    idx_b = idx.reshape(N, nb32, ng)
+    max_scale = scale_b.max(axis=-1)
+    dd = max_scale / 15.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idd = np.where(dd > 0, 1.0 / np.where(dd > 0, dd, 1.0), 0.0)
+    ls = np.clip(_nearest_int(0.5 * (idd[:, None] * scale_b - 1.0)),
+                 0, 7).astype(np.uint32)
+    ls = ls | np.where(shift_b == -1, 8, 0).astype(np.uint32)
+    qh = ((idx_b >> 8).astype(np.uint32)
+          << (3 * np.arange(ng))[None, None, :]).sum(axis=-1)
+    qh = qh | (ls << 12)
+    dead = max_scale <= 0
+    qh = np.where(dead[:, None], 0, qh).astype(np.uint16)
+    qs = np.where(dead[:, None, None], 0, idx_b & 255).astype(np.uint8)
+    out = np.empty((N, 50), np.uint8)
+    out[:, 0:2] = _f16(np.where(dead, 0.0, dd * 1.125)
+                       .astype(np.float32))[:, None].view(np.uint8)
+    out[:, 2:34] = qs.reshape(N, 32)
+    out[:, 34:50] = qh.reshape(N, 8).view(np.uint8)
+    return out
+
+
 def _iq3_xxs_quantize(x, qw=None):
     return _iq_xxs_quantize(x, qw, "iq3_xxs")
 
@@ -1627,6 +1771,7 @@ _QUANTIZERS = {
     GGMLType.IQ4_XS: _iq4_xs_quantize,
     GGMLType.IQ2_XXS: _iq2_xxs_quantize,
     GGMLType.IQ3_XXS: _iq3_xxs_quantize,
+    GGMLType.IQ1_S: _iq1_s_quantize,
     GGMLType.TQ1_0: _tq1_0_quantize,
     GGMLType.TQ2_0: _tq2_0_quantize,
 }
@@ -1640,6 +1785,7 @@ _IMATRIX_QUANTIZERS = {
     GGMLType.IQ4_XS: _iq4_xs_quantize,
     GGMLType.IQ2_XXS: _iq2_xxs_quantize,
     GGMLType.IQ3_XXS: _iq3_xxs_quantize,
+    GGMLType.IQ1_S: _iq1_s_quantize,
 }
 
 _DEQUANTIZERS = {
