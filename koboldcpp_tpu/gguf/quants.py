@@ -1121,8 +1121,8 @@ def _iq_quant_tables(fmt: str):
     if fmt in _IQ_QTABLES:
         return _IQ_QTABLES[fmt]
     g = _iq_grids()
-    if fmt == "iq2_xxs":
-        vals = g["grid_iq2_xxs"].astype(np.int64)     # (256, 8) of {8,25,43}
+    if fmt in ("iq2_xxs", "iq2_xs"):
+        vals = g["grid_" + fmt].astype(np.int64)      # (E, 8) of {8,25,43}
         lmap = np.zeros(64, np.int64)
         lmap[[8, 25, 43]] = [0, 1, 2]
         L = lmap[vals]
@@ -1145,11 +1145,11 @@ def _iq_quant_tables(fmt: str):
 def _iq_signs_parity(xb: np.ndarray, w: np.ndarray):
     """Per-8-group sign extraction with even-parity enforcement (the grids
     carry 7-bit sign indices; the 8th sign is the parity bit): flip the
-    min-weight*x^2 element when the flip count is odd.  xb, w: (M, 32).
-    Returns (xval (M, 32) magnitudes w/ parity flips, signs (M, 4) 7-bit)."""
-    M = len(xb)
-    gx = xb.reshape(M, 4, 8)
-    gw = w.reshape(M, 4, 8)
+    min-weight*x^2 element when the flip count is odd.  xb, w: (M, BS).
+    Returns (xval (M, BS) magnitudes w/ parity flips, signs (M, BS//8))."""
+    M, BS = xb.shape
+    gx = xb.reshape(M, BS // 8, 8)
+    gw = w.reshape(M, BS // 8, 8)
     sbits = gx < 0
     xval = np.abs(gx)
     crit = gw * gx * gx
@@ -1159,7 +1159,7 @@ def _iq_signs_parity(xb: np.ndarray, w: np.ndarray):
     xval[mi, gi, imin[mi, gi]] *= -1.0
     sbits[mi, gi, imin[mi, gi]] ^= True
     signs = (sbits << np.arange(8)[None, None, :]).sum(axis=-1) & 127
-    return xval.reshape(M, 32), signs.astype(np.uint32)
+    return xval.reshape(M, BS), signs.astype(np.uint32)
 
 
 def _iq_grid_project(xval, waux, scale, Laux, fmt: str, mask=None):
@@ -1170,8 +1170,8 @@ def _iq_grid_project(xval, waux, scale, Laux, fmt: str, mask=None):
     a brute-force argmin over all E entries (chunked).  Returns (L, idx)."""
     q, L_grid, pmap, bits = _iq_quant_tables(fmt)
     E, gs = q.shape
-    M = len(xval)
-    ng = 32 // gs
+    M, BS = xval.shape
+    ng = BS // gs
     Lg = Laux.reshape(M * ng, gs)
     u = (Lg.astype(np.int64) << (bits * np.arange(gs))[None, :]).sum(axis=1)
     idx = pmap[u]                                       # (M*ng,)
@@ -1193,7 +1193,7 @@ def _iq_grid_project(xval, waux, scale, Laux, fmt: str, mask=None):
         idx = idx.copy()
         idx[off] = best
     L = np.where(idx[:, None] >= 0, L_grid[np.maximum(idx, 0)], Lg)
-    return L.reshape(M, 32), idx.reshape(M, ng), (~off).reshape(M, ng)
+    return L.reshape(M, BS), idx.reshape(M, ng), (~off).reshape(M, ng)
 
 
 def _iq_xxs_quantize(x: np.ndarray, qw: np.ndarray | None, fmt: str) -> np.ndarray:
@@ -1483,6 +1483,97 @@ def _iq3_xxs_quantize(x, qw=None):
     return _iq_xxs_quantize(x, qw, "iq3_xxs")
 
 
+def _iq2_xs_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ2_XS quantizer (quantize_row_iq2_xs_impl): per-16-element blocks
+    (two 8-groups onto the 512-entry grid), is∈[-9,9] scale sweep with
+    on-grid tracking, off-grid-only final remap, 4-bit nibble scales per
+    block pair against d = max_scale/31."""
+    kmax = 3
+    BS = 16
+    b = _rows(x, QK_K).astype(np.float32)
+    N = len(b)
+    M = N * (QK_K // BS)
+    xb = b.reshape(M, BS)
+    sigma2 = np.repeat((b * b).sum(axis=-1) / QK_K, QK_K // BS)
+    if qw is not None:
+        qwb = _rows(np.asarray(qw, np.float32), QK_K).reshape(M, BS)
+        w = qwb * np.sqrt(sigma2[:, None] + xb * xb)
+    else:
+        w = np.sqrt(sigma2[:, None] + xb * xb)
+    waux = np.sqrt(w)
+
+    xval, signs = _iq_signs_parity(xb, w)   # signs (M, 2)
+    mx = xval.max(axis=-1)
+    live = mx >= GROUP_MAX_EPS
+    eff = np.where(mx > 0, mx, 1.0)
+    scale = mx / (2 * kmax - 1)
+    best = np.zeros(M, np.float32)
+    L = np.zeros((M, BS), np.int64)
+    ongrid = np.ones((M, 2), bool)
+    for c in [(2 * kmax - 1 + 0.1 * s) for s in range(-9, 10)]:
+        idv = np.float32(c) / eff
+        Laux = np.clip(_nearest_int(0.5 * (idv[:, None] * xval - 1.0)),
+                       0, kmax - 1)
+        Laux, _, og = _iq_grid_project(xval, waux, 1.0 / idv, Laux,
+                                       "iq2_xs", mask=live)
+        qv = 2 * Laux + 1
+        sumqx = (w * xval * qv).sum(axis=-1)
+        sumq2 = (w * qv * qv).sum(axis=-1)
+        upd = (sumq2 > 0) & (sumqx * sumqx > best * sumq2) & live
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ns = np.where(sumq2 > 0, sumqx / sumq2, 0.0)
+        scale = np.where(upd, ns, scale)
+        best = np.where(upd, ns * sumqx, best)
+        L = np.where(upd[:, None], Laux, L)
+        ongrid = np.where(upd[:, None], og, ongrid)
+
+    pos = live & (scale > 0)
+    remap = pos & ~ongrid.all(axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idv = np.where(scale > 0, 1.0 / np.where(scale > 0, scale, 1.0), 0.0)
+    Lr = np.clip(_nearest_int(0.5 * (idv[:, None] * xval - 1.0)), 0, kmax - 1)
+    Lf = np.where(remap[:, None], Lr, L)
+    Lf, idx, _ = _iq_grid_project(xval, waux, scale, Lf, "iq2_xs", mask=pos)
+    # keep the sweep's L/idx for fully-on-grid blocks
+    keep = (~remap)[:, None] & ongrid
+    Lf = np.where(np.repeat(keep, 8, axis=1), L, Lf)
+    q_, Lg_, pmap_, bits_ = _iq_quant_tables("iq2_xs")
+    u = (Lf.reshape(M * 2, 8).astype(np.int64)
+         << (2 * np.arange(8))[None, :]).sum(axis=1)
+    idx = pmap_[u].reshape(M, 2)
+    qv = 2 * Lf + 1
+    sumqx = (w * xval * qv).sum(axis=-1)
+    sumq2 = (w * qv * qv).sum(axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(remap & (sumq2 > 0), sumqx / sumq2, scale)
+    neg = scale < 0
+    scale = np.where(live, np.abs(scale), 0.0)
+    signs = np.where(neg[:, None], (~signs.astype(np.int64)) & 127, signs)
+    idx = np.maximum(idx, 0)
+
+    # encode: u16 per 8-group = grid_index | signs << 9; nibble scales
+    nb16 = QK_K // BS
+    scale_b = scale.reshape(N, nb16)
+    max_scale = scale_b.max(axis=-1)
+    d = max_scale / 31.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idd = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    ls = np.clip(_nearest_int(0.5 * (idd[:, None] * scale_b - 1.0)),
+                 0, 15).astype(np.uint32)
+    dead = max_scale <= 0
+    q16 = (idx.astype(np.uint32)
+           | (signs.reshape(N * nb16, 2).astype(np.uint32) << 9))
+    q16 = np.where(dead[:, None].repeat(nb16, 1).reshape(-1, 1), 0, q16)
+    sc = (ls[:, 0::2] | (ls[:, 1::2] << 4)).astype(np.uint8)
+    sc = np.where(dead[:, None], 0, sc)
+    out = np.empty((N, 74), np.uint8)
+    out[:, 0:2] = _f16(np.where(dead, 0.0, d).astype(np.float32)
+                       )[:, None].view(np.uint8)
+    out[:, 2:66] = q16.astype(np.uint16).reshape(N, 32).view(np.uint8)
+    out[:, 66:74] = sc
+    return out
+
+
 def iq_decompose(raw: np.ndarray, t) -> tuple:
     """Decompose raw IQ blocks into (v, scales, delta, G):
 
@@ -1770,6 +1861,7 @@ _QUANTIZERS = {
     GGMLType.IQ4_NL: _iq4_nl_quantize,
     GGMLType.IQ4_XS: _iq4_xs_quantize,
     GGMLType.IQ2_XXS: _iq2_xxs_quantize,
+    GGMLType.IQ2_XS: _iq2_xs_quantize,
     GGMLType.IQ3_XXS: _iq3_xxs_quantize,
     GGMLType.IQ1_S: _iq1_s_quantize,
     GGMLType.TQ1_0: _tq1_0_quantize,
@@ -1784,6 +1876,7 @@ _IMATRIX_QUANTIZERS = {
     GGMLType.Q6_K: _q6_k_quantize,
     GGMLType.IQ4_XS: _iq4_xs_quantize,
     GGMLType.IQ2_XXS: _iq2_xxs_quantize,
+    GGMLType.IQ2_XS: _iq2_xs_quantize,
     GGMLType.IQ3_XXS: _iq3_xxs_quantize,
     GGMLType.IQ1_S: _iq1_s_quantize,
 }
