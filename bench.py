@@ -308,6 +308,64 @@ def bench_longctx(cfg, latency: float, kind: str, S: int = 16384,
             "roofline_16k_tps": round(819e9 / (sb + kv), 1)}
 
 
+def bench_batched_engine(cfg, kind: str) -> dict:
+    """BatchedEngine throughput with 8 concurrent requests: all-greedy vs
+    7 greedy + 1 stochastic slot (VERDICT r2 item 6 'Done' criterion: the
+    mixed batch must stay within 20% — per-slot device sampling keeps the
+    whole tick on device)."""
+    import threading
+
+    from koboldcpp_tpu.engine.batch_engine import BatchedEngine
+    from koboldcpp_tpu.engine.engine import GenParams
+    from koboldcpp_tpu.models.loader import Model
+    from koboldcpp_tpu.models.synthetic import synthetic_params
+    from koboldcpp_tpu.sampling.samplers import SamplerParams
+    from koboldcpp_tpu.tokenizers import Tokenizer
+    from koboldcpp_tpu.tokenizers.vocab import vocab_from_metadata
+
+    params = synthetic_params(cfg, kind=kind, seed=0)
+    md = {"tokenizer.ggml.model": "gpt2",
+          "tokenizer.ggml.tokens": [f"tok{i}" for i in range(cfg.vocab_size)],
+          "tokenizer.ggml.token_type": np.full(cfg.vocab_size, 1, np.int32),
+          "tokenizer.ggml.bos_token_id": np.uint32(1),
+          "tokenizer.ggml.eos_token_id": np.uint32(2),
+          "tokenizer.ggml.add_bos_token": False}
+    model = Model(cfg, params, Tokenizer(vocab_from_metadata(md)))
+    eng = BatchedEngine(model, max_context=512, n_slots=8)
+
+    def run_batch(stoch_slots: int) -> float:
+        greedy = GenParams(max_length=128, bypass_eos=True,
+                           sampler=SamplerParams(temperature=0.0, rep_pen=1.0))
+        stoch = GenParams(max_length=128, bypass_eos=True,
+                          sampler=SamplerParams(temperature=0.8, top_p=0.9,
+                                                top_k=60, rep_pen=1.05))
+        reqs = [stoch if i < stoch_slots else greedy for i in range(8)]
+        results = [None] * 8
+
+        def worker(i):
+            results[i] = eng.generate([1, 5 + i, 9], reqs[i])
+
+        t0 = time.perf_counter()
+        ths = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        dt = time.perf_counter() - t0
+        return sum(len(r.tokens) for r in results) / dt
+
+    run_batch(0)  # warm compiles (prefill buckets + greedy step)
+    g = max(run_batch(0), run_batch(0))
+    run_batch(1)  # warm the sampled step
+    s = max(run_batch(1), run_batch(1))
+    eng.shutdown()
+    del params, model, eng
+    gc.collect()
+    return {"engine_batched8_greedy_tps": round(g, 1),
+            "engine_batched8_1stoch_tps": round(s, 1),
+            "stoch_vs_greedy": round(s / g, 3) if g else 0.0}
+
+
 def bench_served(cfg, params_kind: str, max_seq: int) -> float:
     """Engine-level served greedy throughput (host in the loop)."""
     try:
@@ -373,6 +431,11 @@ def main():
     except Exception as e:
         print(f"16k bench skipped: {e!r}", file=sys.stderr)
         lc = {}
+    try:
+        be = bench_batched_engine(TINYLLAMA_1_1B, kind)
+    except Exception as e:
+        print(f"batched-engine bench skipped: {e!r}", file=sys.stderr)
+        be = {}
     r7 = {}
     if mode != "1b":
         try:
@@ -390,6 +453,7 @@ def main():
             "served_greedy_tps": served,
             "scan_layers": False,
             **lc,
+            **be,
             "7b": r7,
             "tunnel_latency_ms": round(latency * 1e3, 1),
             "device": str(jax.devices()[0]),
