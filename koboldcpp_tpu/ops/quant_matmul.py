@@ -1514,8 +1514,10 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
             # 800 -> 1068 t/s (86% of the streamed-bytes roofline; BENCH_r02),
             # served greedy 664 -> 790.  Activation int8 noise is the same
             # class llama.cpp serves with (q8_1 activations, ggml-cuda/
-            # mmq.cuh:25-60); QUALITY.md bounds that class at <0.05 ppl for
-            # BOTH q4_k and q5_k (ppl re-measured per-kind in round 3).
+            # mmq.cuh:25-60, which applies the same q8_1 activations to both
+            # formats); QUALITY.md bounds that class at <0.05 ppl (measured
+            # on q4_k; q5_k is covered by the kernel-level absolute-error
+            # tests rather than a separate ppl run).
             # KCPP_Q4K_I8=0 reverts.  Env is read here, in the non-jitted
             # dispatch, and passed as a static arg (advisor r2 finding).
             # GS = in_f//64 must be >= 8: Mosaic rejects the (GS, C2)
