@@ -319,8 +319,11 @@ class Engine:
         self.cache = self._model_mod.init_state(self.cfg, 1)
 
     # -- low-level steps ---------------------------------------------------
-    def _eval_chunk(self, tokens: list[int], start_pos: int) -> np.ndarray:
-        """Evaluate tokens at positions [start_pos, ...); returns last logits."""
+    def _eval_chunk(self, tokens: list[int], start_pos: int):
+        """Evaluate tokens at positions [start_pos, ...); returns the last
+        token's logits as a DEVICE array (callers that host-sample convert
+        with np.asarray; the fast decode paths feed it straight back to the
+        device — skipping the ~2x25 ms tunnel round trip per request)."""
         n = len(tokens)
         b = _bucket(n)
         pad = b - n
@@ -334,7 +337,7 @@ class Engine:
             logits, self.cache = self._forward(
                 self.model.params, tokens=tok, positions=pos, cache=self.cache,
                 last_index=jnp.array([n - 1], dtype=jnp.int32))
-            return np.asarray(logits[0, -1])
+            return logits[0, -1]
         if self.use_flash_prefill and start_pos == 0 and b >= 128:
             # pad at the END so row index == position (causal alignment);
             # gather logits at the last real row
@@ -344,14 +347,14 @@ class Engine:
             logits, self.cache = self._forward_flash(
                 self.model.params, tokens=tok, positions=pos, cache=self.cache,
                 last_index=jnp.array([n - 1], dtype=jnp.int32))
-            return np.asarray(logits[0, -1])
+            return logits[0, -1]
         tok = jnp.asarray(np.array([[0] * pad + tokens], dtype=np.int32))
         pos = jnp.asarray(
             np.array([[-1] * pad + list(range(start_pos, start_pos + n))],
                      dtype=np.int32))
         logits, self.cache = self._forward(self.model.params, tokens=tok,
                                            positions=pos, cache=self.cache)
-        return np.asarray(logits[0, -1])
+        return logits[0, -1]
 
     IMG_SENTINEL = -999  # context placeholder for image-patch positions
 
@@ -377,7 +380,7 @@ class Engine:
             self.model.params, tokens=jnp.asarray(tok_arr),
             positions=jnp.asarray(pos), cache=self.cache,
             input_embeds=jnp.asarray(emb), embed_mask=jnp.asarray(mask))
-        return np.asarray(logits[0, -1])
+        return logits[0, -1]
 
     def eval_tokens(self, tokens: list[int], start_pos: int,
                     emb_by_pos: dict[int, np.ndarray] | None = None) -> np.ndarray:
@@ -741,7 +744,9 @@ class Engine:
             # Overshoot past a stop is bounded by depth*K discarded tokens.
             from collections import deque
 
-            depth = max(1, int(os.environ.get("KCPP_PIPELINE_DEPTH", "2")))
+            # depth 3: the r3 on-TPU sweep measured 748/795/798 t/s at depth
+            # 2/3/4 — one extra in-flight chunk hides the pull latency
+            depth = max(1, int(os.environ.get("KCPP_PIPELINE_DEPTH", "3")))
             pending: deque = deque()
             dispatch_pos = len(self.context_tokens)
             dispatched = 0
@@ -806,6 +811,8 @@ class Engine:
             # invisible and later tokens overwrite them
             max_len = 0  # skip the host loop below
 
+        if max_len > 0:  # host-sampled loop: pull the prefill logits once
+            logits = np.asarray(logits)
         for _ in range(max_len):
             if self.abort_event.is_set():
                 stop_reason = "abort"
@@ -878,7 +885,8 @@ class Engine:
                     on_token(qt, qp)
 
             # feed the token back
-            logits = self._eval_chunk([tok], len(self.context_tokens))
+            logits = np.asarray(
+                self._eval_chunk([tok], len(self.context_tokens)))
             self.context_tokens.append(tok)
 
         for _, qt, qp in stream_q:  # flush held-back pieces
@@ -906,9 +914,10 @@ class Engine:
         (linear-time) context instead."""
         if self.recurrent:
             self._reset_recurrent_state()
-            return self.eval_tokens(self.context_tokens, 0)
+            return np.asarray(self.eval_tokens(self.context_tokens, 0))
         last = self.context_tokens[-1]
-        return self._eval_chunk([last], len(self.context_tokens) - 1)
+        return np.asarray(
+            self._eval_chunk([last], len(self.context_tokens) - 1))
 
     def _antislop_check(self, text: str, phrases: list[str],
                         out_tokens: list[int]) -> tuple[int, int] | None:

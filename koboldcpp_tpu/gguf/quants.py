@@ -1121,7 +1121,7 @@ def _iq_quant_tables(fmt: str):
     if fmt in _IQ_QTABLES:
         return _IQ_QTABLES[fmt]
     g = _iq_grids()
-    if fmt in ("iq2_xxs", "iq2_xs"):
+    if fmt in ("iq2_xxs", "iq2_xs", "iq2_s"):
         vals = g["grid_" + fmt].astype(np.int64)      # (E, 8) of {8,25,43}
         lmap = np.zeros(64, np.int64)
         lmap[[8, 25, 43]] = [0, 1, 2]
@@ -1333,6 +1333,109 @@ def _iq_xxs_quantize(x: np.ndarray, qw: np.ndarray | None, fmt: str) -> np.ndarr
 
 def _iq2_xxs_quantize(x, qw=None):
     return _iq_xxs_quantize(x, qw, "iq2_xxs")
+
+
+def _iq2_s_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ2_S quantizer (quantize_row_iq2_s_impl): iq2_xs structure with the
+    1024-entry grid and FULL 8-bit explicit signs (no parity constraint),
+    0.25*sigma2+x^2 default weights, qh 2-bit high-index packing, and the
+    reference's 0.9875 d fudge."""
+    kmax = 3
+    BS = 16
+    b = _rows(x, QK_K).astype(np.float32)
+    N = len(b)
+    M = N * (QK_K // BS)
+    xb = b.reshape(M, BS)
+    sigma2 = np.repeat(2.0 * (b * b).sum(axis=-1) / QK_K, QK_K // BS)
+    if qw is not None:
+        qwb = _rows(np.asarray(qw, np.float32), QK_K).reshape(M, BS)
+        w = qwb * np.sqrt(sigma2[:, None] + xb * xb)
+    else:
+        w = 0.25 * sigma2[:, None] + xb * xb
+    waux = np.sqrt(w)
+
+    # full 8-bit signs, magnitudes (no parity flip)
+    sbits = (xb.reshape(M, 2, 8) < 0)
+    signs = (sbits << np.arange(8)[None, None, :]).sum(axis=-1).astype(np.int64)
+    xval = np.abs(xb)
+    mx = xval.max(axis=-1)
+    live = mx >= np.float32(1e-8)  # GROUP_MAX_EPS_IQ2_S
+    eff = np.where(mx > 0, mx, 1.0)
+    scale = mx / (2 * kmax - 1)
+    best = np.zeros(M, np.float32)
+    L = np.zeros((M, BS), np.int64)
+    ongrid = np.ones((M, 2), bool)
+    for c in [(2 * kmax - 1 + 0.1 * s) for s in range(-9, 10)]:
+        idv = np.float32(c) / eff
+        Laux = np.clip(_nearest_int(0.5 * (idv[:, None] * xval - 1.0)),
+                       0, kmax - 1)
+        Laux, _, og = _iq_grid_project(xval, waux, 1.0 / idv, Laux,
+                                       "iq2_s", mask=live)
+        qv = 2 * Laux + 1
+        sumqx = (w * xval * qv).sum(axis=-1)
+        sumq2 = (w * qv * qv).sum(axis=-1)
+        upd = (sumq2 > 0) & (sumqx * sumqx > best * sumq2) & live
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ns = np.where(sumq2 > 0, sumqx / sumq2, 0.0)
+        scale = np.where(upd, ns, scale)
+        best = np.where(upd, ns * sumqx, best)
+        L = np.where(upd[:, None], Laux, L)
+        ongrid = np.where(upd[:, None], og, ongrid)
+
+    pos = live & (scale > 0)
+    remap = pos & ~ongrid.all(axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idv = np.where(scale > 0, 1.0 / np.where(scale > 0, scale, 1.0), 0.0)
+    Lr = np.clip(_nearest_int(0.5 * (idv[:, None] * xval - 1.0)), 0, kmax - 1)
+    Lf = np.where(remap[:, None], Lr, L)
+    Lf, idx, _ = _iq_grid_project(xval, waux, scale, Lf, "iq2_s", mask=pos)
+    keep = (~remap)[:, None] & ongrid
+    Lf = np.where(np.repeat(keep, 8, axis=1), L, Lf)
+    q_, Lg_, pmap_, bits_ = _iq_quant_tables("iq2_s")
+    u = (Lf.reshape(M * 2, 8).astype(np.int64)
+         << (2 * np.arange(8))[None, :]).sum(axis=1)
+    idx = pmap_[u].reshape(M, 2)
+    qv = 2 * Lf + 1
+    sumqx = (w * xval * qv).sum(axis=-1)
+    sumq2 = (w * qv * qv).sum(axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(remap & (sumq2 > 0), sumqx / sumq2, scale)
+    neg = scale < 0
+    scale = np.where(live, np.abs(scale), 0.0)
+    signs = np.where(neg[:, None], (~signs) & 255, signs)
+    idx = np.maximum(idx, 0)
+
+    nb16 = QK_K // BS
+    scale_b = scale.reshape(N, nb16)
+    max_scale = scale_b.max(axis=-1)
+    d = max_scale / 31.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idd = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    ls = np.clip(_nearest_int(0.5 * (idd[:, None] * scale_b - 1.0)),
+                 0, 15).astype(np.uint32)
+    dead = max_scale <= 0
+    dead_blk = ~live.reshape(N, nb16)
+    idx8 = idx.reshape(N, nb16 * 2)               # (N, 32) 8-groups
+    idx8 = np.where(np.repeat(dead_blk, 2, 1), 0, idx8)
+    sg8 = signs.reshape(N, nb16 * 2)
+    sg8 = np.where(np.repeat(dead_blk, 2, 1), 0, sg8)
+    qs_lo = (idx8 & 255).astype(np.uint8)
+    qh = np.zeros((N, 8), np.uint32)
+    for i8 in range(32):
+        qh[:, i8 // 4] |= (idx8[:, i8].astype(np.uint32) >> 8) << (2 * (i8 % 4))
+    sc = (ls[:, 0::2] | (ls[:, 1::2] << 4)).astype(np.uint8)
+    qs_lo = np.where(dead[:, None], 0, qs_lo)
+    qh = np.where(dead[:, None], 0, qh)
+    sc = np.where(dead[:, None], 0, sc)
+    sg8 = np.where(dead[:, None], 0, sg8)
+    out = np.empty((N, 82), np.uint8)
+    out[:, 0:2] = _f16(np.where(dead, 0.0, d * 0.9875)
+                       .astype(np.float32))[:, None].view(np.uint8)
+    out[:, 2:34] = qs_lo
+    out[:, 34:66] = sg8.astype(np.uint8)
+    out[:, 66:74] = qh.astype(np.uint8)
+    out[:, 74:82] = sc
+    return out
 
 
 def _iq1s_tables():
@@ -1862,6 +1965,7 @@ _QUANTIZERS = {
     GGMLType.IQ4_XS: _iq4_xs_quantize,
     GGMLType.IQ2_XXS: _iq2_xxs_quantize,
     GGMLType.IQ2_XS: _iq2_xs_quantize,
+    GGMLType.IQ2_S: _iq2_s_quantize,
     GGMLType.IQ3_XXS: _iq3_xxs_quantize,
     GGMLType.IQ1_S: _iq1_s_quantize,
     GGMLType.TQ1_0: _tq1_0_quantize,
@@ -1877,6 +1981,7 @@ _IMATRIX_QUANTIZERS = {
     GGMLType.IQ4_XS: _iq4_xs_quantize,
     GGMLType.IQ2_XXS: _iq2_xxs_quantize,
     GGMLType.IQ2_XS: _iq2_xs_quantize,
+    GGMLType.IQ2_S: _iq2_s_quantize,
     GGMLType.IQ3_XXS: _iq3_xxs_quantize,
     GGMLType.IQ1_S: _iq1_s_quantize,
 }
