@@ -1131,6 +1131,10 @@ def _iq_quant_tables(fmt: str):
         vals = g["grid_iq3_xxs"].astype(np.int64)     # (256, 4) of 4+8l (62)
         L = vals // 8                                  # 4->0 ... 62->7
         bits = 3
+    elif fmt == "iq3_s":
+        vals = g["grid_iq3_s"].astype(np.int64)       # (512, 4) of 2l+1
+        L = (vals - 1) // 2
+        bits = 3
     else:
         raise ValueError(fmt)
     E, gs = L.shape
@@ -1435,6 +1439,258 @@ def _iq2_s_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     out[:, 34:66] = sg8.astype(np.uint8)
     out[:, 66:74] = qh.astype(np.uint8)
     out[:, 74:82] = sc
+    return out
+
+
+def _iq3_s_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ3_S quantizer (quantize_row_iq3_s_impl, block_size=32): 512-entry
+    4-element grid, kMaxQ=8, full 8-bit explicit signs, is in [-9,9] x 0.2
+    sweep, whole-block re-map when any group left the grid, nibble scales
+    per 32-block pair with the reference's 1.033 d fudge."""
+    kmax = 8
+    BS = 32
+    b = _rows(x, QK_K).astype(np.float32)
+    N = len(b)
+    M = N * (QK_K // BS)
+    xb = b.reshape(M, BS)
+    sigma2 = np.repeat(2.0 * (b * b).sum(axis=-1) / QK_K, QK_K // BS)
+    if qw is not None:
+        qwb = _rows(np.asarray(qw, np.float32), QK_K).reshape(M, BS)
+        w = qwb * np.sqrt(sigma2[:, None] + xb * xb)
+    else:
+        w = xb * xb
+    waux = np.sqrt(w)
+
+    sbits = (xb.reshape(M, 4, 8) < 0)
+    signs = (sbits << np.arange(8)[None, None, :]).sum(axis=-1).astype(np.int64)
+    xval = np.abs(xb)
+    mx = xval.max(axis=-1)
+    live = mx > 0
+    eff = np.where(mx > 0, mx, 1.0)
+    scale = mx / (2 * kmax - 1)
+    best = np.zeros(M, np.float32)
+    L = np.zeros((M, BS), np.int64)
+    ongrid = np.zeros((M, 8), bool)   # reference inits false per block
+    for c in [(2 * kmax - 1 + 0.2 * s) for s in range(-9, 10)]:
+        idv = np.float32(c) / eff
+        Laux = np.clip(_nearest_int(0.5 * (idv[:, None] * xval - 1.0)),
+                       0, kmax - 1)
+        Laux, _, og = _iq_grid_project(xval, waux, 1.0 / idv, Laux,
+                                       "iq3_s", mask=live)
+        qv = 2 * Laux + 1
+        sumqx = (w * xval * qv).sum(axis=-1)
+        sumq2 = (w * qv * qv).sum(axis=-1)
+        upd = (sumq2 > 0) & (sumqx * sumqx > best * sumq2) & live
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ns = np.where(sumq2 > 0, sumqx / sumq2, 0.0)
+        scale = np.where(upd, ns, scale)
+        best = np.where(upd, ns * sumqx, best)
+        L = np.where(upd[:, None], Laux, L)
+        ongrid = np.where(upd[:, None], og, ongrid)
+
+    # whole-block re-round + project when ANY group is off grid (the
+    # reference's per-group skip is commented out in ggml-quants.c)
+    pos = live & (scale > 0)
+    remap = pos & ~ongrid.all(axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idv = np.where(scale > 0, 1.0 / np.where(scale > 0, scale, 1.0), 0.0)
+    Lr = np.clip(_nearest_int(0.5 * (idv[:, None] * xval - 1.0)), 0, kmax - 1)
+    Lf = np.where(remap[:, None], Lr, L)
+    Lf, idx, _ = _iq_grid_project(xval, waux, scale, Lf, "iq3_s", mask=remap)
+    q_, Lg_, pmap_, bits_ = _iq_quant_tables("iq3_s")
+    u = (Lf.reshape(M * 8, 4).astype(np.int64)
+         << (3 * np.arange(4))[None, :]).sum(axis=1)
+    idx = pmap_[u].reshape(M, 8)
+    qv = 2 * Lf + 1
+    sumqx = (w * xval * qv).sum(axis=-1)
+    sumq2 = (w * qv * qv).sum(axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(remap & (sumq2 > 0), sumqx / sumq2, scale)
+    neg = scale < 0
+    scale = np.where(live, np.abs(scale), 0.0)
+    signs = np.where(neg[:, None], (~signs) & 255, signs)
+    idx = np.maximum(idx, 0)
+
+    nb = QK_K // BS            # 8 32-blocks
+    scale_b = scale.reshape(N, nb)
+    max_scale = scale_b.max(axis=-1)
+    d = max_scale / 31.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idd = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    ls = np.clip(_nearest_int(0.5 * (idd[:, None] * scale_b - 1.0)),
+                 0, 15).astype(np.uint32)
+    dead = max_scale <= 0
+    dead_blk = ~live.reshape(N, nb)
+    idx_b = np.where(np.repeat(dead_blk, 8, 1), 0,
+                     idx.reshape(N, nb * 8))     # (N, 64) 4-groups
+    sg_b = np.where(np.repeat(dead_blk, 4, 1), 0,
+                    signs.reshape(N, nb * 4))
+    qs = (idx_b & 255).astype(np.uint8)
+    qh = np.zeros((N, 8), np.uint32)
+    for j in range(64):
+        qh[:, j // 8] |= (idx_b[:, j].astype(np.uint32) >> 8) << (j % 8)
+    sc = (ls[:, 0::2] | (ls[:, 1::2] << 4)).astype(np.uint8)
+    qs = np.where(dead[:, None], 0, qs)
+    qh = np.where(dead[:, None], 0, qh)
+    sc = np.where(dead[:, None], 0, sc)
+    sg_b = np.where(dead[:, None], 0, sg_b)
+    out = np.empty((N, 110), np.uint8)
+    out[:, 0:2] = _f16(np.where(dead, 0.0, d * 1.033)
+                       .astype(np.float32))[:, None].view(np.uint8)
+    out[:, 2:66] = qs
+    out[:, 66:74] = qh.astype(np.uint8)
+    out[:, 74:106] = sg_b.astype(np.uint8)
+    out[:, 106:110] = sc
+    return out
+
+
+def _iq1_m_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ1_M quantizer (quantize_row_iq1_m_impl, block_size=16): exhaustive
+    sorted 3-way split with FOUR delta variants (independent +-IQ1S_DELTA
+    signs for each 8-group half), grid projection on the iq1 2048-entry
+    grid, 3-bit block scales packed 4-per-u16 with the f16 super-scale's
+    nibbles in the top bits, global weighted d refit, 1.1125 fudge."""
+    BS = 16
+    d5 = np.float32(IQ1S_DELTA)
+    b = _rows(x, QK_K).astype(np.float32)
+    N = len(b)
+    nb = QK_K // BS            # 16 blocks per super-block
+    M = N * nb
+    xb = b.reshape(M, BS)
+    sigma2 = np.repeat(2.0 * (b * b).sum(axis=-1) / QK_K, nb)
+    if qw is not None:
+        qwb = _rows(np.asarray(qw, np.float32), QK_K).reshape(M, BS)
+        w = qwb * np.sqrt(sigma2[:, None] + xb * xb)
+    else:
+        w = xb * xb
+    mx = np.abs(xb).max(axis=-1)
+    live = mx >= np.float32(1e-7)  # GROUP_MAX_EPS_IQ1_M
+
+    order = np.argsort(xb, axis=-1, kind="stable")
+    xs = np.take_along_axis(xb, order, axis=-1)
+    ws = np.take_along_axis(w, order, axis=-1)
+    half2 = (order >= BS // 2)     # sorted element came from the 2nd 8-group
+    base = np.array([-1.0, 0.0, 1.0], np.float32)
+    i1g, i2g = np.triu_indices(BS + 1)   # 153 (i1 <= i2) pairs
+
+    best_score = np.full(M, -np.float32(1e-38))
+    scale = mx.copy()
+    bi1 = np.zeros(M, np.int64)
+    bi2 = np.zeros(M, np.int64)
+    bestk = np.zeros(M, np.int64)
+    for k in range(4):   # 0:++ 1:+- 2:-+ 3:--  (first-half sign, second-half)
+        s1 = 1.0 if k < 2 else -1.0
+        s2 = 1.0 if k % 2 == 0 else -1.0
+        sgn = np.where(half2, s2, s1).astype(np.float32)  # (M, BS) sorted
+        # per-level prefix sums over the sorted order
+        Sx = np.zeros((3, M, BS + 1), np.float32)
+        S2 = np.zeros((3, M, BS + 1), np.float32)
+        for lv in range(3):
+            v = base[lv] + sgn * d5
+            Sx[lv, :, 1:] = np.cumsum(ws * xs * v, axis=-1)
+            S2[lv, :, 1:] = np.cumsum(ws * v * v, axis=-1)
+        sumqx = (Sx[0][:, i1g] + (Sx[1][:, i2g] - Sx[1][:, i1g])
+                 + (Sx[2][:, -1:] - Sx[2][:, i2g]))
+        sumq2 = (S2[0][:, i1g] + (S2[1][:, i2g] - S2[1][:, i1g])
+                 + (S2[2][:, -1:] - S2[2][:, i2g]))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sc_ = np.where(sumq2 > 0, sumqx / sumq2, 0.0)
+        score = np.where(sumq2 > 0, sc_ * sumqx, -np.inf)
+        j = score.argmax(axis=-1)
+        sj = np.take_along_axis(score, j[:, None], 1)[:, 0]
+        upd = sj > best_score
+        best_score = np.where(upd, sj, best_score)
+        scale = np.where(upd, np.take_along_axis(sc_, j[:, None], 1)[:, 0],
+                         scale)
+        bi1 = np.where(upd, i1g[j], bi1)
+        bi2 = np.where(upd, i2g[j], bi2)
+        bestk = np.where(upd, k, bestk)
+
+    r = np.arange(BS)[None, :]
+    Ls = (r >= bi1[:, None]).astype(np.int64) + (r >= bi2[:, None])
+    L = np.zeros((M, BS), np.int64)
+    np.put_along_axis(L, order, Ls, axis=-1)
+    neg = scale < 0
+    L = np.where(neg[:, None], 2 - L, L)
+    scale = np.abs(scale)
+    bestk = np.where(neg, 3 - bestk, bestk)
+    L = np.where(live[:, None], L, 1)
+    scale = np.where(live, scale, 0.0)
+
+    # per-8-group delta sign from bestk (group 0: bit1, group 1: bit0)
+    dl0 = np.where(bestk < 2, d5, -d5).astype(np.float32)          # (M,)
+    dl1 = np.where(bestk % 2 == 0, d5, -d5).astype(np.float32)
+    dl_g = np.stack([dl0, dl1], axis=1)                             # (M, 2)
+
+    g, Lg, pmap = _iq1s_tables()
+    Lgrp = L.reshape(M * 2, 8)
+    u = (Lgrp << (2 * np.arange(8))[None, :]).sum(axis=1)
+    idx = pmap[u]
+    off = idx < 0
+    if off.any():
+        xg = xb.reshape(M * 2, 8)[off]
+        wg8 = w.reshape(M * 2, 8)[off]
+        sc8 = np.repeat(scale, 2)[off]
+        dl8 = dl_g.reshape(M * 2)[off]
+        best = np.empty(len(xg), np.int64)
+        for c0 in range(0, len(xg), 32768):
+            sl = slice(c0, c0 + 32768)
+            q = g[None, :, :] + dl8[sl, None, None]
+            diff = xg[sl, None, :] - sc8[sl, None, None] * q
+            dist = (wg8[sl, None, :] * diff * diff).sum(-1)
+            best[sl] = dist.argmin(axis=1)
+        idx = idx.copy()
+        idx[off] = best
+    idx = np.maximum(idx, 0).reshape(M, 2)
+    had_off = off.reshape(M, 2).any(axis=-1)
+    if had_off.any():
+        qv = (g[idx] + dl_g[:, :, None]).reshape(M, BS)
+        sumqx = (w * qv * xb).sum(axis=-1)
+        sumq2 = (w * qv * qv).sum(axis=-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ns = np.where((sumqx > 0) & (sumq2 > 0), sumqx / sumq2, scale)
+        scale = np.where(had_off, ns, scale)
+    max_scale = scale.reshape(N, nb).max(axis=-1)
+
+    # encode: qs byte per 8-group; qh nibble pair per block (high idx bits)
+    # + delta-sign mask bits; 3-bit scales 4-per-u16; f16 d nibbles on top
+    scale_b = scale.reshape(N, nb)
+    shifts = bestk.reshape(N, nb)
+    idx_b = idx.reshape(N, nb, 2)
+    d = max_scale / 15.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idd = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    ls = np.clip(_nearest_int(0.5 * (idd[:, None] * scale_b - 1.0)),
+                 0, 7).astype(np.uint32)
+    masks = np.array([0x00, 0x80, 0x08, 0x88], np.uint32)
+    qh = (((idx_b[:, :, 0] >> 8) & 7) | (((idx_b[:, :, 1] >> 8) & 7) << 4)
+          ).astype(np.uint32) | masks[shifts]
+    qs = (idx_b & 255).astype(np.uint8).reshape(N, nb * 2)
+    # global weighted d refit with quantized levels (reference tail)
+    qv = (g[idx] + dl_g[:, :, None]).reshape(M, BS) \
+        * np.repeat((2 * ls.reshape(-1) + 1).astype(np.float32), BS
+                    ).reshape(M, BS)
+    sumqx_f = (w * qv * xb).reshape(N, -1).sum(axis=-1)
+    sumq2_f = (w * qv * qv).reshape(N, -1).sum(axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = np.where(sumq2_f > 0, sumqx_f / sumq2_f, d)
+    dead = max_scale <= 0
+    d16 = _f16(np.where(dead, 0.0, d * 1.1125).astype(np.float32))
+    du = d16.view(np.uint16).astype(np.uint32)
+    sc4 = np.zeros((N, 4), np.uint32)
+    for ib in range(nb):
+        sc4[:, ib // 4] |= ls[:, ib] << (3 * (ib % 4))
+    sc4[:, 0] |= (du & 0x000F) << 12
+    sc4[:, 1] |= (du & 0x00F0) << 8
+    sc4[:, 2] |= (du & 0x0F00) << 4
+    sc4[:, 3] |= (du & 0xF000)
+    qs = np.where(dead[:, None], 0, qs)
+    qh = np.where(dead[:, None], 0, qh)
+    sc4 = np.where(dead[:, None], 0, sc4)
+    out = np.empty((N, 56), np.uint8)
+    out[:, 0:32] = qs
+    out[:, 32:48] = qh.astype(np.uint8)
+    out[:, 48:56] = sc4.astype(np.uint16).view(np.uint8)
     return out
 
 
@@ -1967,7 +2223,9 @@ _QUANTIZERS = {
     GGMLType.IQ2_XS: _iq2_xs_quantize,
     GGMLType.IQ2_S: _iq2_s_quantize,
     GGMLType.IQ3_XXS: _iq3_xxs_quantize,
+    GGMLType.IQ3_S: _iq3_s_quantize,
     GGMLType.IQ1_S: _iq1_s_quantize,
+    GGMLType.IQ1_M: _iq1_m_quantize,
     GGMLType.TQ1_0: _tq1_0_quantize,
     GGMLType.TQ2_0: _tq2_0_quantize,
 }
@@ -1983,7 +2241,9 @@ _IMATRIX_QUANTIZERS = {
     GGMLType.IQ2_XS: _iq2_xs_quantize,
     GGMLType.IQ2_S: _iq2_s_quantize,
     GGMLType.IQ3_XXS: _iq3_xxs_quantize,
+    GGMLType.IQ3_S: _iq3_s_quantize,
     GGMLType.IQ1_S: _iq1_s_quantize,
+    GGMLType.IQ1_M: _iq1_m_quantize,
 }
 
 _DEQUANTIZERS = {

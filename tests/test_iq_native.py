@@ -132,7 +132,8 @@ def test_hbm_footprint_and_routing(monkeypatch):
 
 @pytest.mark.parametrize("t", [GGMLType.IQ2_XXS, GGMLType.IQ2_XS,
                                GGMLType.IQ2_S, GGMLType.IQ3_XXS,
-                               GGMLType.IQ1_S],
+                               GGMLType.IQ3_S, GGMLType.IQ1_S,
+                               GGMLType.IQ1_M],
                          ids=lambda t: t.name)
 def test_iq_quantizer_produces_valid_blocks(t):
     """The native IQ2_XXS/IQ3_XXS quantizers (VERDICT r2 item 5b) must emit
@@ -155,7 +156,8 @@ def test_iq_quantizer_produces_valid_blocks(t):
         # 1-3 bpw codebook quantization of gaussian data
         bound = {GGMLType.IQ2_XXS: 0.45, GGMLType.IQ2_XS: 0.4,
                  GGMLType.IQ2_S: 0.35, GGMLType.IQ3_XXS: 0.32,
-                 GGMLType.IQ1_S: 0.62}[t]
+                 GGMLType.IQ3_S: 0.25, GGMLType.IQ1_S: 0.62,
+                 GGMLType.IQ1_M: 0.62}[t]
         assert rel < bound, (t.name, rel)
 
 

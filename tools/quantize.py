@@ -29,6 +29,8 @@ TYPE_MAP = {
     "iq2_xxs": GGMLType.IQ2_XXS, "iq3_xxs": GGMLType.IQ3_XXS,
     "iq1_s": GGMLType.IQ1_S, "iq2_xs": GGMLType.IQ2_XS,
     "iq2_s": GGMLType.IQ2_S, "iq2_m": GGMLType.IQ2_S,
+    "iq3_s": GGMLType.IQ3_S, "iq3_m": GGMLType.IQ3_S,
+    "iq1_m": GGMLType.IQ1_M,
 }
 
 
@@ -44,7 +46,8 @@ def pick_type(name: str, shape, target: GGMLType) -> GGMLType:
             GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
             GGMLType.IQ4_XS, GGMLType.TQ1_0, GGMLType.TQ2_0,
             GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
-            GGMLType.IQ3_XXS, GGMLType.IQ1_S):
+            GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
+            GGMLType.IQ1_M):
         # reference bumps output/embd for low-bit targets too
         # (llama_tensor_get_type, src/llama.cpp:17979)
         return GGMLType.Q6_K
