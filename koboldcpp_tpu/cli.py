@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pipeline parallelism: shard layers into N stages "
                    "over N devices (GPipe microbatch schedule; big models "
                    "whose weights exceed one chip's HBM)")
+    p.add_argument("--seqparallel", type=int, default=0, metavar="N",
+                   help="sequence parallelism: shard the KV cache's context "
+                   "axis over N devices (ring-attention prefill + "
+                   "distributed decode; contexts larger than one chip)")
     # multi-host serving (jax.distributed; the reference's RPC scale-out
     # counterpart, ggml/src/ggml-rpc.cpp): run the same command on every
     # host, host 0 serves HTTP, the rest follow in SPMD lockstep
@@ -300,8 +304,26 @@ def main(argv=None):
               f"this configuration (arch {model.cfg.arch}"
               + (", smartcontext" if args.smartcontext else "")
               + "); serving with the single-sequence engine + FIFO queue")
+    sp_mesh = None
+    if getattr(args, "seqparallel", 0) and args.seqparallel > 1:
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.seqparallel:
+            print(f"Note: --seqparallel {args.seqparallel} needs that many "
+                  f"devices (have {len(devs)}); ignoring")
+        elif args.mesh or args.multiuser > 1 or args.pipeline:
+            print("Note: --seqparallel is exclusive with --mesh/--pipeline/"
+                  "--multiuser batching in this round; ignoring")
+        else:
+            import numpy as _np
+
+            sp_mesh = Mesh(_np.array(devs[:args.seqparallel]), ("sp",))
+            print(f"Sequence parallelism: {args.seqparallel}-way sharded KV")
     pp_mesh = None
-    if getattr(args, "pipeline", 0) and args.pipeline > 1:
+    if getattr(args, "pipeline", 0) and args.pipeline > 1 \
+            and sp_mesh is None:
         import jax
         from jax.sharding import Mesh
 
@@ -337,7 +359,7 @@ def main(argv=None):
                         use_smartcontext=args.smartcontext,
                         use_contextshift=not (args.noshift
                                               or args.nocontextshift),
-                        pp_mesh=pp_mesh)
+                        pp_mesh=pp_mesh, sp_mesh=sp_mesh)
         if args.quantkv == 1:
             print("Q8-quantized KV cache enabled")
 

@@ -96,7 +96,7 @@ class Engine:
     def __init__(self, model: Model, max_context: int = 2048,
                  cache_dtype=jnp.bfloat16, compute_dtype=None, clip_model=None,
                  quantkv: bool = False, use_smartcontext: bool = False,
-                 use_contextshift: bool = True, pp_mesh=None):
+                 use_contextshift: bool = True, pp_mesh=None, sp_mesh=None):
         self.model = model
         self.clip = clip_model  # models.clip.ClipModel for LLaVA requests
         self.quantkv = quantkv
@@ -185,6 +185,41 @@ class Engine:
                 partial(self._ds2.forward, cfg=self.cfg, last_only=True),
                 donate_argnames=("cache",))
             self.use_flash_prefill = False
+        elif sp_mesh is not None:
+            # ---- sequence-parallel serving (--seqparallel N): the KV
+            # cache's sequence axis shards over the sp mesh axis so no chip
+            # holds more than S/n keys — ring-attention prefill (one ICI hop
+            # per step), pmax/psum online-softmax decode.  The prompt
+            # evaluates in ONE full-width forward (end-padded to the shard
+            # width); context reuse via fast-forward still applies (decode
+            # rows land on their owner chips), chunked prefill does not.
+            from ..parallel.sequence import shard_cache_sp, sp_forward
+
+            self._std_path = False
+            self.use_flash_prefill = False
+            self.use_contextshift = False
+            self.use_smartcontext = False
+            self.sp_mesh = sp_mesh
+            self._n_sp = sp_mesh.shape["sp"]
+            if max_context % self._n_sp:
+                raise ValueError(
+                    f"--seqparallel {self._n_sp} must divide the context "
+                    f"size {max_context}")
+            self.cache = shard_cache_sp(self.cache, sp_mesh)
+
+            def _sp_fwd(params, tokens, positions, cache, last_index):
+                logits, cache = sp_forward(
+                    params, self.cfg, tokens, positions, cache, sp_mesh,
+                    last_index=last_index)
+                return logits[:, -1:], cache
+
+            self._sp_forward = jax.jit(_sp_fwd, donate_argnames=("cache",))
+
+            def _fwd(params, tokens, positions, cache):
+                return self._sp_forward(params, tokens, positions, cache,
+                                        jnp.int32(0))
+
+            self._forward = _fwd  # T=1 decode steps (last_index unused)
         elif pp_mesh is not None:
             # ---- pipeline-parallel serving (--pipeline N): layer stages
             # over the pp mesh axis, GPipe microbatch schedule for prefill
@@ -319,11 +354,43 @@ class Engine:
         self.cache = self._model_mod.init_state(self.cfg, 1)
 
     # -- low-level steps ---------------------------------------------------
+    def _sp_eval(self, tokens: list[int], start_pos: int):
+        """Sequence-parallel evaluation: a fresh full prompt goes through
+        the ring-attention prefill in ONE end-padded forward; single tokens
+        (and tail re-evals after fast-forward) step through the distributed
+        decode."""
+        import jax.numpy as _jnp
+
+        if len(tokens) == 1:
+            tok = _jnp.asarray([[tokens[0]]], _jnp.int32)
+            pos = _jnp.asarray([[start_pos]], _jnp.int32)
+            logits, self.cache = self._forward(
+                self.model.params, tok, pos, self.cache)
+            return logits[0, -1]
+        if start_pos > 0:
+            # ring prefill assumes a fresh [0, T) prompt; a reused-context
+            # tail steps through decode (each row lands on its owner chip)
+            out = None
+            for i, t in enumerate(tokens):
+                out = self._sp_eval([t], start_pos + i)
+            return out
+        n = self._n_sp
+        b = min(-(-len(tokens) // (16 * n)) * (16 * n), self.max_context)
+        toks = list(tokens) + [0] * (b - len(tokens))
+        tok = _jnp.asarray([toks], _jnp.int32)
+        pos = _jnp.asarray([list(range(b))], _jnp.int32)
+        logits, self.cache = self._sp_forward(
+            self.model.params, tok, pos, self.cache,
+            _jnp.int32(len(tokens) - 1))
+        return logits[0, -1]
+
     def _eval_chunk(self, tokens: list[int], start_pos: int):
         """Evaluate tokens at positions [start_pos, ...); returns the last
         token's logits as a DEVICE array (callers that host-sample convert
         with np.asarray; the fast decode paths feed it straight back to the
         device — skipping the ~2x25 ms tunnel round trip per request)."""
+        if getattr(self, "sp_mesh", None) is not None:
+            return self._sp_eval(tokens, start_pos)
         n = len(tokens)
         b = _bucket(n)
         pad = b - n
@@ -387,6 +454,8 @@ class Engine:
         """Chunked prefill (n_batch equivalent); returns logits of last token.
         emb_by_pos maps absolute positions of IMG_SENTINEL tokens to their
         image-patch embedding rows."""
+        if getattr(self, "sp_mesh", None) is not None and not emb_by_pos:
+            return self._sp_eval(tokens, start_pos)
         logits = None
         pos = start_pos
         i = 0
