@@ -182,9 +182,7 @@ def sp_forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
             x_sel = lax.dynamic_slice_in_dim(x, li % Tl, 1, axis=1)
             x = lax.psum(jnp.where(idx == owner, x_sel, 0.0), axis_name=axis)
         x = rms_norm(x, out_norm, cfg.rms_norm_eps)
-        ow = out_w.data["w"] if isinstance(out_w, QTensor) else out_w
-        logits = jnp.einsum("bth,vh->btv", x.astype(jnp.float32),
-                            ow.astype(jnp.float32))
+        logits = linear.matmul(x, out_w, out_dtype=jnp.float32)
         return logits, jnp.stack(new_k), jnp.stack(new_v)
 
     tok_spec = P(None, axis) if not decode else P()
