@@ -35,6 +35,13 @@ from koboldcpp_tpu.utils.compile_cache import enable_compile_cache
 
 enable_compile_cache()
 
+# SIGUSR1 dumps all thread stacks — the bench runs long device loops and a
+# hang diagnosis must not require killing the process
+import faulthandler
+import signal
+
+faulthandler.register(signal.SIGUSR1)
+
 
 def measure_latency() -> float:
     f = jax.jit(lambda x: x + 1)
@@ -355,9 +362,9 @@ def bench_batched_engine(cfg, kind: str) -> dict:
         return sum(len(r.tokens) for r in results) / dt
 
     run_batch(0)  # warm compiles (prefill buckets + greedy step)
-    g = max(run_batch(0), run_batch(0))
+    g = run_batch(0)
     run_batch(1)  # warm the sampled step
-    s = max(run_batch(1), run_batch(1))
+    s = run_batch(1)
     eng.shutdown()
     del params, model, eng
     gc.collect()

@@ -254,24 +254,45 @@ class BatchedEngine:
     # -- scheduler loop ----------------------------------------------------
     def _loop(self):
         while not self._shutdown:
-            self._admit()
-            active = [s for s in self.slots if s.active]
-            if not active:
-                self.generation_finished = True
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
-                continue
-            self.generation_finished = False
-            # one prefill chunk for one prefilling slot (round-robin), then
-            # one decode step for every decoding slot — live slots advance
-            # between a newcomer's chunks instead of stalling for its prompt
-            prefilling = [s for s in active if s.pending_prefill]
-            if prefilling:
-                slot = prefilling[self._pre_rr % len(prefilling)]
-                self._pre_rr += 1
-                self._prefill_chunk(slot)
-            if any(s.decoding for s in self.slots):
-                self._decode_step()
+            try:
+                self._tick()
+            except Exception as e:  # noqa: BLE001
+                # a device/compile error must not strand waiters on
+                # req.done forever (the reference returns status 0 instead
+                # of crashing, gpttype_adapter.cpp:3131); fail the active
+                # requests and keep serving
+                import traceback
+
+                traceback.print_exc()
+                for s in self.slots:
+                    if s.active:
+                        try:
+                            self._finish(s, f"error: {e}")
+                        except Exception:
+                            s.request.result = GenerationResult(
+                                stop_reason="error")
+                            s.request.done.set()
+                            s.request = None
+
+    def _tick(self):
+        self._admit()
+        active = [s for s in self.slots if s.active]
+        if not active:
+            self.generation_finished = True
+            self._wake.wait(timeout=0.05)
+            self._wake.clear()
+            return
+        self.generation_finished = False
+        # one prefill chunk for one prefilling slot (round-robin), then
+        # one decode step for every decoding slot — live slots advance
+        # between a newcomer's chunks instead of stalling for its prompt
+        prefilling = [s for s in active if s.pending_prefill]
+        if prefilling:
+            slot = prefilling[self._pre_rr % len(prefilling)]
+            self._pre_rr += 1
+            self._prefill_chunk(slot)
+        if any(s.decoding for s in self.slots):
+            self._decode_step()
 
     def _admit(self) -> int:
         n = 0
