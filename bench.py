@@ -359,12 +359,27 @@ def bench_batched_engine(cfg, kind: str) -> dict:
         for t in ths:
             t.join()
         dt = time.perf_counter() - t0
+        if any(r is None or r.stop_reason.startswith("error")
+               for r in results):
+            return 0.0  # transient device flake — caller retries
         return sum(len(r.tokens) for r in results) / dt
 
+    # the axon backend intermittently fails a tick with a transient
+    # INTERNAL error (engine recovers and keeps serving, the affected
+    # request reports an error); retry so a flake doesn't zero the metric
+    def measured(stoch):
+        best = 0.0
+        for _ in range(3):
+            v = run_batch(stoch)
+            best = max(best, v)
+            if v > 0:
+                break
+        return best
+
     run_batch(0)  # warm compiles (prefill buckets + greedy step)
-    g = run_batch(0)
+    g = measured(0)
     run_batch(1)  # warm the sampled step
-    s = run_batch(1)
+    s = measured(1)
     eng.shutdown()
     del params, model, eng
     gc.collect()

@@ -273,6 +273,33 @@ class BatchedEngine:
                                 stop_reason="error")
                             s.request.done.set()
                             s.request = None
+                    s.context = []
+                    s.feed = None
+                    s.pending_prefill = []
+                # the failed step may have CONSUMED its donated cache buffer
+                # — reusing the stale handle cascades INTERNAL errors forever
+                # (observed on the axon backend).  Rebuild a fresh cache.
+                try:
+                    if self.paged:
+                        from ..kv.paged import init_paged_cache
+
+                        self.allocator.free = list(
+                            range(self.allocator.n_pages - 1, -1, -1))
+                        self.allocator.slot_pages = {}
+                        self.cache = init_paged_cache(
+                            self.cfg.n_layers, self.allocator.n_pages,
+                            self.page_size, self.cfg.n_kv_heads,
+                            self.cfg.head_dim, quantized=self.quantkv)
+                    else:
+                        self.cache = init_cache(
+                            self.cfg.n_layers, self.n_slots,
+                            self.max_context, self.cfg.n_kv_heads,
+                            self.cfg.head_dim, quantized=self.quantkv)
+                    self._bias_dev = None
+                    self._dyn_rows = None
+                    self._recent_dirty = set(range(self.n_slots))
+                except Exception:
+                    traceback.print_exc()
 
     def _tick(self):
         self._admit()

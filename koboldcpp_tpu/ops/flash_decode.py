@@ -272,6 +272,12 @@ def decode_attention_batched(q: jnp.ndarray, k_new: jnp.ndarray,
     while BS > 16 and 16 * BS * KD + 4 * H * KD > 8 * 1024 * 1024:
         BS //= 2
     nb = pl.cdiv(S, BS)
+    # dead rows (position < 0, inactive batch slots): pos // BS would be -1 —
+    # a NEGATIVE block index in the DMA maps, i.e. an out-of-bounds read AND
+    # (through input_output_aliases) an out-of-bounds write one block before
+    # the cache buffer. Route them to the overshoot path instead (pos at the
+    # padded extent): write degrades to a copy-through, no row matches.
+    positions = jnp.where(positions >= 0, positions, nb * BS)
 
     def kv_map(b, s, pos_ref):
         # clamp at the write block (pos // BS): covers all history blocks
@@ -351,6 +357,9 @@ def decode_attention_rows(q: jnp.ndarray, k_new: jnp.ndarray,
         BS //= 2
     nb = pl.cdiv(S, BS)
 
+    # dead rows (position < 0) → overshoot copy-through; a raw -1 would put a
+    # negative block index into the DMA maps (OOB read + aliased OOB write)
+    positions = jnp.where(positions >= 0, positions, nb * BS)
     # scalar prefetch layout: [base, pos_0, ..., pos_{B-1}]
     scalars = jnp.concatenate(
         [jnp.asarray(base, jnp.int32).reshape(1),
@@ -551,6 +560,9 @@ def decode_attention_batched_q8(q, k_new, v_new, k_pool, v_pool, ks_pool,
     while BS > 16 and 12 * BS * KD + 4 * H * KD > 8 * 1024 * 1024:
         BS //= 2
     nb = pl.cdiv(S, BS)
+    # dead rows (position < 0) → overshoot copy-through; a raw -1 would put a
+    # negative block index into the DMA maps (OOB read + aliased OOB write)
+    positions = jnp.where(positions >= 0, positions, nb * BS)
 
     def kv_map(b, s, pos_ref):
         last = jnp.minimum(pos_ref[b] // BS, nb - 1)

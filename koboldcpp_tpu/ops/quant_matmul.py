@@ -317,6 +317,104 @@ def _q4k_decode_kernel_i8(x_ref, qs_ref, slo_ref, shi_ref, mlo_ref, mhi_ref,
     o_ref[:] = t.astype(o_ref.dtype)
 
 
+def _i8_prep_t(x_ref, mli_s, mhi_s, sx_s, xs_s, T: int):
+    """T>1 generalization of _i8_prep: per-token block-diagonal int8
+    expansion stacks (T*GS, C2) with per-(token, group) scales — the i8
+    analog of the bf16 batched row kernel's masked stacks."""
+    x = x_ref[:]                      # (T, in_f) bf16
+    in_f = x.shape[1]
+    nsb = in_f // 256
+    C2 = in_f // 2
+    GS = in_f // 64
+    x3 = x.reshape(T * nsb, 256)
+    xl = x3[:, :128].reshape(T, C2)
+    xh = x3[:, 128:].reshape(T, C2)
+    E = _expand_mat(GS, C2, 32)
+    mlb = (E[None] * xl[:, None, :].astype(jnp.bfloat16)).reshape(
+        T * GS, C2).astype(jnp.float32)
+    mhb = (E[None] * xh[:, None, :].astype(jnp.bfloat16)).reshape(
+        T * GS, C2).astype(jnp.float32)
+    al = jnp.maximum(jnp.max(jnp.abs(mlb), axis=1, keepdims=True), 1e-20)
+    ah = jnp.maximum(jnp.max(jnp.abs(mhb), axis=1, keepdims=True), 1e-20)
+    mli_s[:] = jnp.round(mlb * (127.0 / al)).astype(jnp.int32).astype(jnp.int8)
+    mhi_s[:] = jnp.round(mhb * (127.0 / ah)).astype(jnp.int32).astype(jnp.int8)
+    sx_s[:, 0:1] = al / 127.0
+    sx_s[:, 1:2] = ah / 127.0
+    # exact (T, GS) group sums per plane for the min terms
+    xs_s[0:T] = jax.lax.dot_general(
+        xl, E, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    xs_s[T:] = jax.lax.dot_general(
+        xh, E, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+
+def _q4k_decode_kernel_i8_t(x_ref, qs_ref, slo_ref, shi_ref, mlo_ref,
+                            mhi_ref, o_ref, mli_s, mhi_s, sx_s, xs_s, *,
+                            T: int):
+    """T<=8 q4_k matvec on the int8 MXU path: per-token int8 expansion
+    stacks (the P-dot MACs grow with T like the bf16 batched kernel, but
+    the i8 dot doubles contraction throughput per MXU pass)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        _i8_prep_t(x_ref, mli_s, mhi_s, sx_s, xs_s, T)
+
+    q = qs_ref[:].astype(jnp.int32)
+    lo = (q & 0xF).astype(jnp.int8)
+    hi = (q >> 4).astype(jnp.int8)
+    Pl, Ph = _i8_pdots(mli_s[:], mhi_s[:], lo, hi)  # (T*GS, R) i32
+    GS = Pl.shape[0] // T
+    R = Pl.shape[1]
+    slo = slo_ref[:].astype(jnp.float32)            # (GS, R)
+    shi = shi_ref[:].astype(jnp.float32)
+    slo_r = jnp.concatenate([slo] * T, axis=0)      # (T*GS, R)
+    shi_r = jnp.concatenate([shi] * T, axis=0)
+    prod = (Pl.astype(jnp.float32) * sx_s[:, 0:1] * slo_r
+            + Ph.astype(jnp.float32) * sx_s[:, 1:2] * shi_r)
+    t = prod.reshape(T, GS, R).sum(axis=1)          # (T, R)
+    xsl = xs_s[0:T].astype(jnp.float32)             # (T, GS)
+    xsh = xs_s[T:].astype(jnp.float32)
+    t -= jax.lax.dot_general(
+        xsl, mlo_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t -= jax.lax.dot_general(
+        xsh, mhi_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _q5k_decode_kernel_i8_t(x_ref, qs_ref, hb_ref, slo_ref, shi_ref,
+                            mlo_ref, mhi_ref, o_ref, mli_s, mhi_s, sx_s,
+                            xs_s, *, T: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        _i8_prep_t(x_ref, mli_s, mhi_s, sx_s, xs_s, T)
+
+    q = qs_ref[:].astype(jnp.int32)
+    hb = hb_ref[:].astype(jnp.int32)
+    lo = ((q & 0xF) | ((hb & 1) << 4)).astype(jnp.int8)
+    hi = ((q >> 4) | (((hb >> 1) & 1) << 4)).astype(jnp.int8)
+    Pl, Ph = _i8_pdots(mli_s[:], mhi_s[:], lo, hi)
+    GS = Pl.shape[0] // T
+    R = Pl.shape[1]
+    slo = slo_ref[:].astype(jnp.float32)
+    shi = shi_ref[:].astype(jnp.float32)
+    slo_r = jnp.concatenate([slo] * T, axis=0)
+    shi_r = jnp.concatenate([shi] * T, axis=0)
+    prod = (Pl.astype(jnp.float32) * sx_s[:, 0:1] * slo_r
+            + Ph.astype(jnp.float32) * sx_s[:, 1:2] * shi_r)
+    t = prod.reshape(T, GS, R).sum(axis=1)
+    xsl = xs_s[0:T].astype(jnp.float32)
+    xsh = xs_s[T:].astype(jnp.float32)
+    t -= jax.lax.dot_general(
+        xsl, mlo_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t -= jax.lax.dot_general(
+        xsh, mhi_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
 def _q5k_decode_kernel_i8(x_ref, qs_ref, hb_ref, slo_ref, shi_ref,
                           mlo_ref, mhi_ref, o_ref, mli_s, mhi_s, sx_s, xs_s):
     """Q5_K int8 decode: 5th bit ORs in from the hb sidecar (q5 in 0..31
