@@ -187,6 +187,7 @@ class BatchedEngine:
         # "apply the device sampler to the batched engine")
         self._greedy_forward = jax.jit(gfwd, donate_argnames=("cache",))
         self._bias_dev = None  # (n_slots, V) device bias; None = rebuild
+        self._zero_bias_dev = None  # persistent all-zero bias buffer
         self._prefill_row_jit = None
         self._prefill_row_mm_jit = None
         # per-slot device SAMPLING (VERDICT r2 item 6): any mix of greedy and
@@ -540,7 +541,7 @@ class BatchedEngine:
         if feeds and all(self._slot_greedy_ok(s) for s in feeds):
             # device argmax: B int32 ids cross the link, no host sampler
             if self._bias_dev is None:
-                self._bias_dev = jnp.asarray(self._build_bias_rows())
+                self._bias_dev = self._bias_device_rows()
             if self.paged:
                 nxt, self.cache = self._greedy_forward(
                     self.model.params, jnp.asarray(tok), jnp.asarray(pos),
@@ -578,7 +579,7 @@ class BatchedEngine:
         if feeds and dev_slots:
             self._sync_recent()
             if self._bias_dev is None:
-                self._bias_dev = jnp.asarray(self._build_bias_rows())
+                self._bias_dev = self._bias_device_rows()
             if self._dyn_rows is None:
                 from .device_sampler import make_dyn_rows
                 self._dyn_rows = make_dyn_rows(
@@ -763,6 +764,20 @@ class BatchedEngine:
                 if 0 <= b < self.cfg.vocab_size:
                     rows[s.idx, b] = np.float32(-1e30)
         return rows
+
+    def _bias_device_rows(self):
+        """(n_slots, V) device bias for the tick. Every request start/finish
+        invalidates `_bias_dev`, and a fresh (n_slots, V) f32 upload costs
+        ~n_slots*V*4 bytes of tunnel latency per slot change — but the common
+        serving case (no logit_bias, no banned tokens) is ALL-ZERO rows, so
+        that case reuses one persistent device buffer (never donated; only
+        the cache is in the donate lists)."""
+        rows = self._build_bias_rows()
+        if not rows.any():
+            if self._zero_bias_dev is None:
+                self._zero_bias_dev = jnp.asarray(rows)
+            return self._zero_bias_dev
+        return jnp.asarray(rows)
 
     def _sample_and_emit(self, slot: _Slot, logits: np.ndarray):
         req = slot.request

@@ -1012,10 +1012,10 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
     T = x.shape[0]
     GS = in_f // 64
     C2 = in_f // 2
-    if raw:
+    if raw or i8:
         # kernel does its own plane split / group sums / masked expansion
         x_args = (x,)
-        x_rows = (1,)
+        x_rows = (T,)
         x_shapes = (in_f,)
     else:
         xl, xh = _plane_split2(x, in_f)
@@ -1042,7 +1042,17 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
             rt = cand
             break
     scratch = []
-    if i8:
+    if i8 and T > 1:
+        # T<=8 batched i8: per-token expansion stacks (T*GS rows) with
+        # per-(token, plane) activation scales — the batched-8 serving path
+        scratch = [pltpu.VMEM((T * GS, C2), jnp.int8),
+                   pltpu.VMEM((T * GS, C2), jnp.int8),
+                   pltpu.VMEM((T * GS, 2), jnp.float32),
+                   pltpu.VMEM((2 * T, GS), jnp.bfloat16)]
+        kernel = functools.partial(
+            _q5k_decode_kernel_i8_t if kind == "q5_k"
+            else _q4k_decode_kernel_i8_t, T=T)
+    elif i8:
         scratch = [pltpu.VMEM((GS, C2), jnp.int8),
                    pltpu.VMEM((GS, C2), jnp.int8),
                    pltpu.VMEM((GS, 2), jnp.float32),
@@ -1621,8 +1631,10 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
             # GS = in_f//64 must be >= 8: Mosaic rejects the (GS, C2)
             # scratch layout below 8 sublanes (measured on v5e: GS=4 fails,
             # GS=8 works) — tiny layers take the host-prep bf16 kernel
+            # T>1 rides the same i8 path through the *_i8_t kernels (per-
+            # token expansion stacks): the batched-8 serving decode
             T2 = x2.shape[0]
-            i8 = (T2 == 1 and in_f % 256 == 0 and in_f >= 512
+            i8 = (in_f % 256 == 0 and in_f >= 512
                   and os.environ.get("KCPP_Q4K_I8", "1") == "1")
             raw = i8 or (qt.kind == "q4_k" and T2 == 1 and in_f % 256 == 0
                          and in_f >= 512

@@ -85,6 +85,7 @@ def test_q4k_row_kernel_small_batch(T, monkeypatch):
     """The T<=8 generalization of the q4_k row matvec kernel (masked T*GS
     expansion stacks) must match the reference for every batch it covers."""
     monkeypatch.setattr(quant_matmul, "MATVEC_MAX_T", 8)
+    monkeypatch.setenv("KCPP_Q4K_I8", "0")  # bf16 batched kernel under test
     qt, wref = make_qt(GGMLType.Q4_K)
     rng = np.random.default_rng(2)
     x = (rng.standard_normal((T, qt.in_features)) * 0.5).astype(np.float32)
@@ -149,6 +150,26 @@ def test_i8_decode_matvec_close_to_exact(kind, monkeypatch):
     assert err_i8 < 0.03, err_i8
     # and it should be in the same error ballpark as the bf16 kernel
     assert err_i8 < max(4 * err_bf, 0.02), (err_i8, err_bf)
+
+
+@pytest.mark.parametrize("kind", ["q4_k", "q5_k"])
+@pytest.mark.parametrize("T", [2, 4, 8])
+def test_i8_decode_matvec_batched(kind, T, monkeypatch):
+    """The T<=8 batched int8-MXU matvec (per-token expansion stacks, the
+    batched-8 serving decode path) must stay within activation-quant noise
+    of the exact product for every token row."""
+    t = GGMLType.Q4_K if kind == "q4_k" else GGMLType.Q5_K
+    qt, wref = make_qt(t, seed=7)
+    monkeypatch.setattr(quant_matmul, "MATVEC_MAX_T", 8)
+    monkeypatch.setenv("KCPP_Q4K_I8", "1")
+    rng = np.random.default_rng(21)
+    x = (rng.standard_normal((T, qt.in_features)) * 0.6).astype(np.float32)
+    y = quant_matmul.matmul_packed(jnp.asarray(x, jnp.bfloat16), qt)
+    assert y is not None
+    want = x @ wref.T
+    got = np.asarray(y, np.float32)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 0.03
 
 
 @pytest.mark.parametrize("kind", ["q8_0", "q6_k"])
