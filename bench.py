@@ -388,8 +388,16 @@ def bench_batched_engine(cfg, kind: str) -> dict:
             "stoch_vs_greedy": round(s / g, 3) if g else 0.0}
 
 
-def bench_served(cfg, params_kind: str, max_seq: int) -> float:
-    """Engine-level served greedy throughput (host in the loop)."""
+def bench_served(cfg, params_kind: str, max_seq: int,
+                 latency: float = 0.0) -> tuple[float, float]:
+    """Engine-level served greedy throughput (host in the loop).
+
+    Returns (latency-adjusted tps, raw tps). The adjusted number subtracts
+    ONE tunnel round trip, the same convention decode_tps/prefill_tps use
+    (`dt - latency` above): the ~25 ms axon tunnel RT is a dev-harness
+    artifact, not a property of the serving stack — a co-located host pays
+    microseconds for the same dispatch+pull. The raw wall-clock number is
+    reported alongside."""
     try:
         from koboldcpp_tpu.engine.engine import Engine, GenParams
         from koboldcpp_tpu.models.loader import Model
@@ -412,18 +420,20 @@ def bench_served(cfg, params_kind: str, max_seq: int) -> float:
         gp = GenParams(max_length=256,
                        sampler=SamplerParams(temperature=0.0, rep_pen=1.0))
         eng.generate([1, 5, 9], gp)  # warm
-        served_tps = 0.0
-        for _ in range(2):  # min-of-2: shared chip has contention spikes
+        served_tps = raw_tps = 0.0
+        for _ in range(3):  # best-of-3: shared chip has contention spikes
             eng.reset_context()
             t0 = time.perf_counter()
             r = eng.generate([1, 5, 9], gp)
+            dt = time.perf_counter() - t0
+            raw_tps = max(raw_tps, len(r.tokens) / dt)
             served_tps = max(served_tps,
-                             len(r.tokens) / (time.perf_counter() - t0))
+                             len(r.tokens) / max(dt - latency, 1e-6))
         del params, model, eng
         gc.collect()
-        return round(served_tps, 1)
+        return round(served_tps, 1), round(raw_tps, 1)
     except Exception:
-        return 0.0
+        return 0.0, 0.0
 
 
 def main():
@@ -447,7 +457,8 @@ def main():
         return
 
     r1 = bench_model(TINYLLAMA_1_1B, latency, kind)
-    served = bench_served(TINYLLAMA_1_1B, kind, 1024)
+    served, served_raw = bench_served(TINYLLAMA_1_1B, kind, 1024,
+                                      latency=latency)
     try:
         lc = bench_longctx(TINYLLAMA_1_1B, latency, kind)
     except Exception as e:
@@ -473,6 +484,7 @@ def main():
         "extra": {
             **{k: v for k, v in r1.items() if k != "decode_tps"},
             "served_greedy_tps": served,
+            "served_greedy_tps_raw": served_raw,
             "scan_layers": False,
             **lc,
             **be,
