@@ -1612,8 +1612,15 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
     # expansions (T*GS rows) — its P-dot MACs grow with T, but the 2-D
     # scale-expansion kernel's per-tile structural cost is ~2.2x the row
     # kernel's streaming time regardless of T (profiled in-situ), so small
-    # batches stay ahead. MATVEC_MAX_T bounds the trade.
-    if (x2.shape[0] <= MATVEC_MAX_T
+    # batches stay ahead. MATVEC_MAX_T bounds the trade for the bf16 row
+    # kernels; the q4_k/q5_k *i8_t* variants stay ahead of the 2-D kernel up
+    # to T=8 (fori-synced batched-8 decode on v5e: i8_t 2572 vs 2-D 2398 vs
+    # bf16 row 1583 tok/s), so the i8 path extends the window to 8.
+    T2 = x2.shape[0]
+    i8_q45 = (qt.kind in ("q4_k", "q5_k") and in_f % 256 == 0 and in_f >= 512
+              and os.environ.get("KCPP_Q4K_I8", "1") == "1")
+    max_t = 8 if i8_q45 else MATVEC_MAX_T
+    if (T2 <= max_t
             and os.environ.get("KCPP_Q4K_DECODE", "1") == "1"):
         mv45 = _MATVEC_FIELDS_Q5K if qt.kind == "q5_k" else _MATVEC_FIELDS_Q4K
         if (qt.kind in ("q4_k", "q5_k")
@@ -1633,9 +1640,7 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
             # GS=8 works) — tiny layers take the host-prep bf16 kernel
             # T>1 rides the same i8 path through the *_i8_t kernels (per-
             # token expansion stacks): the batched-8 serving decode
-            T2 = x2.shape[0]
-            i8 = (in_f % 256 == 0 and in_f >= 512
-                  and os.environ.get("KCPP_Q4K_I8", "1") == "1")
+            i8 = i8_q45
             raw = i8 or (qt.kind == "q4_k" and T2 == 1 and in_f % 256 == 0
                          and in_f >= 512
                          and os.environ.get("KCPP_Q4K_RAW_X", "1") == "1")
