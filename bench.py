@@ -273,7 +273,10 @@ def bench_longctx(cfg, latency: float, kind: str, S: int = 16384,
     from koboldcpp_tpu.models import llama
     from koboldcpp_tpu.models.synthetic import synthetic_params
 
-    page_size = 256
+    # page-size sweep on v5e (16K q8, Pallas q8 kernel): 256 -> 361 t/s,
+    # 512 -> 458, 1024 -> 504, 2048 -> 505 — the paged kernels pay ~1 us of
+    # fixed cost per grid step (page), so TPU wants big pages; plateau at 1K
+    page_size = 1024
     n_pages = S // page_size + 2
     params = synthetic_params(cfg, kind=kind, seed=0)
     pcache = init_paged_cache(cfg.n_layers, n_pages, page_size,

@@ -114,7 +114,7 @@ class BatchedEngine:
 
     def __init__(self, model: Model, max_context: int = 2048, n_slots: int = 4,
                  cache_dtype=jnp.bfloat16, paged: bool = False,
-                 page_size: int = 64, pool_fraction: float = 1.0,
+                 page_size: int = 512, pool_fraction: float = 1.0,
                  quantkv: bool = False, clip_model=None,
                  use_contextshift: bool = True):
         self.model = model

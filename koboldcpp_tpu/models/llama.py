@@ -515,9 +515,32 @@ def forward_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         if cfg.use_rope:
             q = apply_rope(q, positions, freqs, cfg.rope_type, cfg.rope_dim)
             k = apply_rope(k, positions, freqs, cfg.rope_type, cfg.rope_dim)
-        use_flash_dec = (T == 1 and alibi is None and not pcache.quantized
-                         and _flash_decode_ok(cfg))
-        if use_flash_dec:
+        use_flash_dec = (T == 1 and alibi is None and _flash_decode_ok(cfg))
+        if use_flash_dec and pcache.quantized:
+            # paged Q8 flash-decode: page-table DMA maps + in-kernel int8
+            # dequant/quantized write (ops/flash_decode.py _pq8kernel) —
+            # replaces an XLA gather+dequant of the WHOLE context per layer
+            from ..ops import flash_decode
+
+            out, k_upd, v_upd, ks_upd, vs_upd = \
+                flash_decode.decode_attention_paged_q8(
+                    q[:, 0], k[:, 0].astype(jnp.bfloat16),
+                    v[:, 0].astype(jnp.bfloat16),
+                    pcache.k[li], pcache.v[li],
+                    pcache.k_scale[li], pcache.v_scale[li],
+                    page_table, positions[:, 0],
+                    cfg.n_heads, cfg.n_kv_heads, pcache.page_size, scale,
+                    cfg.attn_logit_softcap,
+                    interpret=jax.default_backend() == "cpu")
+            pcache = paged.PagedKVCache(
+                k=paged._rep(pcache.k, li, k_upd),
+                v=paged._rep(pcache.v, li, v_upd),
+                k_scale=paged._rep(pcache.k_scale, li, ks_upd),
+                v_scale=paged._rep(pcache.v_scale, li, vs_upd),
+                page_size=pcache.page_size, quantized=True,
+                heads=pcache.heads)
+            attn_out = out[:, None].astype(x.dtype)
+        elif use_flash_dec:
             # paged flash-decode: pages addressed through the table, cache
             # write in-kernel via aliased outputs (ops/flash_decode.py)
             from ..ops import flash_decode

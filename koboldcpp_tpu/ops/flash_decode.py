@@ -783,3 +783,219 @@ def decode_attention_paged(q: jnp.ndarray, k_new: jnp.ndarray,
       q.astype(jnp.bfloat16), kn.astype(jnp.bfloat16),
       vn.astype(jnp.bfloat16), k_pool, v_pool)
     return out, k_upd, v_upd
+
+# ---------------------------------------------------------------------------
+# paged + Q8-quantized variant: page-table DMA maps x in-kernel q8 math
+# (--quantkv 1 serving; the reference's quantized unified KV cache,
+#  src/llama.cpp:2788 type_k/type_v + gpttype_adapter.cpp:1958)
+# ---------------------------------------------------------------------------
+
+def _pq8kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref, vqn_ref,
+               ksn_ref, vsn_ref, k_ref, v_ref, ks_ref, vs_ref,
+               o_ref, ko_ref, vo_ref, kso_ref, vso_ref, m_ref, l_ref, acc_ref,
+               *, H: int, Hkv: int, D: int, P: int, scale: float,
+               softcap: float):
+    """Paged Q8 decode attention: _pkernel's page addressing with _bqkernel's
+    int8 block dequant (cast + per-row scale expansion through an (Hkv, KD)
+    0/1 dot) and quantized write-block insert. The XLA fallback this replaces
+    gathered + dequantized the WHOLE context per layer per step (profiled at
+    ~2.2 ms/step of fusion+copy at 16K on 1.1B)."""
+    s = pl.program_id(1)
+    n_blocks = pl.num_programs(1)
+    b = pl.program_id(0)
+    KD = Hkv * D
+    G = H // Hkv
+    pos = pos_ref[b]
+    wblk = jnp.minimum(pos // P, n_blocks - 1)
+
+    def head_expand():
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (Hkv, KD), 0)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (Hkv, KD), 1) // D
+        return (hidx == cidx).astype(jnp.bfloat16)
+
+    @pl.when(s == wblk)
+    def _write():
+        row = pos - wblk * P
+        in_range = pos < n_blocks * P
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (P, KD), 0)
+        sel = (ridx == row) & in_range
+        ko_ref[:] = jnp.where(sel, jnp.broadcast_to(kqn_ref[0], (P, KD)),
+                              k_ref[:])
+        vo_ref[:] = jnp.where(sel, jnp.broadcast_to(vqn_ref[0], (P, KD)),
+                              v_ref[:])
+        rids = jax.lax.broadcasted_iota(jnp.int32, (P, Hkv), 0)
+        sels = (rids == row) & in_range
+        kso_ref[:] = jnp.where(sels, jnp.broadcast_to(ksn_ref[0], (P, Hkv)),
+                               ks_ref[:])
+        vso_ref[:] = jnp.where(sels, jnp.broadcast_to(vsn_ref[0], (P, Hkv)),
+                               vs_ref[:])
+
+    def qexp_mask():
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 0) // G
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 1) // D
+        return hidx == bidx
+
+    @pl.when(s == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s * P < pos)
+    def _compute():
+        E = head_expand()
+        ksx = jax.lax.dot_general(
+            ks_ref[:].astype(jnp.bfloat16), E, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        vsx = jax.lax.dot_general(
+            vs_ref[:].astype(jnp.bfloat16), E, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        kd = k_ref[:].astype(jnp.bfloat16) * ksx   # (P, KD)
+        vd = v_ref[:].astype(jnp.bfloat16) * vsx
+        q = q_ref[0].astype(jnp.float32)  # (H, D)
+        qrep = pltpu.repeat(q, Hkv, axis=1)
+        sel = qexp_mask()
+        qexp = jnp.where(sel, qrep, 0.0).astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            qexp, kd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (H, P)
+        if softcap > 0:
+            scores = softcap * jnp.tanh(scores / softcap)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (H, P), 1) + s * P
+        scores = jnp.where(sidx < pos, scores, -1e30)
+        m_prev = m_ref[:]
+        m_blk = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_blk)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(s == n_blocks - 1)
+    def _final():
+        q = q_ref[0].astype(jnp.float32)
+        qrep = pltpu.repeat(q, Hkv, axis=1)
+        sel = qexp_mask()
+        qexp = jnp.where(sel, qrep, 0.0)
+        knew = knew_ref[0].astype(jnp.float32)
+        vnew = vnew_ref[0].astype(jnp.float32)
+        s_self = jax.lax.dot_general(
+            qexp, knew, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if softcap > 0:
+            s_self = softcap * jnp.tanh(s_self / softcap)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, s_self)
+        alpha = jnp.exp(m_prev - m_new)
+        p_self = jnp.exp(s_self - m_new)
+        l = l_ref[:] * alpha + p_self
+        acc = acc_ref[:] * alpha + p_self * vnew
+        acc = acc / l
+        acc = jnp.where(sel, acc, 0.0)
+        kdi = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 0) % D
+        di = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 1)
+        R = (kdi == di).astype(jnp.float32)
+        o_ref[0] = jax.lax.dot_general(
+            acc, R, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "n_kv_heads", "page_size",
+                                    "scale", "softcap", "interpret"))
+def decode_attention_paged_q8(q: jnp.ndarray, k_new: jnp.ndarray,
+                              v_new: jnp.ndarray, k_pool: jnp.ndarray,
+                              v_pool: jnp.ndarray, ks_pool: jnp.ndarray,
+                              vs_pool: jnp.ndarray, page_table: jnp.ndarray,
+                              positions: jnp.ndarray, n_heads: int,
+                              n_kv_heads: int, page_size: int, scale: float,
+                              softcap: float = 0.0,
+                              interpret: bool = False):
+    """q: (B, H, D); k_new/v_new: (B, Hkv, D) bf16 (unquantized);
+    k_pool/v_pool: (NP*P, Hkv*D) int8 fused page pools; ks/vs_pool:
+    (NP*P, Hkv) bf16 per-row per-head scales; page_table: (B, MP) int32;
+    positions: (B,). Quantizes the new row here (kv/paged.py _quantize_q8
+    semantics — per-(row, head) amax/127) and uses the dequantized values
+    for the self term, so results match the write-then-gather XLA path.
+    Returns (out (B, H, D) f32, k', v', ks', vs' aliased updated pools)."""
+    B, H = q.shape[:2]
+    Hkv = n_kv_heads
+    P = page_size
+    KD = k_pool.shape[1]
+    D = KD // Hkv
+    MP = page_table.shape[1]
+    NP = k_pool.shape[0] // P
+
+    def q8(x):  # (B, Hkv, D) -> int8 (B, 1, KD), scale (B, 1, Hkv), deq
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        sc = amax / 127.0
+        inv = jnp.where(sc > 0, 1.0 / sc, 0.0)
+        qv = jnp.round(x.astype(jnp.float32) * inv[..., None]).astype(jnp.int8)
+        deq = (qv.astype(jnp.float32)
+               * sc.astype(jnp.bfloat16).astype(jnp.float32)[..., None])
+        return (qv.reshape(B, 1, KD),
+                sc.astype(jnp.bfloat16).reshape(B, 1, Hkv),
+                deq.astype(jnp.bfloat16).reshape(B, 1, KD))
+
+    kq, ksn, kdq = q8(k_new)
+    vq, vsn, vdq = q8(v_new)
+    # dead slots (position < 0) -> overshoot copy-through (see paged bf16)
+    positions = jnp.where(positions >= 0, positions, MP * P)
+
+    def kv_map(b, s, pos_ref, tab_ref):
+        last = jnp.minimum(pos_ref[b] // P, MP - 1)
+        page = tab_ref[b, jnp.minimum(s, last)]
+        return (jnp.clip(page, 0, NP - 1), 0)
+
+    def w_map(b, s, pos_ref, tab_ref):
+        wblk = jnp.minimum(pos_ref[b] // P, MP - 1)
+        return (jnp.clip(tab_ref[b, wblk], 0, NP - 1), 0)
+
+    bmap3 = lambda b, s, p, t: (b, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, MP),
+        in_specs=[pl.BlockSpec((1, H, D), bmap3),
+                  pl.BlockSpec((1, 1, KD), bmap3),
+                  pl.BlockSpec((1, 1, KD), bmap3),
+                  pl.BlockSpec((1, 1, KD), bmap3),
+                  pl.BlockSpec((1, 1, KD), bmap3),
+                  pl.BlockSpec((1, 1, Hkv), bmap3),
+                  pl.BlockSpec((1, 1, Hkv), bmap3),
+                  pl.BlockSpec((P, KD), kv_map),
+                  pl.BlockSpec((P, KD), kv_map),
+                  pl.BlockSpec((P, Hkv), kv_map),
+                  pl.BlockSpec((P, Hkv), kv_map)],
+        out_specs=[pl.BlockSpec((1, H, D), bmap3),
+                   pl.BlockSpec((P, KD), w_map),
+                   pl.BlockSpec((P, KD), w_map),
+                   pl.BlockSpec((P, Hkv), w_map),
+                   pl.BlockSpec((P, Hkv), w_map)],
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, KD), jnp.float32)],
+    )
+    out, k2, v2, ks2, vs2 = pl.pallas_call(
+        functools.partial(_pq8kernel, H=H, Hkv=Hkv, D=D, P=P, scale=scale,
+                          softcap=softcap),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, H, D), jnp.float32),
+                   jax.ShapeDtypeStruct(k_pool.shape, jnp.int8),
+                   jax.ShapeDtypeStruct(v_pool.shape, jnp.int8),
+                   jax.ShapeDtypeStruct(ks_pool.shape, jnp.bfloat16),
+                   jax.ShapeDtypeStruct(vs_pool.shape, jnp.bfloat16)],
+        # indices include the 2 scalar-prefetch args: 9..12 = pools
+        input_output_aliases={9: 1, 10: 2, 11: 3, 12: 4},
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * MP * P * D,
+            bytes_accessed=2 * B * MP * P * KD,
+            transcendentals=B * H * MP * P),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), page_table.astype(jnp.int32),
+      q.astype(jnp.bfloat16), kdq, vdq, kq, vq, ksn, vsn,
+      k_pool, v_pool, ks_pool, vs_pool)
+    return out, k2, v2, ks2, vs2

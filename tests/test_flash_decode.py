@@ -200,3 +200,75 @@ def test_q8_flash_decode_forward_parity():
                                   np.asarray(cb.k_scale[0]))
     err = np.abs(la - lb).max() / (np.abs(la).max() + 1e-6)
     assert err < 0.02, err
+
+
+def test_paged_q8_decode_attention_parity():
+    """Paged Q8 flash-decode kernel vs write-then-gather + XLA attention:
+    in-kernel quantized page writes must be BIT-exact with paged.write's
+    _quantize_q8, attention output within q8 noise. Covers non-contiguous
+    tables, pos=0 self-only, block boundaries, and a dead slot (pos -1)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from koboldcpp_tpu.kv import paged
+    from koboldcpp_tpu.ops import flash_decode
+
+    rng = np.random.default_rng(7)
+    B, H, Hkv, D, P, NP, MP = 4, 8, 2, 64, 8, 40, 8
+    pcache = paged.init_paged_cache(1, NP, P, Hkv, D, quantized=True)
+    table = jnp.asarray(
+        rng.permutation(NP)[:B * MP].reshape(B, MP).astype(np.int32))
+    positions = np.array([0, 5, 8, 33], np.int32)
+
+    for b in range(B):
+        p = int(positions[b])
+        if p == 0:
+            continue
+        ks = jnp.asarray(rng.standard_normal((1, p, Hkv, D)), jnp.bfloat16)
+        vs = jnp.asarray(rng.standard_normal((1, p, Hkv, D)), jnp.bfloat16)
+        pcache = paged.write(pcache, 0, table[b:b + 1],
+                             jnp.arange(p)[None, :], ks, vs)
+
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.bfloat16)
+    vn = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.bfloat16)
+    scale = D ** -0.5
+
+    out, k_upd, v_upd, ks_upd, vs_upd = flash_decode.decode_attention_paged_q8(
+        q, kn, vn, pcache.k[0], pcache.v[0],
+        pcache.k_scale[0], pcache.v_scale[0],
+        table, jnp.asarray(positions), H, Hkv, P, scale, interpret=True)
+
+    ref_cache = paged.write(pcache, 0, table, jnp.asarray(positions)[:, None],
+                            kn[:, None], vn[:, None])
+    gk, gv = paged.gather(ref_cache, 0, table)  # dequantized (B, MP*P, Hkv, D)
+    G = H // Hkv
+    for b in range(B):
+        p = int(positions[b])
+        for h in range(H):
+            kv = h // G
+            ka = np.asarray(gk[b, :, kv], np.float32)
+            va = np.asarray(gv[b, :, kv], np.float32)
+            sc = (np.asarray(q[b, h], np.float32) @ ka.T) * scale
+            sc[p + 1:] = -np.inf
+            pr = np.exp(sc - sc.max()); pr /= pr.sum()
+            want = pr @ va
+            got = np.asarray(out)[b, h]
+            err = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+            assert err < 0.05, (b, h, err)
+    np.testing.assert_array_equal(np.asarray(k_upd), np.asarray(ref_cache.k[0]))
+    np.testing.assert_array_equal(np.asarray(v_upd), np.asarray(ref_cache.v[0]))
+    np.testing.assert_array_equal(np.asarray(ks_upd),
+                                  np.asarray(ref_cache.k_scale[0]))
+    np.testing.assert_array_equal(np.asarray(vs_upd),
+                                  np.asarray(ref_cache.v_scale[0]))
+
+    # dead slot: positions -1 must leave the pools untouched (copy-through)
+    out2, k2, v2, ks2, vs2 = flash_decode.decode_attention_paged_q8(
+        q, kn, vn, ref_cache.k[0], ref_cache.v[0],
+        ref_cache.k_scale[0], ref_cache.v_scale[0],
+        table, jnp.asarray(np.full(B, -1, np.int32)), H, Hkv, P, scale,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(ref_cache.k[0]))
+    np.testing.assert_array_equal(np.asarray(ks2),
+                                  np.asarray(ref_cache.k_scale[0]))
