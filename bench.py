@@ -275,8 +275,11 @@ def bench_longctx(cfg, latency: float, kind: str, S: int = 16384,
 
     # page-size sweep on v5e (16K q8, Pallas q8 kernel): 256 -> 361 t/s,
     # 512 -> 458, 1024 -> 504, 2048 -> 505 — the paged kernels pay ~1 us of
-    # fixed cost per grid step (page), so TPU wants big pages; plateau at 1K
-    page_size = 1024
+    # fixed cost per grid step (page), so TPU wants big pages; plateau at 1K.
+    # VMEM bounds the block: ~8 double-buffered (P, KD) buffers must fit
+    # scoped VMEM, so wide-KD (MHA 13B-class) models cap the page smaller.
+    KD = cfg.n_kv_heads * cfg.head_dim
+    page_size = min(1024, max(256, (1_500_000 // KD) // 256 * 256))
     n_pages = S // page_size + 2
     params = synthetic_params(cfg, kind=kind, seed=0)
     pcache = init_paged_cache(cfg.n_layers, n_pages, page_size,

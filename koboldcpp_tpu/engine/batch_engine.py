@@ -114,7 +114,7 @@ class BatchedEngine:
 
     def __init__(self, model: Model, max_context: int = 2048, n_slots: int = 4,
                  cache_dtype=jnp.bfloat16, paged: bool = False,
-                 page_size: int = 512, pool_fraction: float = 1.0,
+                 page_size: int = 0, pool_fraction: float = 1.0,
                  quantkv: bool = False, clip_model=None,
                  use_contextshift: bool = True):
         self.model = model
@@ -132,6 +132,12 @@ class BatchedEngine:
         if paged:
             from ..kv.paged import PageAllocator, init_paged_cache
 
+            if page_size <= 0:
+                # auto: the paged flash-decode kernels pay ~1 us of fixed
+                # cost per grid step (page) on v5e, so bigger pages win —
+                # bounded by ~8 double-buffered (P, KD) VMEM blocks
+                KD = self.cfg.n_kv_heads * self.cfg.head_dim
+                page_size = min(512, max(64, (750_000 // KD) // 64 * 64))
             max_pages = -(-max_context // page_size)
             n_pages = max(1, int(n_slots * max_pages * pool_fraction))
             self.page_size = page_size

@@ -254,14 +254,28 @@ def _i8_prep(x_ref, mli_s, mhi_s, sx_s, xs_s):
     xl = x3[:, :128].reshape(1, C2)
     xh = x3[:, 128:].reshape(1, C2)
     E = _expand_mat(GS, C2, 32)
-    mlb = (E * xl).astype(jnp.float32)   # (GS, C2) block-diagonal
-    mhb = (E * xh).astype(jnp.float32)
-    al = jnp.maximum(jnp.max(jnp.abs(mlb), axis=1, keepdims=True), 1e-20)
-    ah = jnp.maximum(jnp.max(jnp.abs(mhb), axis=1, keepdims=True), 1e-20)
-    mli_s[:] = jnp.round(mlb * (127.0 / al)).astype(jnp.int32).astype(jnp.int8)
-    mhi_s[:] = jnp.round(mhb * (127.0 / ah)).astype(jnp.int32).astype(jnp.int8)
-    sx_s[:, 0:1] = al / 127.0
-    sx_s[:, 1:2] = ah / 127.0
+    # chunk the expansion over group rows: one-shot (GS, C2) f32 temps blow
+    # scoped VMEM for wide layers (13B w_down in_f=13824: 2 x 6 MB temps ->
+    # "exceeded scoped vmem limit"). Chunks must divide GS and stay 8-row
+    # aligned (Mosaic sublane stores); fall back to one shot when no such
+    # divisor exists (e.g. GS=172) — those sizes fit anyway.
+    if GS * C2 * 8 <= 6 * 1024 * 1024:
+        CH = GS
+    else:
+        CH = next((c for c in range(64, 7, -8) if GS % c == 0), GS)
+    for c in range(GS // CH):
+        r0 = c * CH
+        Ec = jax.lax.slice(E, (r0, 0), (r0 + CH, C2))
+        mlb = (Ec * xl).astype(jnp.float32)   # (CH, C2) block-diagonal
+        mhb = (Ec * xh).astype(jnp.float32)
+        al = jnp.maximum(jnp.max(jnp.abs(mlb), axis=1, keepdims=True), 1e-20)
+        ah = jnp.maximum(jnp.max(jnp.abs(mhb), axis=1, keepdims=True), 1e-20)
+        mli_s[r0:r0 + CH] = jnp.round(
+            mlb * (127.0 / al)).astype(jnp.int32).astype(jnp.int8)
+        mhi_s[r0:r0 + CH] = jnp.round(
+            mhb * (127.0 / ah)).astype(jnp.int32).astype(jnp.int8)
+        sx_s[r0:r0 + CH, 0:1] = al / 127.0
+        sx_s[r0:r0 + CH, 1:2] = ah / 127.0
     # exact group sums (min terms stay activation-exact)
     xs_s[0:1] = jax.lax.dot_general(
         xl, E, (((1,), (1,)), ((), ())),
@@ -1032,13 +1046,20 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
         x_args = (ml, mh, _group_sums(xl, C2, 32), _group_sums(xh, C2, 32))
         x_rows = (T * GS, T * GS, T, T)
         x_shapes = (C2, C2, GS, GS)
-    # row tile: big tiles pipeline better, but the double-buffered qs tile
-    # plus the (T*GS, C2) Ml/Mh stacks must fit scoped VMEM (~16M)
+    # row tile: big tiles pipeline better, but the double-buffered qs tile,
+    # the (T*GS, C2) Ml/Mh stacks/scratch AND the kernel's in-body unpack
+    # temps (the qs tile casts to i32 + two i8 planes: ~6*rt*C2 bytes) must
+    # fit scoped VMEM (~16M) — wide layers (13B w_down in_f=13824) blew the
+    # limit before the temp term was modeled
     n_qfields = 2 if kind == "q5_k" else 1  # qs2 (+ hb)
-    budget = 13 * 1024 * 1024 - 2 * 2 * T * GS * C2 * 2
-    rt = ROW_TILE
-    for cand in (DECODE_ROW_TILE, ROW_TILE, 128):
-        if out_f % cand == 0 and 2 * cand * (n_qfields * C2 + 8 * GS) <= budget:
+    scratch_b = (2 * T * GS * C2 if (i8 or raw)    # i8/bf16 plane stacks
+                 else 2 * 2 * T * GS * C2 * 2)     # XLA-built bf16 stacks x2
+    budget = 13 * 1024 * 1024 - scratch_b
+    rt = 64
+    for cand in (DECODE_ROW_TILE, ROW_TILE, 128, 64):
+        if (out_f % cand == 0
+                and 2 * cand * (n_qfields * C2 + 8 * GS) + 6 * cand * C2
+                <= budget):
             rt = cand
             break
     scratch = []
@@ -1618,7 +1639,11 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
     # bf16 row 1583 tok/s), so the i8 path extends the window to 8.
     T2 = x2.shape[0]
     i8_q45 = (qt.kind in ("q4_k", "q5_k") and in_f % 256 == 0 and in_f >= 512
-              and os.environ.get("KCPP_Q4K_I8", "1") == "1")
+              and os.environ.get("KCPP_Q4K_I8", "1") == "1"
+              # T>1 scratch is (T*GS, C2) int8 x2 + f32 prep chunks; cap it
+              # so wide-KD models (7B/13B FFN widths) fall to the 2-D kernel
+              and (T2 == 1
+                   or T2 * (in_f // 64) * (in_f // 2) <= 4 * 1024 * 1024))
     max_t = 8 if i8_q45 else MATVEC_MAX_T
     if (T2 <= max_t
             and os.environ.get("KCPP_Q4K_DECODE", "1") == "1"):
