@@ -45,6 +45,10 @@ from .engine import (GenParams, GenerationResult, Timings, _detok, _find_stop,
 
 PREFILL_BUCKETS = (16, 32, 64, 128)
 PREFILL_CHUNK = 128  # interleave granularity: decode ticks between chunks
+# all-greedy steady-state burst length: K decode ticks chained on device per
+# host round trip (see _decode_step). Bounded so admits/aborts are picked up
+# within K ticks.
+BURST_TICKS = int(__import__("os").environ.get("KCPP_BURST_TICKS", "8"))
 
 
 def _bucket(n: int) -> int:
@@ -548,6 +552,55 @@ class BatchedEngine:
             # device argmax: B int32 ids cross the link, no host sampler
             if self._bias_dev is None:
                 self._bias_dev = self._bias_device_rows()
+            # K-tick burst (non-paged steady state): the device token chain
+            # feeds itself (argmax output -> next step's tokens, positions
+            # advance host-side), so K decode ticks need ONE (K, B) pull
+            # instead of K round trips — the per-tick ~25 ms tunnel RT was
+            # the batched engine's dominant cost. Tokens past a slot's
+            # stop (eos/stop-seq) inside a burst are discarded; the orphan
+            # cache rows past len(context) are invisible to reuse (same
+            # overshoot argument as the single engine's decode chunks).
+            K = 1
+            if (not self.paged and not any(s.pending_prefill
+                                           for s in self.slots if s.active)
+                    and self.queue.empty()):
+                K = max(1, min(BURST_TICKS,
+                               min(s.max_new - s.sampled for s in feeds)))
+            if K > 1:
+                nxts = []
+                tok_dev = jnp.asarray(tok)
+                pos_np = pos.copy()
+                for _k in range(K):
+                    nxt, self.cache = self._greedy_forward(
+                        self.model.params, tok_dev, jnp.asarray(pos_np),
+                        self.cache, self._bias_dev)
+                    nxts.append(nxt)
+                    tok_dev = nxt[:, None]
+                    pos_np = np.where(pos_np >= 0, pos_np + 1, pos_np)
+                all_toks = np.asarray(jnp.stack(nxts))  # one pull: (K, B)
+                for s in feeds:
+                    t, p, append = s.feed
+                    s.feed = None
+                    if append:
+                        s.context.append(t)
+                for k in range(K):
+                    for s in feeds:
+                        if not s.active:
+                            continue  # finished earlier in the burst
+                        if k > 0:
+                            # the burst already fed tick k-1's token back
+                            t = int(all_toks[k - 1, s.idx])
+                            s.feed = None
+                            s.context.append(t)
+                        if s.request.aborted or self.abort_event.is_set():
+                            self._finish(s, "abort")
+                            continue
+                        if s.sampled >= s.max_new:
+                            self._finish(s, "length")
+                            continue
+                        s.sampled += 1
+                        self._emit_sampled(s, int(all_toks[k, s.idx]))
+                return
             if self.paged:
                 nxt, self.cache = self._greedy_forward(
                     self.model.params, jnp.asarray(tok), jnp.asarray(pos),
@@ -599,6 +652,56 @@ class BatchedEngine:
                  for s in self.slots], bool))
             self._sample_key, sub = jax.random.split(self._sample_key)
             sfwd = self._get_sampled_forward(order_key)
+            # K-tick burst (same scheme as the all-greedy path): the device
+            # sampler chain is self-feeding — sampled tokens feed the next
+            # step, rep-pen windows roll on device — so only the per-tick
+            # PRNG keys come from the host. One (K, B) pull per K ticks.
+            K = 1
+            if (not host_slots and not self.paged
+                    and not any(s.pending_prefill
+                                for s in self.slots if s.active)
+                    and self.queue.empty()):
+                K = max(1, min(BURST_TICKS,
+                               min(s.max_new - s.sampled for s in feeds)))
+            if K > 1:
+                roll2 = jnp.asarray(np.array(
+                    [s.decoding for s in self.slots], bool))
+                nxts = []
+                tok_dev = jnp.asarray(tok)
+                pos_np = pos.copy()
+                for _k in range(K):
+                    (nxt, lg_dev, self.cache, self._recent_dev,
+                     self._count_dev) = sfwd(
+                        self.model.params, tok_dev, jnp.asarray(pos_np),
+                        self.cache, self._bias_dev, self._recent_dev,
+                        self._count_dev, roll if _k == 0 else roll2, sub,
+                        self._dyn_rows, greedy)
+                    nxts.append(nxt)
+                    tok_dev = nxt[:, None]
+                    pos_np = np.where(pos_np >= 0, pos_np + 1, pos_np)
+                    self._sample_key, sub = jax.random.split(self._sample_key)
+                all_toks = np.asarray(jnp.stack(nxts))  # one pull: (K, B)
+                for s in feeds:
+                    t, p, append = s.feed
+                    s.feed = None
+                    if append:
+                        s.context.append(t)
+                for k in range(K):
+                    for s in feeds:
+                        if not s.active:
+                            continue
+                        if k > 0:
+                            s.feed = None
+                            s.context.append(int(all_toks[k - 1, s.idx]))
+                        if s.request.aborted or self.abort_event.is_set():
+                            self._finish(s, "abort")
+                            continue
+                        if s.sampled >= s.max_new:
+                            self._finish(s, "length")
+                            continue
+                        s.sampled += 1
+                        self._emit_sampled(s, int(all_toks[k, s.idx]))
+                return
             args = [self.model.params, jnp.asarray(tok), jnp.asarray(pos),
                     self.cache]
             if self.paged:
