@@ -34,16 +34,25 @@ def _rand_dense(rng, shape, scale=0.02, dtype=jnp.bfloat16) -> QTensor:
 
 
 def _rand_q4k(rng, out_f: int, in_f: int) -> QTensor:
+    """Synthetic Q4_K with the REAL scale structure (d per superblock x
+    6-bit integer sub-scales), so every serving layout — including the SBQ
+    sidecars the batched kernel needs — is exercised by the bench."""
     nsb = in_f // QK_K
     qs2 = rng.integers(0, 256, size=(out_f, in_f // 2), dtype=np.uint8)
-    scale = (rng.random((out_f, nsb * 8), dtype=np.float32) * 0.004).astype(np.float32)
-    mn = (rng.random((out_f, nsb * 8), dtype=np.float32) * 0.004).astype(np.float32)
+    d = (rng.random((out_f, nsb), dtype=np.float32) * 6.3e-5)
+    dmin = (rng.random((out_f, nsb), dtype=np.float32) * 6.3e-5)
+    sc = rng.integers(0, 64, size=(out_f, nsb, 8)).astype(np.int32)
+    mn6 = rng.integers(0, 64, size=(out_f, nsb, 8)).astype(np.int32)
+    scale = (d[:, :, None] * sc).reshape(out_f, nsb * 8).astype(np.float32)
+    mn = (dmin[:, :, None] * mn6).reshape(out_f, nsb * 8).astype(np.float32)
     s4 = scale.reshape(out_f, nsb, 2, 4)
     m4 = mn.reshape(out_f, nsb, 2, 4)
     s_lo = s4[:, :, 0].reshape(out_f, nsb * 4)
     s_hi = s4[:, :, 1].reshape(out_f, nsb * 4)
     m_lo = m4[:, :, 0].reshape(out_f, nsb * 4)
     m_hi = m4[:, :, 1].reshape(out_f, nsb * 4)
+    sci = sc.reshape(out_f, nsb, 2, 4)
+    scp = (16 * (sci >> 3) + (sci & 7)).astype(np.int8)
     return QTensor(kind="q4_k", shape=(out_f, in_f), data={
         "qs2": jnp.asarray(qs2),
         "min": jnp.asarray(mn, dtype=jnp.bfloat16),
@@ -53,6 +62,9 @@ def _rand_q4k(rng, out_f: int, in_f: int) -> QTensor:
         "shi_t": jnp.asarray(s_hi.T, dtype=jnp.bfloat16),
         "mlo_t": jnp.asarray(m_lo.T, dtype=jnp.bfloat16),
         "mhi_t": jnp.asarray(m_hi.T, dtype=jnp.bfloat16),
+        "scp_lo": jnp.asarray(scp[:, :, 0].reshape(out_f, nsb * 4)),
+        "scp_hi": jnp.asarray(scp[:, :, 1].reshape(out_f, nsb * 4)),
+        "d_sbt": jnp.asarray(d.T.copy(), dtype=jnp.float32),
     })
 
 

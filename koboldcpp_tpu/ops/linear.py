@@ -101,6 +101,14 @@ def pack_q4_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     s_hi = s4[:, :, 1].reshape(rows, nsb * 4)
     m_lo = m4[:, :, 0].reshape(rows, nsb * 4)
     m_hi = m4[:, :, 1].reshape(rows, nsb * 4)
+    # SBQ sidecars (batched T<=16 decode kernel): INTEGER 6-bit sub-scales
+    # packed 16*(sc>>3) + (sc&7) <= 119 (i8), plane-ordered like scale_lo/hi,
+    # plus the f16 superblock d lane-transposed (nsb, rows).  The kernel folds
+    # the integer sub-scale into the int8 weights (sch*q, scl*q <= 105) so the
+    # P-dots contract per SUPERBLOCK (T*nsb stack rows) instead of per 32-group
+    # (T*in/64 rows) — the mmq-style scale-layout rework (VERDICT r3 item 1).
+    sci = sc.astype(np.int32).reshape(rows, nsb, 2, 4)
+    scp = (16 * (sci >> 3) + (sci & 7)).astype(np.int8)
     # NOTE: no logical-order "scale" field — dequant_xla reconstructs it from
     # scale_lo/scale_hi (saves in_f/16 bytes/row of HBM on every q4_k tensor)
     return QTensor(kind="q4_k", shape=shape, data={
@@ -114,6 +122,10 @@ def pack_q4_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
         "shi_t": jnp.asarray(s_hi.T, dtype=jnp.bfloat16),
         "mlo_t": jnp.asarray(m_lo.T, dtype=jnp.bfloat16),
         "mhi_t": jnp.asarray(m_hi.T, dtype=jnp.bfloat16),
+        # SBQ batched-decode sidecars
+        "scp_lo": jnp.asarray(scp[:, :, 0].reshape(rows, nsb * 4)),
+        "scp_hi": jnp.asarray(scp[:, :, 1].reshape(rows, nsb * 4)),
+        "d_sbt": jnp.asarray(d.T.copy(), dtype=jnp.float32),
     })
 
 
@@ -153,6 +165,8 @@ def pack_q5_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     s_hi = s4[:, :, 1].reshape(rows, nsb * 4)
     m_lo = m4[:, :, 0].reshape(rows, nsb * 4)
     m_hi = m4[:, :, 1].reshape(rows, nsb * 4)
+    sci = sc.astype(np.int32).reshape(rows, nsb, 2, 4)
+    scp = (16 * (sci >> 3) + (sci & 7)).astype(np.int8)  # SBQ (see pack_q4_k)
     return QTensor(kind="q5_k", shape=shape, data={
         "qs2": jnp.asarray(qs2.astype(np.uint8)),
         "hb": jnp.asarray(hb.astype(np.uint8)),
@@ -163,6 +177,9 @@ def pack_q5_k(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
         "shi_t": jnp.asarray(s_hi.T, dtype=jnp.bfloat16),
         "mlo_t": jnp.asarray(m_lo.T, dtype=jnp.bfloat16),
         "mhi_t": jnp.asarray(m_hi.T, dtype=jnp.bfloat16),
+        "scp_lo": jnp.asarray(scp[:, :, 0].reshape(rows, nsb * 4)),
+        "scp_hi": jnp.asarray(scp[:, :, 1].reshape(rows, nsb * 4)),
+        "d_sbt": jnp.asarray(d.T.copy(), dtype=jnp.float32),
     })
 
 

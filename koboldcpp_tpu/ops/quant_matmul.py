@@ -429,6 +429,165 @@ def _q5k_decode_kernel_i8_t(x_ref, qs_ref, hb_ref, slo_ref, shi_ref,
     o_ref[:] = t.astype(o_ref.dtype)
 
 
+def _sbq_prep(x_ref, ml_s, mh_s, sx_s, xs_s, T: int):
+    """SBQ activation prep (first row tile only): plane-split x, quantize each
+    128-col plane segment (= one superblock's half) to int8, and build T-major
+    block-diagonal stacks (T*nsb, C2) — 8x fewer M rows than the per-32-group
+    stacks of _i8_prep_t, which is where the old batched kernel's GS x MAC
+    waste lived.  The t-major repeat-interleave of token rows is done as a
+    selection dot (Mosaic has no element-wise repeat); per-(t, sb) activation
+    scales land in sx_s t-major, exact per-32 group sums in xs_s (min terms
+    stay activation-exact)."""
+    x = x_ref[:]                      # (T, in_f) bf16
+    in_f = x.shape[1]
+    nsb = in_f // 256
+    C2 = in_f // 2
+    GS = in_f // 64
+    x3 = x.reshape(T * nsb, 256)
+    xl = x3[:, :128].reshape(T, C2)
+    xh = x3[:, 128:].reshape(T, C2)
+    rows = T * nsb
+    rr = jax.lax.broadcasted_iota(jnp.int32, (rows, T), 0) // nsb
+    tt = jax.lax.broadcasted_iota(jnp.int32, (rows, T), 1)
+    sel = (rr == tt).astype(jnp.bfloat16)           # (rows, T) 0/1
+    cseg = jax.lax.broadcasted_iota(jnp.int32, (rows, C2), 1) // 128
+    rsb = jax.lax.broadcasted_iota(jnp.int32, (rows, C2), 0) % nsb
+    mask = cseg == rsb
+    for xp, mi, col in ((xl, ml_s, 0), (xh, mh_s, 1)):
+        seg = xp.reshape(rows, 128).astype(jnp.float32)
+        a = jnp.maximum(jnp.max(jnp.abs(seg), axis=1, keepdims=True), 1e-20)
+        qseg = jnp.round(seg * (127.0 / a))         # exact ints in [-127,127]
+        qfull = qseg.reshape(T, C2).astype(jnp.bfloat16)  # <=127: bf16-exact
+        rep = jax.lax.dot_general(sel, qfull, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        mi[:] = jnp.where(mask, rep, 0.0).astype(jnp.int32).astype(jnp.int8)
+        sx_s[:, col:col + 1] = a / 127.0
+    E = _expand_mat(GS, C2, 32)
+    xs_s[0:T] = jax.lax.dot_general(
+        xl, E, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    xs_s[T:] = jax.lax.dot_general(
+        xh, E, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+
+def _expand_mat_i8(G: int, C: int, group: int) -> jnp.ndarray:
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (G, C), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (G, C), 1) // group
+    return (gidx == cidx).astype(jnp.int8)
+
+
+def _sbq_combine(va, sx_s, xs_s, d_ref, mlo_ref, mhi_ref, T, nsb):
+    """y_tr = sum_sb d_sbr * va_(t,sb)r - min-term group-sum dots."""
+    dT = d_ref[:].astype(jnp.float32)               # (nsb, R)
+    drep = jnp.concatenate([dT] * T, axis=0)        # (T*nsb, R) t-major
+    comb = va * drep
+    R = comb.shape[1]
+    t = comb.reshape(T, nsb, R).sum(axis=1)         # (T, R)
+    t -= jax.lax.dot_general(
+        xs_s[0:T].astype(jnp.float32), mlo_ref[:].astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    t -= jax.lax.dot_general(
+        xs_s[T:].astype(jnp.float32), mhi_ref[:].astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return t
+
+
+def _q4k_decode_kernel_sbq(x_ref, qs_ref, scp_lo_ref, scp_hi_ref, d_ref,
+                           mlo_ref, mhi_ref, o_ref, ml_s, mh_s, sx_s, xs_s,
+                           *, T: int):
+    """Batched (2<=T<=16) q4_k kernel with the SUPERBLOCK scale layout
+    (VERDICT r3 item 1 — the mmq-style rework, ggml-cuda/mmq.cuh:9-60):
+    q4_k's scale factors as d(f16/superblock) * sc(6-bit int/32-group), so the
+    INTEGER sub-scale folds into the int8 weights in-kernel
+    (sc = 8*sch + scl; sch*q, scl*q <= 105 both fit i8) and the contraction
+    runs per 128-col plane segment — M stacks of T*nsb rows instead of
+    T*in/64.  At T=8 that cuts the P-dot MAC waste 8x, turning the kernel
+    from MXU-bound back to HBM-bound.  d and the per-segment activation
+    scales apply on the small (T*nsb, R) partials; mins stay per-32
+    group-sum dots (exact activations)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        _sbq_prep(x_ref, ml_s, mh_s, sx_s, xs_s, T)
+
+    q = qs_ref[:].astype(jnp.int32)    # (R, C2)
+    C2 = q.shape[1]
+    GS = C2 // 32
+    nsb = C2 // 128
+    lo = q & 0xF
+    hi = q >> 4
+    Ei = _expand_mat_i8(GS, C2, 32)
+
+    def sexp_i(scp_ref):
+        """Raw 6-bit sc from the packed sidecar (tiny (R, GS) math), then
+        per-32-column expansion as an i8 MXU dot -> (R, C2) i32."""
+        sp = scp_ref[:].astype(jnp.int32)
+        sc8 = (8 * (sp >> 4) + (sp & 15)).astype(jnp.int8)
+        return jax.lax.dot_general(sc8, Ei, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    def pdot(m_s, w):                  # (T*nsb, C2) i8 . (R, C2) i8 -> i32
+        return jax.lax.dot_general(m_s[:], w, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    # single-mult product split: w = sc*q <= 945, and 16*(w>>4) + (w&15) == w
+    # exactly, so the sc*q*xq sum is two i8 dots per plane — no per-weight
+    # sch/scl splitting (the A/B that got gateup 65.5 -> 31.4 us/call).
+    sexp_lo = sexp_i(scp_lo_ref)
+    sexp_hi = sexp_i(scp_hi_ref)
+    w_lo = sexp_lo * lo
+    w_hi = sexp_hi * hi
+    va = ((16 * pdot(ml_s, (w_lo >> 4).astype(jnp.int8))
+           + pdot(ml_s, (w_lo & 15).astype(jnp.int8))).astype(jnp.float32)
+          * sx_s[:, 0:1]
+          + (16 * pdot(mh_s, (w_hi >> 4).astype(jnp.int8))
+             + pdot(mh_s, (w_hi & 15).astype(jnp.int8))).astype(jnp.float32)
+          * sx_s[:, 1:2])
+    t = _sbq_combine(va, sx_s, xs_s, d_ref, mlo_ref, mhi_ref, T, nsb)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _q5k_decode_kernel_sbq(x_ref, qs_ref, hb_ref, scp_lo_ref, scp_hi_ref,
+                           d_ref, mlo_ref, mhi_ref, o_ref, ml_s, mh_s, sx_s,
+                           xs_s, *, T: int):
+    """Q5_K SBQ: q5 = q4 + 16h <= 31, w = sc*q5 <= 1953, product-nibble
+    split w = 16*(w>>4) + (w&15) with w>>4 <= 122 — same two i8 dots per
+    plane as q4_k, just a wider product."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        _sbq_prep(x_ref, ml_s, mh_s, sx_s, xs_s, T)
+
+    q = qs_ref[:].astype(jnp.int32)
+    hb = hb_ref[:].astype(jnp.int32)
+    C2 = q.shape[1]
+    GS = C2 // 32
+    nsb = C2 // 128
+    q5_lo = (q & 0xF) | ((hb & 1) << 4)
+    q5_hi = (q >> 4) | (((hb >> 1) & 1) << 4)
+    Ei = _expand_mat_i8(GS, C2, 32)
+
+    def sexp_i(scp_ref):
+        sp = scp_ref[:].astype(jnp.int32)
+        sc8 = (8 * (sp >> 4) + (sp & 15)).astype(jnp.int8)
+        return jax.lax.dot_general(sc8, Ei, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    def pdot(m_s, w):
+        return jax.lax.dot_general(m_s[:], w, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    w_lo = sexp_i(scp_lo_ref) * q5_lo
+    w_hi = sexp_i(scp_hi_ref) * q5_hi
+    va = ((16 * pdot(ml_s, (w_lo >> 4).astype(jnp.int8))
+           + pdot(ml_s, (w_lo & 15).astype(jnp.int8))).astype(jnp.float32)
+          * sx_s[:, 0:1]
+          + (16 * pdot(mh_s, (w_hi >> 4).astype(jnp.int8))
+             + pdot(mh_s, (w_hi & 15).astype(jnp.int8))).astype(jnp.float32)
+          * sx_s[:, 1:2])
+    t = _sbq_combine(va, sx_s, xs_s, d_ref, mlo_ref, mhi_ref, T, nsb)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
 def _q5k_decode_kernel_i8(x_ref, qs_ref, hb_ref, slo_ref, shi_ref,
                           mlo_ref, mhi_ref, o_ref, mli_s, mhi_s, sx_s, xs_s):
     """Q5_K int8 decode: 5th bit ORs in from the hb sidecar (q5 in 0..31
@@ -1113,6 +1272,59 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f",
+                                             "interpret"))
+def _packed_matvec_q4k_sbq(x, fields: tuple, kind: str, out_f: int, in_f: int,
+                           interpret: bool):
+    """2<=T<=16 q4_k/q5_k batched matvec through the SBQ superblock-layout
+    kernels (integer sub-scales folded into i8 weights; per-superblock
+    contraction).  Returns (T, out_f)."""
+    T = x.shape[0]
+    nsb = in_f // 256
+    C2 = in_f // 2
+    GS = in_f // 64
+    n_q = 2 if kind == "q5_k" else 1
+    # VMEM model: the in-kernel i32 decode temps (pexp x2, nibbles x2, i8
+    # weight planes) cost ~28 bytes per packed byte; pick the largest row
+    # tile that keeps them + the double-buffered qs tile under scoped VMEM.
+    rt = 64
+    for cand in (512, 256, 128, 64):
+        if out_f % cand == 0 and 30 * cand * C2 <= 12 * 1024 * 1024:
+            rt = cand
+            break
+    scratch = [pltpu.VMEM((T * nsb, C2), jnp.int8),
+               pltpu.VMEM((T * nsb, C2), jnp.int8),
+               pltpu.VMEM((T * nsb, 2), jnp.float32),
+               pltpu.VMEM((2 * T, GS), jnp.bfloat16)]
+    kernel = functools.partial(
+        _q5k_decode_kernel_sbq if kind == "q5_k" else _q4k_decode_kernel_sbq,
+        T=T)
+    return pl.pallas_call(
+        kernel,
+        grid=(out_f // rt,),
+        in_specs=[pl.BlockSpec((T, in_f), lambda o: (0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((rt, C2), lambda o: (o, 0),
+                        memory_space=pltpu.VMEM)] * n_q
+        + [pl.BlockSpec((rt, GS), lambda o: (o, 0),
+                        memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((nsb, rt), lambda o: (0, o),
+                        memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((GS, rt), lambda o: (0, o),
+                        memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((T, rt), lambda o: (0, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, out_f), x.dtype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * in_f * out_f,
+            bytes_accessed=sum(f.nbytes for f in fields) + x.nbytes
+            + T * out_f * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, *fields)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f",
                                              "interpret", "i8", "group"))
 def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
                    interpret: bool, i8: bool = False, group: int = 0):
@@ -1341,6 +1553,8 @@ _FIELD_LISTS = {
 }
 _MATVEC_FIELDS_Q4K = ("qs2", "slo_t", "shi_t", "mlo_t", "mhi_t")
 _MATVEC_FIELDS_Q5K = ("qs2", "hb", "slo_t", "shi_t", "mlo_t", "mhi_t")
+_SBQ_FIELDS_Q4K = ("qs2", "scp_lo", "scp_hi", "d_sbt", "mlo_t", "mhi_t")
+_SBQ_FIELDS_Q5K = ("qs2", "hb", "scp_lo", "scp_hi", "d_sbt", "mlo_t", "mhi_t")
 _MATVEC_FIELDS = {"q6_k": ("ql2", "qh2", "scale_pt"),
                   "q2_k": ("qs2", "scale_pt", "min_pt"),
                   "q3_k": ("qs2", "hm2", "scale_pt"),
@@ -1638,6 +1852,26 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
     # to T=8 (fori-synced batched-8 decode on v5e: i8_t 2572 vs 2-D 2398 vs
     # bf16 row 1583 tok/s), so the i8 path extends the window to 8.
     T2 = x2.shape[0]
+    # SBQ superblock-layout batched kernel (the VERDICT r3 item-1 scale-layout
+    # rework): 2<=T<=16 q4_k/q5_k with per-superblock contraction — 8x fewer
+    # P-dot MACs than the per-32-group stacks.  ON-TPU RESULT (r4 A/B,
+    # PERF_NOTES): the MAC savings move the cost to the VPU (the in-kernel
+    # sc*q multiply + product-nibble splits, ~13 i32 lane-ops/byte) and the
+    # kernel lands ~1.4x SLOWER than i8_t at T=8 (52 vs 36 us on the 1.1B
+    # gateup; in-situ batched-8 2423 vs 2688 t/s).  Exact-q4_k batched decode
+    # is jointly VPU/MXU-bound whichever side carries the per-32 scales, so
+    # this stays OPT-IN (KCPP_SBQ=1) as the documented alternative layout.
+    if (qt.kind in ("q4_k", "q5_k") and 2 <= T2 <= 16
+            and in_f % 256 == 0 and in_f >= 2048
+            and "scp_lo" in qt.data and "d_sbt" in qt.data
+            and os.environ.get("KCPP_SBQ", "0") == "1"
+            and os.environ.get("KCPP_Q4K_DECODE", "1") == "1"):
+        mv = _SBQ_FIELDS_Q5K if qt.kind == "q5_k" else _SBQ_FIELDS_Q4K
+        if all(n in qt.data for n in mv):
+            y = _packed_matvec_q4k_sbq(
+                x2, tuple(qt.data[n] for n in mv), kind=qt.kind,
+                out_f=out_f, in_f=in_f, interpret=_use_interpret())
+            return y.reshape(*lead, out_f)
     i8_q45 = (qt.kind in ("q4_k", "q5_k") and in_f % 256 == 0 and in_f >= 512
               and os.environ.get("KCPP_Q4K_I8", "1") == "1"
               # T>1 scratch is (T*GS, C2) int8 x2 + f32 prep chunks; cap it
