@@ -347,9 +347,10 @@ def bench_batched_engine(cfg, kind: str) -> dict:
     eng = BatchedEngine(model, max_context=512, n_slots=8)
 
     def run_batch(stoch_slots: int) -> float:
-        greedy = GenParams(max_length=128, bypass_eos=True,
+        # 256-token gens (the VERDICT r3 item-2 "Done" criterion length)
+        greedy = GenParams(max_length=256, bypass_eos=True,
                            sampler=SamplerParams(temperature=0.0, rep_pen=1.0))
-        stoch = GenParams(max_length=128, bypass_eos=True,
+        stoch = GenParams(max_length=256, bypass_eos=True,
                           sampler=SamplerParams(temperature=0.8, top_p=0.9,
                                                 top_k=60, rep_pen=1.05))
         reqs = [stoch if i < stoch_slots else greedy for i in range(8)]

@@ -326,12 +326,18 @@ def test_device_argmax_path_engages_and_matches(model):
     try:
         calls = {"greedy": 0}
         orig = eng._greedy_forward
+        orig_burst = eng._burst_steps_greedy
 
         def spy(*a, **k):
             calls["greedy"] += 1
             return orig(*a, **k)
 
+        def spy_burst(*a, **k):
+            calls["greedy"] += 1
+            return orig_burst(*a, **k)
+
         eng._greedy_forward = spy
+        eng._burst_steps_greedy = spy_burst
         ref = eng.generate([1, 5, 9], greedy(8))
         assert calls["greedy"] > 0, "device path never engaged"
         # host-sampler reference (force fallback via a grammar-free but
@@ -369,6 +375,10 @@ def test_device_sampled_path_per_slot(model):
         orig = eng._get_sampled_forward
 
         def spy(order_key):
+            # the fused K-burst path resolves the raw step through this
+            # lookup; the single-step path invokes the returned fn — count
+            # both as "device sampled path engaged"
+            calls["sampled"] += 1
             fn = orig(order_key)
 
             def wrapped(*a, **k):
