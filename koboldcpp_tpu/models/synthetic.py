@@ -28,6 +28,14 @@ LLAMA2_7B = ModelConfig(
     rope_dim=128,
 )
 
+# BASELINE config-3 shape (Llama-2-13B: MHA, 40 layers)
+LLAMA2_13B = ModelConfig(
+    arch="llama", name="llama2-13b-synthetic",
+    vocab_size=32000, hidden_size=5120, n_layers=40, n_heads=40, n_kv_heads=40,
+    head_dim=128, intermediate_size=13824, max_position_embeddings=4096,
+    rope_dim=128,
+)
+
 
 def _rand_dense(rng, shape, scale=0.02, dtype=jnp.bfloat16) -> QTensor:
     return dense((rng.standard_normal(shape) * scale).astype(np.float32), dtype=dtype)

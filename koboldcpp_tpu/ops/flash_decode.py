@@ -843,22 +843,31 @@ def _pq8kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref, vqn_ref,
 
     @pl.when(s * P < pos)
     def _compute():
-        E = head_expand()
+        # per-row q8 scales apply to the SMALL (H, P) score/weight matrices,
+        # not the (P, KD) value planes: for head h only kv-head h//G's
+        # columns survive the group masking, so scores[h, p] scales by
+        # ks[p, h//G] and the softmax weights by vs[p, h//G] EXACTLY —
+        # dequant reduces to a plain i8->bf16 cast (the old (P, Hkv)@(Hkv,
+        # KD) expansion dots cost ~105 M MAC/step at 13B: ~3 ms of the 23 ms
+        # 8K step).
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 0) // G
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 1)
+        Eh = (hidx == kidx).astype(jnp.bfloat16)   # (H, Hkv) 0/1
         ksx = jax.lax.dot_general(
-            ks_ref[:].astype(jnp.bfloat16), E, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            Eh, ks_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (H, P)
         vsx = jax.lax.dot_general(
-            vs_ref[:].astype(jnp.bfloat16), E, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-        kd = k_ref[:].astype(jnp.bfloat16) * ksx   # (P, KD)
-        vd = v_ref[:].astype(jnp.bfloat16) * vsx
+            Eh, vs_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        kd = k_ref[:].astype(jnp.bfloat16)         # (P, KD) pure cast
+        vd = v_ref[:].astype(jnp.bfloat16)
         q = q_ref[0].astype(jnp.float32)  # (H, D)
         qrep = pltpu.repeat(q, Hkv, axis=1)
         sel = qexp_mask()
         qexp = jnp.where(sel, qrep, 0.0).astype(jnp.bfloat16)
         scores = jax.lax.dot_general(
             qexp, kd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (H, P)
+            preferred_element_type=jnp.float32) * ksx * scale  # (H, P)
         if softcap > 0:
             scores = softcap * jnp.tanh(scores / softcap)
         sidx = jax.lax.broadcasted_iota(jnp.int32, (H, P), 1) + s * P
@@ -870,7 +879,7 @@ def _pq8kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref, vqn_ref,
         p = jnp.exp(scores - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vd, (((1,), (0,)), ((), ())),
+            (p * vsx).astype(jnp.bfloat16), vd, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_new

@@ -43,6 +43,11 @@ T_TILE = 256    # token tile for prefill
 # at T=4, loses at T=8 (P-dot MACs scale with T while the 2-D kernel's
 # per-tile structural cost is T-flat).
 MATVEC_MAX_T = int(__import__("os").environ.get("KCPP_MATVEC_MAX_T", "4"))
+# scoped-VMEM budget for tile selection: matches XLA's default 16 MiB scoped
+# limit minus headroom.  Raise together with
+# --xla_tpu_scoped_vmem_limit_kib (v5e has 128 MiB physical VMEM).
+VMEM_BUDGET = int(float(__import__("os").environ.get(
+    "KCPP_VMEM_BUDGET_MB", "13")) * 1024 * 1024)
 
 
 def _use_interpret() -> bool:
@@ -1166,8 +1171,8 @@ def _specs_x(t_tile, shapes):
                          memory_space=pltpu.VMEM) for s in shapes]
 
 
-def _specs_w(shapes):
-    return [pl.BlockSpec((ROW_TILE, s), lambda o, t: (o, 0),
+def _specs_w(shapes, rt: int = ROW_TILE):
+    return [pl.BlockSpec((rt, s), lambda o, t: (o, 0),
                          memory_space=pltpu.VMEM) for s in shapes]
 
 
@@ -1213,7 +1218,7 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
     n_qfields = 2 if kind == "q5_k" else 1  # qs2 (+ hb)
     scratch_b = (2 * T * GS * C2 if (i8 or raw)    # i8/bf16 plane stacks
                  else 2 * 2 * T * GS * C2 * 2)     # XLA-built bf16 stacks x2
-    budget = 13 * 1024 * 1024 - scratch_b
+    budget = VMEM_BUDGET - scratch_b
     rt = 64
     for cand in (DECODE_ROW_TILE, ROW_TILE, 128, 64):
         if (out_f % cand == 0
@@ -1288,7 +1293,7 @@ def _packed_matvec_q4k_sbq(x, fields: tuple, kind: str, out_f: int, in_f: int,
     # tile that keeps them + the double-buffered qs tile under scoped VMEM.
     rt = 64
     for cand in (512, 256, 128, 64):
-        if out_f % cand == 0 and 30 * cand * C2 <= 12 * 1024 * 1024:
+        if out_f % cand == 0 and 30 * cand * C2 <= VMEM_BUDGET - 1024 * 1024:
             rt = cand
             break
     scratch = [pltpu.VMEM((T * nsb, C2), jnp.int8),
@@ -1447,7 +1452,24 @@ def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
                       interpret: bool, q4k_2d: str = "sexp", group: int = 0):
     T = x.shape[0]
     t_tile = min(T_TILE, T)
-    grid = (out_f // ROW_TILE, pl.cdiv(T, t_tile))
+    # VMEM-aware tile selection: the in-kernel bf16 dequant temps cost
+    # ~14 bytes per packed position and the x tiles ~4 bytes/col; wide
+    # layers (13B w_down in_f=13824) blow the 16M scoped limit at the
+    # 256x256 default (seen as a compile-time stack OOM on v5e)
+    C2v = in_f // 2
+    rt = 128 if out_f % 256 else 256
+
+    def fits(rt_, tt_):
+        return 12 * rt_ * C2v + 4 * tt_ * C2v <= VMEM_BUDGET + 1024 * 1024
+
+    for cand_rt, cand_tt in ((ROW_TILE, t_tile), (128, t_tile),
+                             (ROW_TILE, 128), (128, 128),
+                             (ROW_TILE, 64), (128, 64)):
+        if out_f % cand_rt == 0 and fits(cand_rt, min(cand_tt, t_tile)):
+            rt = cand_rt
+            t_tile = min(cand_tt, t_tile)
+            break
+    grid = (out_f // rt, pl.cdiv(T, t_tile))
 
     if kind in _IQ_KINDS:
         G = group
@@ -1526,8 +1548,8 @@ def _packed_matmul_2d(x, fields: tuple, kind: str, out_f: int, in_f: int,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=_specs_x(t_tile, x_shapes) + _specs_w(w_shapes),
-        out_specs=pl.BlockSpec((t_tile, ROW_TILE), lambda o, t: (t, o),
+        in_specs=_specs_x(t_tile, x_shapes) + _specs_w(w_shapes, rt),
+        out_specs=pl.BlockSpec((t_tile, rt), lambda o, t: (t, o),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, out_f), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -1629,7 +1651,7 @@ def _packed_matvec_q4k_stacked(x, li, fields: tuple, kind: str, out_f: int,
     GS = in_f // 64
     C2 = in_f // 2
     n_qfields = 2 if kind == "q5_k" else 1  # qs2 (+ hb)
-    budget = 13 * 1024 * 1024 - 2 * 2 * T * GS * C2 * 2
+    budget = VMEM_BUDGET - 2 * 2 * T * GS * C2 * 2
     rt = ROW_TILE
     for cand in (DECODE_ROW_TILE, ROW_TILE, 128):
         if out_f % cand == 0 and 2 * cand * (n_qfields * C2 + 8 * GS) <= budget:
