@@ -47,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompt", default="", help="one-shot prompt mode")
     p.add_argument("--promptlimit", type=int, default=100)
     p.add_argument("--defaultgenamt", type=int, default=512)
-    p.add_argument("--quantkv", type=int, default=0,
+    p.add_argument("--quantkv", type=int, default=0, choices=(0, 1, 2),
                    help="KV cache quantization: 0=bf16 1=q8 (2=q4 reserved)")
     p.add_argument("--flashattention", action="store_true",
                    help="accepted for compat; attention is always fused on TPU")
@@ -110,6 +110,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="paged KV pool for the continuous-batching engine")
     p.add_argument("--pagesize", type=int, default=64)
     p.add_argument("--skiplauncher", action="store_true", help=argparse.SUPPRESS)
+    # reference server/launcher conveniences (koboldcpp.py:4403-4488)
+    p.add_argument("--ssl", nargs=2, metavar=("CERT", "KEY"), default=None,
+                   help="serve HTTPS with this certificate/key PEM pair")
+    p.add_argument("--nocertify", action="store_true",
+                   help="disable SSL certificate verification for outbound "
+                        "requests (horde, model downloads)")
+    p.add_argument("--onready", default="", metavar="CMD",
+                   help="shell command to run once the server is ready")
+    p.add_argument("--launch", action="store_true",
+                   help="open the web UI in a browser once the server starts")
+    p.add_argument("--nomodel", action="store_true",
+                   help="start the server with no text model loaded "
+                        "(UI + API shell)")
+    p.add_argument("--ignoremissing", action="store_true",
+                   help="skip missing non-essential files (lora, mmproj, sd, "
+                        "whisper) instead of failing")
     return p
 
 
@@ -177,14 +193,64 @@ def run_benchmark(engine, csv_path: str | None):
     return result
 
 
+class NullEngine:
+    """--nomodel: the API shell with no text model (reference koboldcpp.py
+    --nomodel serves the UI/docs with generation inactive)."""
+
+    def __init__(self, max_context: int = 2048):
+        from .engine.engine import GenerationResult, Timings
+
+        self.max_context = max_context
+        self.tokenizer = None
+        self.last_timings = Timings()
+        self.total_gens = 0
+        self.generation_finished = True
+        self.stream_tokens = []
+        self._res = GenerationResult
+
+    def generate(self, prompt, params, on_token=None, genkey=""):
+        return self._res(text="", stop_reason="error: no model loaded")
+
+    def abort(self, genkey: str = ""):
+        pass
+
+    def token_count(self, text: str) -> list:
+        return []
+
+    def reset_context(self):
+        pass
+
+    def shutdown(self):
+        pass
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.config:
         load_kcpps(args.config, args)
+    if args.nocertify:
+        # reference --nocertify: outbound TLS without verification
+        # (koboldcpp.py ssl bypass for horde/downloads behind MITM proxies)
+        import ssl as _ssl
+
+        _ssl._create_default_https_context = _ssl._create_unverified_context
+        print("SSL certificate verification DISABLED for outbound requests")
     model_path = args.model or args.model_param
     if args.model_param and args.model_param.endswith((".kcpps", ".kcppt")):
         load_kcpps(args.model_param, args)
         model_path = args.model
+    if args.nomodel:
+        from .server.app import ServerSettings, run_server
+
+        print("--nomodel: starting API shell without a text model")
+        settings = ServerSettings(password=args.password,
+                                  model_name="inactive", quiet=args.quiet)
+        print(f"Starting server on {args.host}:{args.port}")
+        run_server(NullEngine(args.contextsize), host=args.host,
+                   port=args.port, settings=settings,
+                   ssl_pair=args.ssl, onready=args.onready,
+                   launch=args.launch)
+        return 0
     if not model_path:
         if not args.skiplauncher:
             try:  # reference behavior: no model -> GUI launcher
@@ -236,6 +302,17 @@ def main(argv=None):
     print(f"Loading model: {model_path}")
     t0 = time.time()
     loras = [(lp, args.loramult) for lp in (args.lora or [])]
+    if args.ignoremissing:
+        missing = [lp for lp, _ in loras if not os.path.exists(lp)]
+        for lp in missing:
+            print(f"--ignoremissing: skipping missing lora {lp}")
+        loras = [(lp, m) for lp, m in loras if os.path.exists(lp)]
+        for attr in ("mmproj", "sdmodel", "whispermodel", "sdtaesd",
+                     "sdvae", "sdlora"):
+            v = getattr(args, attr, "")
+            if v and not os.path.exists(v):
+                print(f"--ignoremissing: skipping missing {attr} {v}")
+                setattr(args, attr, "")
     if loras:
         print(f"Applying {len(loras)} LoRA adapter(s), multiplier {args.loramult}")
     model = load_model(model_path, loras=loras or None)
@@ -339,6 +416,10 @@ def main(argv=None):
 
             pp_mesh = Mesh(_np.array(devs[:args.pipeline]), ("pp",))
             print(f"Pipeline parallelism: {args.pipeline} stages")
+    if args.paged and args.quantkv == 2:
+        print("Note: the paged pool quantizes KV at Q8; --quantkv 2 applies "
+              "to the slot cache — using Q8 paged")
+        args.quantkv = 1
     if args.multiuser > 1 and batch_capable:
         from .engine.batch_engine import BatchedEngine
 
@@ -346,7 +427,7 @@ def main(argv=None):
                                n_slots=args.multiuser, cache_dtype=cache_dtype,
                                paged=args.paged or args.quantkv == 1,
                                page_size=args.pagesize,
-                               quantkv=args.quantkv == 1,
+                               quantkv=args.quantkv,
                                clip_model=clip_model,
                                use_contextshift=not (args.noshift
                                                      or args.nocontextshift))
@@ -355,13 +436,15 @@ def main(argv=None):
     else:
         engine = Engine(model, max_context=args.contextsize,
                         cache_dtype=cache_dtype, clip_model=clip_model,
-                        quantkv=args.quantkv == 1,
+                        quantkv=args.quantkv,
                         use_smartcontext=args.smartcontext,
                         use_contextshift=not (args.noshift
                                               or args.nocontextshift),
                         pp_mesh=pp_mesh, sp_mesh=sp_mesh)
         if args.quantkv == 1:
             print("Q8-quantized KV cache enabled")
+        elif args.quantkv == 2:
+            print("Q4_0-quantized KV cache enabled (XLA attention path)")
 
     if mesh is not None and getattr(engine, "cache", None) is not None \
             and not (model.cfg.is_recurrent or model.cfg.is_embedding
@@ -441,7 +524,9 @@ def main(argv=None):
         tunnel = Tunnel(args.port)
         tunnel.start()
     try:
-        run_server(engine, host=args.host, port=args.port, settings=settings)
+        run_server(engine, host=args.host, port=args.port, settings=settings,
+                   ssl_pair=args.ssl, onready=args.onready,
+                   launch=args.launch)
     finally:
         if tunnel is not None:
             tunnel.stop()

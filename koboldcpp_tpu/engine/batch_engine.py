@@ -41,7 +41,8 @@ from ..models.loader import Model
 from ..ops.rope import rope_frequencies
 from ..sampling import SamplerParams, build_dry_sequences, make_state, sample_logits
 from .engine import (GenParams, GenerationResult, Timings, _detok, _find_stop,
-                     _longest_common_run, _shift_rows, antislop_check)
+                     _kv_quant, _longest_common_run, _shift_rows,
+                     antislop_check)
 
 PREFILL_BUCKETS = (16, 32, 64, 128)
 PREFILL_CHUNK = 128  # interleave granularity: decode ticks between chunks
@@ -129,7 +130,11 @@ class BatchedEngine:
                  cache_dtype=jnp.bfloat16, paged: bool = False,
                  page_size: int = 0, pool_fraction: float = 1.0,
                  quantkv: bool = False, clip_model=None,
-                 use_contextshift: bool = True):
+                 use_contextshift: bool = True, mesh=None):
+        # `mesh`: optional jax Mesh the params are sharded over (TP/EP
+        # serving — BASELINE config 4).  The worker thread enters it so
+        # sharding constraints (ops/moe.py routed EP) resolve at trace time.
+        self.mesh = mesh
         self.model = model
         self.cfg = model.cfg
         self.clip = clip_model
@@ -157,11 +162,12 @@ class BatchedEngine:
             self.allocator = PageAllocator(n_pages, page_size, max_pages)
             self.cache = init_paged_cache(
                 self.cfg.n_layers, n_pages, page_size, self.cfg.n_kv_heads,
-                self.cfg.head_dim, quantized=quantkv)
+                self.cfg.head_dim, quantized=_kv_quant(quantkv))
         else:
             self.cache = init_cache(self.cfg.n_layers, n_slots, max_context,
                                     self.cfg.n_kv_heads, self.cfg.head_dim,
-                                    dtype=cache_dtype, quantized=quantkv)
+                                    dtype=cache_dtype,
+                                    quantized=_kv_quant(quantkv))
         self.slots = [_Slot(idx=i) for i in range(n_slots)]
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.abort_event = threading.Event()  # abort-all (compat)
@@ -295,6 +301,13 @@ class BatchedEngine:
 
     # -- scheduler loop ----------------------------------------------------
     def _loop(self):
+        if self.mesh is not None:
+            with self.mesh:
+                self._loop_inner()
+        else:
+            self._loop_inner()
+
+    def _loop_inner(self):
         while not self._shutdown:
             try:
                 self._tick()
@@ -332,12 +345,14 @@ class BatchedEngine:
                         self.cache = init_paged_cache(
                             self.cfg.n_layers, self.allocator.n_pages,
                             self.page_size, self.cfg.n_kv_heads,
-                            self.cfg.head_dim, quantized=self.quantkv)
+                            self.cfg.head_dim,
+                            quantized=_kv_quant(self.quantkv))
                     else:
                         self.cache = init_cache(
                             self.cfg.n_layers, self.n_slots,
                             self.max_context, self.cfg.n_kv_heads,
-                            self.cfg.head_dim, quantized=self.quantkv)
+                            self.cfg.head_dim,
+                            quantized=_kv_quant(self.quantkv))
                     self._bias_dev = None
                     self._dyn_rows = None
                     self._recent_dirty = set(range(self.n_slots))

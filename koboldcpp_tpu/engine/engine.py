@@ -92,6 +92,15 @@ def _bucket(n: int) -> int:
     return PREFILL_BUCKETS[-1]
 
 
+def _kv_quant(quantkv) -> bool | int:
+    """--quantkv level -> init_cache quantized arg: 0/False off, 1/True Q8,
+    2 -> Q4_0-equivalent packed nibbles (reference F16/Q8_0/Q4_0 ladder,
+    gpttype_adapter.cpp:1958-1959)."""
+    if quantkv in (2, 4):
+        return 4
+    return bool(quantkv)
+
+
 class Engine:
     def __init__(self, model: Model, max_context: int = 2048,
                  cache_dtype=jnp.bfloat16, compute_dtype=None, clip_model=None,
@@ -145,7 +154,8 @@ class Engine:
         else:
             self.cache = init_cache(self.cfg.n_layers, 1, max_context,
                                     self.cfg.n_kv_heads, self.cfg.head_dim,
-                                    dtype=cache_dtype, quantized=quantkv)
+                                    dtype=cache_dtype,
+                                    quantized=_kv_quant(quantkv))
         self.context_tokens: list[int] = []  # tokens currently in the cache
         self.abort_event = threading.Event()
         self.lock = threading.Lock()  # the modelbusy equivalent

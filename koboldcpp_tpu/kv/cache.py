@@ -54,20 +54,24 @@ class KVCache:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["k", "v", "k_scale", "v_scale"], meta_fields=["heads"])
+         data_fields=["k", "v", "k_scale", "v_scale"],
+         meta_fields=["heads", "bits"])
 @dataclass
 class QuantKVCache:
-    """Q8-quantized KV (--quantkv 1 equivalent; reference type_k/type_v
-    Q8_0, gpttype_adapter.cpp:1958): int8 values + bf16 scale per
-    (slot, head) row — 8.x bits/value vs bf16's 16. Leaves are fused
-    (B, S, H*D) int8 + (B, S, H) scales when `heads` is set (zero-copy
-    flash-decode operands), else (B, S, H, D)."""
+    """Quantized KV (--quantkv; reference type_k/type_v Q8_0/Q4_0,
+    gpttype_adapter.cpp:1958-1959): bits=8 -> int8 values + bf16 scale per
+    (slot, head) row; bits=4 (Q4_0 equivalent, --quantkv 2) -> two 4-bit
+    values packed per uint8 byte (values-8 in the nibbles), halving KV HBM
+    again.  Leaves are fused (B, S, H*D[/2]) + (B, S, H) scales when
+    `heads` is set (zero-copy flash-decode operands for q8; the q4 cache
+    serves through the XLA unpack path), else (B, S, H, D[/2])."""
 
-    k: tuple  # L x (B, S, H_kv*D) int8 (fused) or (B, S, H_kv, D)
+    k: tuple  # L x (B, S, H_kv*D) int8 / (B, S, H_kv*D//2) uint8 packed
     v: tuple
     k_scale: tuple  # L x (B, S, H_kv) bf16
     v_scale: tuple
     heads: int | None = None
+    bits: int = 8
 
     @property
     def max_seq(self) -> int:
@@ -79,18 +83,24 @@ class QuantKVCache:
 
 
 def init_cache(n_layers: int, batch: int, max_seq: int, n_kv_heads: int,
-               head_dim: int, dtype=jnp.bfloat16, quantized: bool = False):
+               head_dim: int, dtype=jnp.bfloat16,
+               quantized: bool | int = False):
+    """quantized: False = bf16; True/1/8 = Q8 (int8 + per-row scale);
+    4 = Q4_0-equivalent packed nibbles (--quantkv 2)."""
     if quantized:
-        shape = (batch, max_seq, n_kv_heads * head_dim)
+        bits = 4 if quantized == 4 else 8
+        kd = n_kv_heads * head_dim
+        shape = (batch, max_seq, kd // 2 if bits == 4 else kd)
         sshape = (batch, max_seq, n_kv_heads)
+        vdt = jnp.uint8 if bits == 4 else jnp.int8
         return QuantKVCache(
-            k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
-            v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
+            k=tuple(jnp.zeros(shape, vdt) for _ in range(n_layers)),
+            v=tuple(jnp.zeros(shape, vdt) for _ in range(n_layers)),
             k_scale=tuple(jnp.zeros(sshape, jnp.bfloat16)
                           for _ in range(n_layers)),
             v_scale=tuple(jnp.zeros(sshape, jnp.bfloat16)
                           for _ in range(n_layers)),
-            heads=n_kv_heads)
+            heads=n_kv_heads, bits=bits)
     shape = (batch, max_seq, n_kv_heads * head_dim)
     return KVCache(k=tuple(jnp.zeros(shape, dtype) for _ in range(n_layers)),
                    v=tuple(jnp.zeros(shape, dtype) for _ in range(n_layers)),
@@ -182,14 +192,41 @@ def _q8(x: jnp.ndarray):
     return q, scale.astype(jnp.bfloat16)
 
 
+def _q4(x: jnp.ndarray):
+    """Q4_0-equivalent per-(row, head) quantization: values in [-8, 7],
+    two packed per byte along the D axis (reference Q4_0 KV,
+    gpttype_adapter.cpp:1959)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = amax / 7.0
+    inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv[..., None]),
+                 -8, 7).astype(jnp.int32) + 8
+    lo = q[..., 0::2]
+    hi = q[..., 1::2]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return packed, scale.astype(jnp.bfloat16)
+
+
+def _q4_unpack(packed: jnp.ndarray, scale: jnp.ndarray):
+    """Inverse of _q4: packed (..., D//2) uint8 + scale (...,) ->
+    (..., D) bf16."""
+    p = packed.astype(jnp.int32)
+    lo = (p & 0xF) - 8
+    hi = (p >> 4) - 8
+    q = jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1], p.shape[-1] * 2)
+    return (q.astype(jnp.float32)
+            * scale.astype(jnp.float32)[..., None]).astype(jnp.bfloat16)
+
+
 def write(cache, layer: int, positions: jnp.ndarray,
           k_new: jnp.ndarray, v_new: jnp.ndarray):
     """Scatter k/v (B, T, H_kv, D) into slots given by positions (B, T).
     Out-of-range positions (e.g. -1 padding) are dropped."""
     b_idx = jnp.arange(k_new.shape[0])[:, None]
     if isinstance(cache, QuantKVCache):
-        qk, sk = _q8(k_new)
-        qv, sv = _q8(v_new)
+        quant = _q4 if getattr(cache, "bits", 8) == 4 else _q8
+        qk, sk = quant(k_new)
+        qv, sv = quant(v_new)
         if _is_layers(cache.k):
             if cache.k[layer].ndim == 3:  # fused (B, S, H*D) leaves
                 B, T = k_new.shape[:2]
@@ -208,7 +245,8 @@ def write(cache, layer: int, positions: jnp.ndarray,
                 v_scale=_replace(tuple(cache.v_scale), layer,
                                  cache.v_scale[layer].at[b_idx, positions].set(
                                      sv, mode="drop")),
-                heads=getattr(cache, "heads", None))
+                heads=getattr(cache, "heads", None),
+                bits=getattr(cache, "bits", 8))
         return QuantKVCache(
             k=cache.k.at[layer, b_idx, positions].set(qk, mode="drop"),
             v=cache.v.at[layer, b_idx, positions].set(qv, mode="drop"),
@@ -231,11 +269,14 @@ def write(cache, layer: int, positions: jnp.ndarray,
 
 
 def read(cache, layer: int):
-    """Layer view as (B, S, H, D) bf16 (dequantized when Q8)."""
+    """Layer view as (B, S, H, D) bf16 (dequantized when quantized)."""
     if isinstance(cache, QuantKVCache):
         h = getattr(cache, "heads", None)
         kq = _leaf4(cache.k[layer], h)
         vq = _leaf4(cache.v[layer], h)
+        if getattr(cache, "bits", 8) == 4:
+            return (_q4_unpack(kq, cache.k_scale[layer]),
+                    _q4_unpack(vq, cache.v_scale[layer]))
         k = (kq.astype(jnp.float32)
              * cache.k_scale[layer].astype(jnp.float32)[..., None])
         v = (vq.astype(jnp.float32)

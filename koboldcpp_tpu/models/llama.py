@@ -347,6 +347,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                          and nkv == cfg.n_kv_heads
                          and isinstance(cache, (KVCache, QuantKVCache))
                          and getattr(cache, "heads", None)  # fused-KD leaves
+                         and getattr(cache, "bits", 8) == 8  # q4 KV: XLA path
                          and _flash_decode_ok(cfg))
         if nkv < cfg.n_kv_heads:  # openelm: pad up to the cache's head count
             pad = jnp.zeros((B, T, cfg.n_kv_heads - nkv, cfg.head_dim), k.dtype)

@@ -69,10 +69,13 @@ def _mm_i8(kind: str, in_f: int = 1 << 20) -> bool:
 
 def _pallas_enabled() -> bool:
     """On-TPU default comes from KCPP_PALLAS_MM (set after A/B benchmarks);
-    the CPU interpreter always exercises the kernels (tests)."""
-    if jax.default_backend() == "cpu":
-        return True
-    return os.environ.get("KCPP_PALLAS_MM", "1") == "1"
+    the CPU interpreter exercises the kernels (tests) unless the env
+    EXPLICITLY disables them (interpret mode at 70B widths is minutes per
+    matmul — the multichip dryrun's 70B section opts out)."""
+    if os.environ.get("KCPP_PALLAS_MM", "1") == "0":
+        return False
+    return True if jax.default_backend() == "cpu" \
+        else os.environ.get("KCPP_PALLAS_MM", "1") == "1"
 
 
 def _expand_mat(G: int, C: int, group: int) -> jnp.ndarray:
@@ -1176,6 +1179,28 @@ def _specs_w(shapes, rt: int = ROW_TILE):
                          memory_space=pltpu.VMEM) for s in shapes]
 
 
+def _q4k_matvec_rt(kind: str, out_f: int, in_f: int, T: int, i8: bool,
+                   raw: bool) -> int | None:
+    """Row tile for the q4_k/q5_k matvec kernels, or None when no tile
+    >= 128 lanes fits scoped VMEM (ultra-wide in_f, e.g. a 70B down-proj
+    at 28672: the (GS, C2) scratch alone approaches the budget) — callers
+    fall through to the 2-D kernel.  Big tiles pipeline better, but the
+    double-buffered qs tile, the stacks/scratch AND the kernel's in-body
+    unpack temps (~6*rt*C2 bytes) must fit scoped VMEM."""
+    GS = in_f // 64
+    C2 = in_f // 2
+    n_qfields = 2 if kind == "q5_k" else 1  # qs2 (+ hb)
+    scratch_b = (2 * T * GS * C2 if (i8 or raw)    # i8/bf16 plane stacks
+                 else 2 * 2 * T * GS * C2 * 2)     # XLA-built bf16 stacks x2
+    budget = VMEM_BUDGET - scratch_b
+    for cand in (DECODE_ROW_TILE, ROW_TILE, 128):
+        if (out_f % cand == 0
+                and 2 * cand * (n_qfields * C2 + 8 * GS) + 6 * cand * C2
+                <= budget):
+            return cand
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "out_f", "in_f", "interpret",
                                              "i8", "raw"))
 def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
@@ -1210,22 +1235,9 @@ def _packed_matvec_q4k(x, fields: tuple, kind: str, out_f: int, in_f: int,
         x_args = (ml, mh, _group_sums(xl, C2, 32), _group_sums(xh, C2, 32))
         x_rows = (T * GS, T * GS, T, T)
         x_shapes = (C2, C2, GS, GS)
-    # row tile: big tiles pipeline better, but the double-buffered qs tile,
-    # the (T*GS, C2) Ml/Mh stacks/scratch AND the kernel's in-body unpack
-    # temps (the qs tile casts to i32 + two i8 planes: ~6*rt*C2 bytes) must
-    # fit scoped VMEM (~16M) — wide layers (13B w_down in_f=13824) blew the
-    # limit before the temp term was modeled
     n_qfields = 2 if kind == "q5_k" else 1  # qs2 (+ hb)
-    scratch_b = (2 * T * GS * C2 if (i8 or raw)    # i8/bf16 plane stacks
-                 else 2 * 2 * T * GS * C2 * 2)     # XLA-built bf16 stacks x2
-    budget = VMEM_BUDGET - scratch_b
-    rt = 64
-    for cand in (DECODE_ROW_TILE, ROW_TILE, 128, 64):
-        if (out_f % cand == 0
-                and 2 * cand * (n_qfields * C2 + 8 * GS) + 6 * cand * C2
-                <= budget):
-            rt = cand
-            break
+    rt = _q4k_matvec_rt(kind, out_f, in_f, T, i8, raw)
+    assert rt is not None  # dispatch checked feasibility
     scratch = []
     if i8 and T > 1:
         # T<=8 batched i8: per-token expansion stacks (T*GS rows) with
@@ -1831,6 +1843,8 @@ def matmul_packed_stacked(x: jnp.ndarray, qt: QTensor, li):
         i8 = in_f >= 512 and os.environ.get("KCPP_Q4K_I8", "1") == "1"
         if in_f < 512 or (not i8 and qt.kind == "q5_k"):
             return None  # tiny layers / bf16 q5_k: dynamic-slice fallback
+        if _q4k_matvec_rt(qt.kind, out_f, in_f, 1, i8, True) is None:
+            return None  # ultra-wide in_f: no VMEM-feasible row tile
         y = _packed_matvec_q4k_stacked(
             x2, jnp.asarray(li, jnp.int32),
             tuple(qt.data[n] for n in mv), kind=qt.kind,
@@ -1905,7 +1919,11 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
             and os.environ.get("KCPP_Q4K_DECODE", "1") == "1"):
         mv45 = _MATVEC_FIELDS_Q5K if qt.kind == "q5_k" else _MATVEC_FIELDS_Q4K
         if (qt.kind in ("q4_k", "q5_k")
-                and all(n in qt.data for n in mv45)):
+                and all(n in qt.data for n in mv45)
+                and _q4k_matvec_rt(
+                    qt.kind, out_f, in_f, T2, i8_q45,
+                    i8_q45 or (qt.kind == "q4_k" and T2 == 1
+                               and in_f >= 512)) is not None):
             # int8 MXU path — DEFAULT ON after the round-2 on-TPU A/B: decode
             # 800 -> 1068 t/s (86% of the streamed-bytes roofline; BENCH_r02),
             # served greedy 664 -> 790.  Activation int8 noise is the same
@@ -1945,6 +1963,10 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
                 interpret=_use_interpret(), i8=_mm_i8(qt.kind, in_f),
                 group=_iq_group(qt) if qt.kind in _IQ_KINDS else 0)
             return y.reshape(*lead, out_f)
+    # ultra-wide in_f (70B-class down-proj, unsharded): even the smallest
+    # 2-D tile (rt=128, tt=64) blows scoped VMEM — fall back to XLA dequant
+    if 12 * 128 * (in_f // 2) + 4 * 64 * (in_f // 2) > VMEM_BUDGET + 1024 * 1024:
+        return None
     y = _packed_matmul_2d(x2, fields, kind=qt.kind, out_f=out_f, in_f=in_f,
                           interpret=_use_interpret(),
                           q4k_2d=os.environ.get("KCPP_Q4K_2D", "sexp"),

@@ -3,8 +3,9 @@ from .sharding import (
     make_mesh,
     shard_cache,
     shard_params,
+    shard_params_stacked,
     token_sharding,
 )
 
-__all__ = ["cache_sharding", "make_mesh", "shard_cache", "shard_params",
+__all__ = ["cache_sharding", "make_mesh", "shard_cache", "shard_params", "shard_params_stacked",
            "token_sharding"]

@@ -138,6 +138,66 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
     return out
 
 
+def _qt_spec_stacked(qt: QTensor, axis: int) -> dict[str, P]:
+    """_qt_spec for layer-STACKED QTensor fields (leading L axis replicated,
+    the logical out/in dim sharded over tp) — the config-5 70B scan-serving
+    layout: lax.scan over layers with every stage TP-sharded."""
+    specs = {}
+    for name, arr in qt.data.items():
+        nd = getattr(arr, "ndim", 0)
+        transposed = name.endswith(("_t", "_pt")) and nd == 3
+        if axis == 0:
+            if transposed:
+                specs[name] = P(None, None, "tp")
+            else:
+                specs[name] = P(None, "tp", *([None] * max(0, nd - 2)))
+        else:
+            if transposed:
+                specs[name] = P(None, "tp", None)
+            else:
+                specs[name] = P(*([None] * (nd - 1)), "tp")
+    return specs
+
+
+def shard_params_stacked(params: dict, mesh: Mesh) -> dict:
+    """TP-shard a stack_layers() pytree: the same row/col rules as
+    shard_params with the leading layer axis replicated (the 70B-class
+    scan-decode serving path, BASELINE config 5)."""
+    rep = NamedSharding(mesh, P())
+    tp = mesh.shape["tp"]
+
+    def place_stacked(key: str, v: Any) -> Any:
+        if not isinstance(v, QTensor):
+            return jax.device_put(v, rep)
+        axis = 0 if key in _ROW_SHARDED else (1 if key in _COL_SHARDED
+                                              else None)
+        if axis is None:
+            data = {n: jax.device_put(a, rep) for n, a in v.data.items()}
+            return QTensor(kind=v.kind, shape=v.shape, data=data)
+        specs = _qt_spec_stacked(v, axis)
+        data = {}
+        for name, arr in v.data.items():
+            spec = specs[name]
+            dim = next((i for i, sp in enumerate(spec) if sp == "tp"), None)
+            if dim is not None and arr.shape[dim] % tp:
+                spec = P()
+            data[name] = jax.device_put(arr, NamedSharding(mesh, spec))
+        return QTensor(kind=v.kind, shape=v.shape, data=data)
+
+    out: dict = {}
+    for k, v in params.items():
+        if k == "layers_stacked":
+            out[k] = {lk: place_stacked(lk, lv) for lk, lv in v.items()}
+        elif k == "layers":
+            out[k] = v
+        elif isinstance(v, QTensor):
+            out[k] = _shard_qtensor(
+                v, mesh, 0 if k in _ROW_SHARDED else None)
+        else:
+            out[k] = jax.device_put(v, rep)
+    return out
+
+
 def cache_sharding(mesh: Mesh) -> NamedSharding:
     """KV cache layer buffer: batch over dp, heads over tp. Fused (B, S, H*D)
     leaves shard the fused axis over tp — head-major fusion means equal tp

@@ -702,6 +702,42 @@ def make_app(engine: Engine, settings: ServerSettings | None = None) -> web.Appl
 
 
 def run_server(engine: Engine, host: str = "0.0.0.0", port: int = 5001,
-               settings: ServerSettings | None = None):
+               settings: ServerSettings | None = None,
+               ssl_pair: tuple[str, str] | None = None,
+               onready: str = "", launch: bool = False):
+    """ssl_pair: (cert, key) PEM paths -> HTTPS (reference --ssl,
+    koboldcpp.py:2121-2199); onready: shell command run once the server is
+    listening (--onready); launch: open the web UI in a browser (--launch)."""
     app = make_app(engine, settings)
-    web.run_app(app, host=host, port=port, print=None)
+    ssl_context = None
+    scheme = "http"
+    if ssl_pair:
+        import ssl
+
+        ssl_context = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_context.load_cert_chain(ssl_pair[0], ssl_pair[1])
+        scheme = "https"
+    if onready or launch:
+        url_host = "localhost" if host in ("0.0.0.0", "::", "") else host
+
+        async def _on_ready(app):
+            import threading
+
+            if onready:
+                import subprocess
+
+                print(f"--onready: running: {onready}")
+                threading.Thread(
+                    target=lambda: subprocess.call(onready, shell=True),
+                    daemon=True).start()
+            if launch:
+                import webbrowser
+
+                threading.Thread(
+                    target=lambda: webbrowser.open(
+                        f"{scheme}://{url_host}:{port}"),
+                    daemon=True).start()
+
+        app.on_startup.append(_on_ready)
+    web.run_app(app, host=host, port=port, print=None,
+                ssl_context=ssl_context)
