@@ -426,6 +426,34 @@ def sample_dpmpp_2m(kd, x, sigmas, cond, uncond, cfg_scale, rng):
     return x
 
 
+def sample_dpmpp_2m_v2(kd, x, sigmas, cond, uncond, cfg_scale, rng):
+    """Modified DPM++ (2M) "v2" (A1111 discussion #8457; reference
+    sdcpp stable-diffusion.cpp:1129-1169 DPMPP2Mv2): the second-order
+    correction uses r = h_max/h_min and a midpoint exp term
+    b = exp(-(h_max+h_min)/2) - 1 instead of plain h."""
+    old_denoised = None
+    s_last = None
+    for i in range(len(sigmas) - 1):
+        s, sn = float(sigmas[i]), float(sigmas[i + 1])
+        denoised = kd.denoise(x, s, cond, uncond, cfg_scale)
+        t, tn = -math.log(s), -math.log(max(sn, 1e-10))
+        h = tn - t
+        a = sn / s
+        if old_denoised is None or sn == 0:
+            b = math.exp(-h) - 1.0
+            x = a * x - b * denoised
+        else:
+            h_last = t - (-math.log(s_last))
+            h_min, h_max = min(h_last, h), max(h_last, h)
+            r = h_max / h_min
+            b = math.exp(-(h_max + h_min) / 2.0) - 1.0
+            dd = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised
+            x = a * x - b * dd
+        old_denoised = denoised
+        s_last = s
+    return x
+
+
 def sample_dpm2(kd, x, sigmas, cond, uncond, cfg_scale, rng):
     """DPM2 (k-diffusion sample_dpm_2): midpoint second-order step."""
     for i in range(len(sigmas) - 1):
@@ -534,6 +562,8 @@ SAMPLERS = {
     "dpm++2s_a": sample_dpmpp_2s_a,
     "dpm++ 2m": sample_dpmpp_2m,
     "dpm++2m": sample_dpmpp_2m,
+    "dpm++ 2m v2": sample_dpmpp_2m_v2,
+    "dpm++2mv2": sample_dpmpp_2m_v2,
     "ipndm": sample_ipndm,
     "ipndm_v": sample_ipndm_v,
     "lcm": partial(sample_euler, ancestral=False),

@@ -255,7 +255,7 @@ def test_new_samplers_solve_linear_ode():
     expect = 5.0 * (1.0 / 10.0)  # x scales with sigma
     e_euler = abs(float(jsd.sample_euler(
         FakeKD(), x0, sigmas, None, None, 1.0, rng)[0, 0, 0, 0]) - expect)
-    for name in ("dpm2", "ipndm", "ipndm_v"):
+    for name in ("dpm2", "ipndm", "ipndm_v", "dpm++2mv2"):
         fn = jsd.SAMPLERS[name]
         out = fn(FakeKD(), x0, sigmas, None, None, 1.0,
                  np.random.default_rng(0))
@@ -277,5 +277,5 @@ def test_sampler_name_matrix_covers_reference():
     """Every sampler name the reference adapter maps
     (sdtype_adapter.cpp:327-350) resolves to an implementation."""
     for name in ("euler", "euler a", "heun", "dpm2", "dpm++ 2s a",
-                 "dpm++ 2m", "ipndm", "ipndm_v", "lcm"):
+                 "dpm++ 2m", "dpm++2mv2", "ipndm", "ipndm_v", "lcm"):
         assert name in jsd.SAMPLERS, name
