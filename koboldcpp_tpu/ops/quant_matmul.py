@@ -55,14 +55,14 @@ def _use_interpret() -> bool:
 
 
 def _mm_i8(kind: str, in_f: int = 1 << 20) -> bool:
-    """int8-MXU decode variant gate for the q8_0/q6_k row matvecs
-    (KCPP_MM_I8, default on after the round-3 on-TPU A/B — see PERF_NOTES).
-    Read in the non-jitted dispatch and passed as a static arg.  q6_k needs
-    in_f >= 512: its per-plane i8 scratch is (in_f//64, in_f//4) and Mosaic
-    rejects < 8 sublanes (same v5e constraint as the q4_k i8 kernel)."""
-    if kind not in ("q8_0", "q6_k"):
+    """int8-MXU decode variant gate for the q8_0/q6_k/q2_k/q3_k row matvecs
+    (KCPP_MM_I8, default on after the round-3/4 on-TPU A/Bs — PERF_NOTES).
+    Read in the non-jitted dispatch and passed as a static arg.  The k-quant
+    trio needs in_f >= 512: their per-plane i8 scratch is (in_f//64,
+    in_f//4) and Mosaic rejects < 8 sublanes (v5e)."""
+    if kind not in ("q8_0", "q6_k", "q2_k", "q3_k"):
         return False
-    if kind == "q6_k" and in_f < 512:
+    if kind in ("q6_k", "q2_k", "q3_k") and in_f < 512:
         return False
     return os.environ.get("KCPP_MM_I8", "1") == "1"
 
@@ -777,6 +777,63 @@ def _q6k_row_kernel_i8(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
 # 2k+1 / 4+8k (iq3), {-1,0,1} (iq1).  Ref: ggml-common.h:336-419.
 # ---------------------------------------------------------------------------
 
+def _q2k_row_kernel_i8(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
+                       qs_ref, st_ref, mt_ref, o_ref,
+                       m0_s, m1_s, m2_s, m3_s, sx_s):
+    """T=1 Q2_K matvec on the int8 MXU path (the q6_k i8 port applied to the
+    2-bit planes — VERDICT r3 item 9): plane values (qs>>2j)&3 are already
+    i8-ready, activations quantize per-16-group per plane, and the min term
+    stays an EXACT f32 group-sum dot."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        _iq_i8_prep((x0_ref, x1_ref, x2_ref, x3_ref),
+                    (m0_s, m1_s, m2_s, m3_s), sx_s, 16)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    st = st_ref[:].astype(jnp.float32)  # (in/16, R) plane-major
+    n = st.shape[0] // 4
+    t = jnp.zeros((1, st.shape[1]), jnp.float32)
+    for j, mi in enumerate((m0_s, m1_s, m2_s, m3_s)):
+        p = ((qs >> (2 * j)) & 3).astype(jnp.int8)
+        P = jax.lax.dot_general(mi[:], p, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        t += jnp.sum(P.astype(jnp.float32) * sx_s[:, j:j + 1]
+                     * st[j * n:(j + 1) * n], axis=0, keepdims=True)
+    t -= jax.lax.dot_general(
+        xs_ref[:].astype(jnp.float32), mt_ref[:].astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _q3k_row_kernel_i8(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
+                       qs_ref, hm_ref, st_ref, o_ref,
+                       m0_s, m1_s, m2_s, m3_s, sx_s):
+    """T=1 Q3_K matvec on the int8 MXU path: 3-bit plane values (2-bit plane
+    | hm third bit, 0..7 fits i8); the -4 offset folds into an exact
+    group-sum dot like q6_k's -32."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        _iq_i8_prep((x0_ref, x1_ref, x2_ref, x3_ref),
+                    (m0_s, m1_s, m2_s, m3_s), sx_s, 16)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    hm = hm_ref[:].astype(jnp.int32)
+    st = st_ref[:].astype(jnp.float32)
+    n = st.shape[0] // 4
+    t = jnp.zeros((1, st.shape[1]), jnp.float32)
+    for j, mi in enumerate((m0_s, m1_s, m2_s, m3_s)):
+        p = (((qs >> (2 * j)) & 3)
+             | (((hm >> j) & 1) << 2)).astype(jnp.int8)
+        P = jax.lax.dot_general(mi[:], p, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        t += jnp.sum(P.astype(jnp.float32) * sx_s[:, j:j + 1]
+                     * st[j * n:(j + 1) * n], axis=0, keepdims=True)
+    t -= 4.0 * jax.lax.dot_general(
+        xs_ref[:].astype(jnp.float32), st, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
 def _iq_i8_prep(xrefs, mrefs, sx_s, G: int):
     """Quantize the 4 plane activations per-G-group to int8 (q8_1-equivalent,
     same as _i8_prep / _q6k_row_kernel_i8 but parameterized group size)."""
@@ -1388,8 +1445,9 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
         x_args = (*planes, xs)
         x_rows = (1,) * 5
         x_shapes = (in_f // 4,) * 4 + (in_f // 16,)
-        if kind == "q6_k" and i8:
-            kernel = _q6k_row_kernel_i8
+        if i8 and kind in ("q6_k", "q2_k", "q3_k"):
+            kernel = {"q6_k": _q6k_row_kernel_i8, "q2_k": _q2k_row_kernel_i8,
+                      "q3_k": _q3k_row_kernel_i8}[kind]
             C4, GS4 = in_f // 4, in_f // 64
             scratch = [pltpu.VMEM((GS4, C4), jnp.int8) for _ in range(4)] \
                 + [pltpu.VMEM((GS4, 4), jnp.float32)]
@@ -1749,8 +1807,9 @@ def _packed_matvec_stacked(x, li, fields: tuple, kind: str, out_f: int,
         x_args = (*planes, xs)
         x_rows = (1,) * 5
         x_shapes = (in_f // 4,) * 4 + (in_f // 16,)
-        if kind == "q6_k" and i8:
-            kernel = _q6k_row_kernel_i8
+        if i8 and kind in ("q6_k", "q2_k", "q3_k"):
+            kernel = {"q6_k": _q6k_row_kernel_i8, "q2_k": _q2k_row_kernel_i8,
+                      "q3_k": _q3k_row_kernel_i8}[kind]
             C4, GS4 = in_f // 4, in_f // 64
             scratch = [pltpu.VMEM((GS4, C4), jnp.int8) for _ in range(4)] \
                 + [pltpu.VMEM((GS4, 4), jnp.float32)]

@@ -128,6 +128,65 @@ def stage_ourppl(wd, packed=True):
         _save(wd, name, results)
 
 
+# formats whose QUANTIZERS landed in r3 (VERDICT r3 item 8: the files our
+# tools/quantize.py produces need ppl evidence vs the reference-quantized
+# files, both judged by the REFERENCE runtime)
+OUR_QUANT_FORMATS = ["IQ1_S", "IQ1_M", "IQ2_XXS", "IQ2_XS", "IQ2_S",
+                     "IQ3_XXS", "IQ3_S", "TQ1_0", "TQ2_0"]
+
+
+def stage_ourquant(wd):
+    """Quantize the f16 GGUF with OUR tools/quantize.py (our .npz imatrix)
+    for every r3-landed low-bit format."""
+    f16 = os.path.join(wd, "gguf", "model-f16.gguf")
+    imx = os.path.join(wd, "imatrix.npz")
+    for fmt in OUR_QUANT_FORMATS:
+        out = os.path.join(wd, "gguf", f"model-{fmt.lower()}-ours.gguf")
+        if os.path.exists(out):
+            continue
+        sh([sys.executable, os.path.join(REPO, "tools", "quantize.py"),
+            f16, out, fmt.lower(), "--imatrix", imx])
+
+
+def stage_refppl_ours(wd, ref):
+    """Reference-runtime perplexity on OUR-quantized files — the strongest
+    cross-check: the reference evaluates files we produced."""
+    evalf = _eval_file(wd)
+    results = _load(wd, "ref_ppl_ours.json")
+    for fmt in OUR_QUANT_FORMATS:
+        if fmt in results:
+            continue
+        model = os.path.join(wd, "gguf", f"model-{fmt.lower()}-ours.gguf")
+        if not os.path.exists(model):
+            continue
+        try:
+            r = sh([os.path.join(ref, "perplexity_ref"), model, evalf, "512"],
+                   capture_output=True, text=True)
+        except subprocess.CalledProcessError as e:
+            print(f"!! refppl-ours {fmt} failed: "
+                  f"{e.stderr[-300:] if e.stderr else e}")
+            continue
+        m = re.search(r"FINAL_PPL ([0-9.]+) tokens (\d+)", r.stdout)
+        results[fmt] = {"ppl": float(m.group(1)), "tokens": int(m.group(2))}
+        print(f"ref(ours-quantized) {fmt}: {results[fmt]}")
+        _save(wd, "ref_ppl_ours.json", results)
+
+
+def stage_report_ours(wd):
+    """Markdown table: ppl of our-quantized vs reference-quantized files,
+    both evaluated by the reference runtime (QUALITY.md v2)."""
+    ours = _load(wd, "ref_ppl_ours.json")
+    ref = _load(wd, "ref_ppl.json")
+    print("| format | ref-quantized ppl | OURS-quantized ppl | delta |")
+    print("|---|---|---|---|")
+    for fmt in OUR_QUANT_FORMATS:
+        rkey = fmt + "-IM" if fmt.startswith("IQ") else fmt
+        if fmt not in ours or rkey not in ref:
+            continue
+        a, b = ref[rkey]["ppl"], ours[fmt]["ppl"]
+        print(f"| {fmt} | {a:.4f} | {b:.4f} | {b - a:+.4f} |")
+
+
 def stage_tokparity(wd, ref):
     """Assert our tokenizer and the reference's produce identical ids on the
     eval text (windowing identity precondition for the Δppl comparison)."""
@@ -225,6 +284,12 @@ def main():
             stage_gen(args.workdir)
         elif st == "report":
             stage_report(args.workdir)
+        elif st == "ourquant":
+            stage_ourquant(args.workdir)
+        elif st == "refppl_ours":
+            stage_refppl_ours(args.workdir, args.ref)
+        elif st == "report_ours":
+            stage_report_ours(args.workdir)
         else:
             raise SystemExit(f"unknown stage {st}")
 
