@@ -107,6 +107,7 @@ class Engine:
                  quantkv: bool = False, use_smartcontext: bool = False,
                  use_contextshift: bool = True, pp_mesh=None, sp_mesh=None):
         self.model = model
+        self._pull_pool = None
         self.clip = clip_model  # models.clip.ClipModel for LLaVA requests
         self.quantkv = quantkv
         self.use_smartcontext = use_smartcontext
@@ -823,10 +824,17 @@ class Engine:
             # Overshoot past a stop is bounded by depth*K discarded tokens.
             from collections import deque
 
-            # depth 3: the r3 on-TPU sweep measured 748/795/798 t/s at depth
-            # 2/3/4 — one extra in-flight chunk hides the pull latency
-            depth = max(1, int(os.environ.get("KCPP_PIPELINE_DEPTH", "3")))
+            # depth 4: the r4 sweep (256-token gens, K=32) measured 863/879
+            # t/s at depth 3/4 — deeper in-flight chunks hide the pull RT
+            depth = max(1, int(os.environ.get("KCPP_PIPELINE_DEPTH", "4")))
             pending: deque = deque()
+            # pull-based tunnel: issue each chunk's D2H on a pool thread at
+            # dispatch so its RT overlaps the host loop (KCPP_PULL_POOL=0
+            # reverts to blocking pulls at pop time)
+            use_pool = os.environ.get("KCPP_PULL_POOL", "1") == "1"
+            if use_pool and self._pull_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pull_pool = ThreadPoolExecutor(max_workers=4)
             dispatch_pos = len(self.context_tokens)
             dispatched = 0
 
@@ -845,7 +853,8 @@ class Engine:
                         recent, count, key, dyn)
                 dispatch_pos += FAST_DECODE_K
                 dispatched += FAST_DECODE_K
-                pending.append(toks)
+                pending.append(self._pull_pool.submit(np.asarray, toks)
+                               if use_pool else toks)
 
             done = False
             while len(out_tokens) < max_len and not done:
@@ -855,7 +864,8 @@ class Engine:
                 while len(pending) < depth and dispatched < max_len:
                     _dispatch_chunk()
                 toks = pending.popleft()
-                for tok in np.asarray(toks).tolist():
+                toks = toks.result() if use_pool else np.asarray(toks)
+                for tok in toks.tolist():
                     if self.abort_event.is_set():
                         stop_reason = "abort"
                         done = True
