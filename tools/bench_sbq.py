@@ -80,12 +80,6 @@ def run():
         t0 = time.perf_counter()
         v = float(loop(x0))
         dt = min(dt, time.perf_counter() - t0)
-    # bytes streamed per iter
-    b = sum(sum(f.nbytes for f in qt.data.values()
-                if f.dtype != jnp.float32 or f.ndim == 2)
-            for qt in qts)
-    b = sum(qt.data["qs2"].nbytes + qt.data["mlo_t"].nbytes * 4
-            for qt in qts)
     return compile_s, dt / N, v
 
 
