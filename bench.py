@@ -1,6 +1,7 @@
 """Benchmark: steady-state decode + prefill throughput on synthetic Q4_K
-models of the BASELINE.json shapes — TinyLlama-1.1B (config 1) AND
-Llama2-7B (the BASELINE.md headline size), one chip.
+models of the BASELINE.json shapes — TinyLlama-1.1B (config 1), Llama2-13B
+(config 3 @8K/16K paged-q8), a real-width Llama2-70B slice (config 5
+kernels-at-width evidence) and Llama2-7B, one chip.
 
 Timing methodology: the axon tunnel makes per-call host syncs cost ~30ms and
 `block_until_ready` unreliable, so the measured loops run ON DEVICE
@@ -9,12 +10,22 @@ step) and are synced once by pulling a scalar; the measured tunnel round-trip
 is subtracted. This measures true device step time, like the reference's
 GenerationSpeed T/s (koboldcpp.py:4320).
 
-Prints ONE JSON line; vs_baseline = measured / HBM-roofline decode rate
-(reference publishes no absolute numbers — BASELINE.md; >=0.85 of roofline is
-the north-star target). The 7B numbers ride in extra["7b"].
+Evidence durability (VERDICT r4 item 1): the bench emits ONE CUMULATIVE JSON
+line after EVERY completed section — the driver captures stdout tail, so the
+latest line always survives a timeout — and runs under a wall-clock budget
+(KCPP_BENCH_BUDGET_S, default 1200 s): sections that don't fit are skipped
+with a logged notice (extra["sections_skipped"]) instead of overrunning.
+Section order is value-first: 1.1B core -> served -> 1.1B 16K -> engine ->
+13B -> 70B slice -> 7B. This mirrors the reference's own print-as-you-go
+philosophy (per-request timings logged on every generation,
+/root/reference/gpttype_adapter.cpp:3513-3520; CSV appended per run,
+koboldcpp.py:4340-4348) rather than a single exit-time line.
 
-KCPP_BENCH_MODEL=1b skips the 7B pass (quick iteration); =7b runs 7B as the
-primary metric.
+vs_baseline = measured / HBM-roofline decode rate (the reference publishes no
+absolute numbers — BASELINE.md; >=0.85 of roofline is the north-star target).
+
+KCPP_BENCH_MODEL=1b skips the 13B/70B/7B passes (quick iteration); =7b runs
+7B as the primary metric; =13b runs the 13B subset (used by the subprocess).
 """
 from __future__ import annotations
 
@@ -50,6 +61,13 @@ import faulthandler
 import signal
 
 faulthandler.register(signal.SIGUSR1)
+
+_T0 = time.perf_counter()
+_BUDGET_S = float(os.environ.get("KCPP_BENCH_BUDGET_S", "1200"))
+
+
+def time_left() -> float:
+    return _BUDGET_S - (time.perf_counter() - _T0)
 
 
 def measure_latency() -> float:
@@ -102,12 +120,19 @@ def roofline(params, cfg, prefill_len, n_decode):
 
 
 def bench_model(cfg, latency: float, kind: str, scan: bool = True,
-                batched: bool = True) -> dict:
-    """Prefill/decode/scan/batched throughput for one model shape."""
+                batched: bool = True, emit=None) -> dict:
+    """Prefill/decode/scan/batched throughput for one model shape.
+
+    emit(partial_out) is called after each sub-metric completes so the
+    section's progress survives a later crash/timeout."""
     from koboldcpp_tpu.kv.cache import init_cache
     from koboldcpp_tpu.models import llama
     from koboldcpp_tpu.models.llama import stack_layers
     from koboldcpp_tpu.models.synthetic import synthetic_params
+
+    def tick(out):
+        if emit is not None:
+            emit(dict(out))
 
     params = synthetic_params(cfg, kind=kind, seed=0)
     # the stacked copy doubles weight HBM — only build it when the scan
@@ -146,6 +171,15 @@ def bench_model(cfg, latency: float, kind: str, scan: bool = True,
     ppos = jnp.arange(prefill_len, dtype=jnp.int32)[None, :]
 
     out: dict = {}
+    # ---- roofline (cheap, emit first so % context survives) ---------------
+    roof, sroof, wb, sb = roofline(params, cfg, prefill_len, n_decode)
+    out["roofline_tps"] = round(roof, 1)
+    out["streamed_roofline_tps"] = round(sroof, 1)
+    out["weight_gb"] = round(wb / 1e9, 3)
+    out["streamed_gb"] = round(sb / 1e9, 3)
+    out["prefill_len"] = prefill_len
+    out["flash_prefill"] = use_flash
+
     # ---- prefill ----------------------------------------------------------
     cache = init_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads, cfg.head_dim)
     t0 = time.perf_counter()
@@ -160,6 +194,7 @@ def bench_model(cfg, latency: float, kind: str, scan: bool = True,
     _ = float(logits.sum())  # one sync at the end
     dt = max(time.perf_counter() - t0 - latency, 1e-6)
     out["prefill_tps"] = round((n_pre - 1) * prefill_len / dt, 1)
+    tick(out)
 
     # ---- decode -----------------------------------------------------------
     tok0 = jnp.full((1, 1), 7, jnp.int32)
@@ -176,6 +211,11 @@ def bench_model(cfg, latency: float, kind: str, scan: bool = True,
         _ = float(acc)
         dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
     out["decode_tps"] = round(n_decode / dt, 2)
+    kv_bytes = 2 * cfg.n_layers * (prefill_len + n_decode // 2) \
+        * cfg.n_kv_heads * cfg.head_dim * 2
+    out["effective_gbs"] = round(out["decode_tps"] * (sb + kv_bytes) / 1e9, 1)
+    out["pct_streamed_roofline"] = round(out["decode_tps"] / sroof, 4)
+    tick(out)
     del cache, cache2, _c
 
     # ---- scan decode (pooled cache + stacked-weight kernels) --------------
@@ -183,7 +223,7 @@ def bench_model(cfg, latency: float, kind: str, scan: bool = True,
     # cache pool rides the carry — the big-model serving path (VERDICT r2
     # item 1): one body trace, no per-layer weight slice copies.
     out["scan_decode_tps"], out["scan_compile_s"] = 0.0, 0.0
-    if scan:
+    if scan and time_left() > 90:
         try:
             from koboldcpp_tpu.kv.cache import init_pool_cache
 
@@ -217,13 +257,16 @@ def bench_model(cfg, latency: float, kind: str, scan: bool = True,
                 _ = float(acc)
                 dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
             out["scan_decode_tps"] = round(n_decode / dt, 2)
+            tick(out)
             del pc, pc2
         except Exception as e:
             print(f"scan bench skipped: {e!r}", file=sys.stderr)
+    elif scan:
+        print("scan bench skipped: budget", file=sys.stderr)
 
     # ---- batched decode (continuous-batching throughput, 8 slots) ---------
     out["batched_decode_tps_8slots"] = 0.0
-    if batched:
+    if batched and time_left() > 60:
         B = 8
 
         @partial(jax.jit, donate_argnums=(1,))
@@ -257,6 +300,7 @@ def bench_model(cfg, latency: float, kind: str, scan: bool = True,
             dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
             del bcache2
         out["batched_decode_tps_8slots"] = round(B * n_decode / dt, 1)
+        tick(out)
 
         # 16-slot aggregate throughput: beyond T=8 the T-flat 2-D kernel
         # serves and aggregate rate keeps scaling (the r4 kernel study:
@@ -296,31 +340,23 @@ def bench_model(cfg, latency: float, kind: str, scan: bool = True,
                 dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
                 del bc2
             out["batched_decode_tps_16slots"] = round(B2 * n_decode / dt, 1)
+            tick(out)
         except Exception as e:
             print(f"batched-16 bench skipped: {e!r}", file=sys.stderr)
+    elif batched:
+        print("batched bench skipped: budget", file=sys.stderr)
 
-    # ---- roofline ---------------------------------------------------------
-    roof, sroof, wb, sb = roofline(params, cfg, prefill_len, n_decode)
-    out["roofline_tps"] = round(roof, 1)
-    out["streamed_roofline_tps"] = round(sroof, 1)
-    out["weight_gb"] = round(wb / 1e9, 3)
-    out["streamed_gb"] = round(sb / 1e9, 3)
-    kv_bytes = 2 * cfg.n_layers * (prefill_len + n_decode // 2) \
-        * cfg.n_kv_heads * cfg.head_dim * 2
-    out["effective_gbs"] = round(out["decode_tps"] * (sb + kv_bytes) / 1e9, 1)
-    out["pct_streamed_roofline"] = round(out["decode_tps"] / sroof, 4)
-    out["prefill_len"] = prefill_len
-    out["flash_prefill"] = use_flash
     del params, sparams
     gc.collect()
     return out
 
 
 def bench_longctx(cfg, latency: float, kind: str, S: int = 16384,
-                  n_decode: int = 128, prefix: str | None = None) -> dict:
+                  n_decode: int = 128, prefix: str | None = None,
+                  quant: str = "q8") -> dict:
     """BASELINE config-3 shape: long-context decode over the PAGED pool with
-    Q8-quantized KV — measures the paged flash-decode kernel's DMA clamping
-    at real context depth (VERDICT r2 weak #8)."""
+    quantized KV — measures the paged flash-decode kernel's DMA clamping
+    at real context depth (VERDICT r2 weak #8). quant: "q8" | "q4"."""
     from koboldcpp_tpu.kv.paged import init_paged_cache
     from koboldcpp_tpu.models import llama
     from koboldcpp_tpu.models.synthetic import synthetic_params
@@ -335,7 +371,8 @@ def bench_longctx(cfg, latency: float, kind: str, S: int = 16384,
     n_pages = S // page_size + 2
     params = synthetic_params(cfg, kind=kind, seed=0)
     pcache = init_paged_cache(cfg.n_layers, n_pages, page_size,
-                              cfg.n_kv_heads, cfg.head_dim, quantized=True)
+                              cfg.n_kv_heads, cfg.head_dim,
+                              quantized=quant)
     table = jnp.asarray(np.arange(S // page_size + 1, dtype=np.int32)[None])
 
     @partial(jax.jit, donate_argnums=(1,))
@@ -362,28 +399,33 @@ def bench_longctx(cfg, latency: float, kind: str, S: int = 16384,
         _ = float(acc)
         dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
     tps = n_decode / dt
-    # per-step bytes: streamed weights + q8 KV read at context depth
+    # per-step bytes: streamed weights + quantized KV read at context depth
     _, _, wb, sb = roofline(params, cfg, 0, 0)
-    kv = 2 * cfg.n_layers * S * cfg.n_kv_heads * (cfg.head_dim + 2)
+    kv_elem = (cfg.head_dim + 2) if quant == "q8" else (cfg.head_dim // 2 + 2)
+    kv = 2 * cfg.n_layers * S * cfg.n_kv_heads * kv_elem
     del params, pcache
     gc.collect()
     if prefix is None:
-        return {"decode_16k_paged_q8_tps": round(tps, 2),
+        prefix, tail = "decode_16k", f"paged_{quant}_tps"
+        return {f"{prefix}_{tail}": round(tps, 2),
                 "ctx": S,
-                "effective_gbs_16k": round(tps * (sb + kv) / 1e9, 1),
-                "roofline_16k_tps": round(819e9 / (sb + kv), 1)}
+                f"effective_gbs_16k": round(tps * (sb + kv) / 1e9, 1),
+                f"roofline_16k_tps": round(819e9 / (sb + kv), 1)}
     roof = 819e9 / (sb + kv)
-    return {f"{prefix}_paged_q8_tps": round(tps, 2),
+    return {f"{prefix}_paged_{quant}_tps": round(tps, 2),
             f"{prefix}_ctx": S,
             f"{prefix}_roofline_tps": round(roof, 1),
             f"{prefix}_pct_roofline": round(tps / roof, 4)}
 
 
-def bench_batched_engine(cfg, kind: str) -> dict:
+def bench_batched_engine(cfg, kind: str, emit=None) -> dict:
     """BatchedEngine throughput with 8 concurrent requests: all-greedy vs
-    7 greedy + 1 stochastic slot (VERDICT r2 item 6 'Done' criterion: the
-    mixed batch must stay within 20% — per-slot device sampling keeps the
-    whole tick on device)."""
+    7 greedy + 1 stochastic slot, plus 16-slot all-greedy.
+
+    Reporting convention (VERDICT r4 item 3): MIN-OF-3 successful runs —
+    the engine must beat the bar reproducibly, not best-of. Transient device
+    flakes (the axon backend intermittently fails a tick; the engine
+    recovers) don't count as samples and are retried."""
     import threading
 
     from koboldcpp_tpu.engine.batch_engine import BatchedEngine
@@ -403,22 +445,28 @@ def bench_batched_engine(cfg, kind: str) -> dict:
           "tokenizer.ggml.add_bos_token": False}
     model = Model(cfg, params, Tokenizer(vocab_from_metadata(md)))
     eng = BatchedEngine(model, max_context=512, n_slots=8)
+    out: dict = {}
 
-    def run_batch(stoch_slots: int) -> float:
+    def tick():
+        if emit is not None:
+            emit(dict(out))
+
+    def run_batch(n_slots: int, stoch_slots: int, engine) -> float:
         # 256-token gens (the VERDICT r3 item-2 "Done" criterion length)
         greedy = GenParams(max_length=256, bypass_eos=True,
                            sampler=SamplerParams(temperature=0.0, rep_pen=1.0))
         stoch = GenParams(max_length=256, bypass_eos=True,
                           sampler=SamplerParams(temperature=0.8, top_p=0.9,
                                                 top_k=60, rep_pen=1.05))
-        reqs = [stoch if i < stoch_slots else greedy for i in range(8)]
-        results = [None] * 8
+        reqs = [stoch if i < stoch_slots else greedy for i in range(n_slots)]
+        results = [None] * n_slots
 
         def worker(i):
-            results[i] = eng.generate([1, 5 + i, 9], reqs[i])
+            results[i] = engine.generate([1, 5 + i, 9], reqs[i])
 
         t0 = time.perf_counter()
-        ths = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        ths = [threading.Thread(target=worker, args=(i,))
+               for i in range(n_slots)]
         for t in ths:
             t.start()
         for t in ths:
@@ -429,65 +477,41 @@ def bench_batched_engine(cfg, kind: str) -> dict:
             return 0.0  # transient device flake — caller retries
         return sum(len(r.tokens) for r in results) / dt
 
-    # the axon backend intermittently fails a tick with a transient
-    # INTERNAL error (engine recovers and keeps serving, the affected
-    # request reports an error); retry so a flake doesn't zero the metric
-    def measured(stoch):
-        best = 0.0
-        for _ in range(3):
-            v = run_batch(stoch)
-            best = max(best, v)
+    def min_of_3(n_slots, stoch, engine):
+        vals: list[float] = []
+        for _ in range(6):  # up to 3 flake retries
+            v = run_batch(n_slots, stoch, engine)
             if v > 0:
+                vals.append(v)
+            if len(vals) >= 3:
                 break
-        return best
+        return min(vals) if vals else 0.0
 
-    run_batch(0)  # warm compiles (prefill buckets + greedy step)
-    g = measured(0)
-    run_batch(1)  # warm the sampled step
-    s = measured(1)
+    run_batch(8, 0, eng)  # warm compiles (prefill buckets + greedy step)
+    g = min_of_3(8, 0, eng)
+    out["engine_batched8_greedy_tps"] = round(g, 1)
+    tick()
+    run_batch(8, 1, eng)  # warm the sampled step
+    s = min_of_3(8, 1, eng)
+    out["engine_batched8_1stoch_tps"] = round(s, 1)
+    out["stoch_vs_greedy"] = round(s / g, 3) if g else 0.0
+    tick()
     eng.shutdown()
     # 16-slot engine-level serving (slots are the aggregate-throughput
     # lever beyond T=8 — see batched_decode_tps_16slots)
     g16 = 0.0
     try:
         eng = BatchedEngine(model, max_context=512, n_slots=16)
-
-        def run16():
-            greedy = GenParams(max_length=256, bypass_eos=True,
-                               sampler=SamplerParams(temperature=0.0,
-                                                     rep_pen=1.0))
-            results = [None] * 16
-
-            def worker(i):
-                results[i] = eng.generate([1, 5 + i, 9], greedy)
-
-            t0 = time.perf_counter()
-            ths = [threading.Thread(target=worker, args=(i,))
-                   for i in range(16)]
-            for t in ths:
-                t.start()
-            for t in ths:
-                t.join()
-            dt = time.perf_counter() - t0
-            if any(r is None or r.stop_reason.startswith("error")
-                   for r in results):
-                return 0.0
-            return sum(len(r.tokens) for r in results) / dt
-
-        run16()  # warm
-        for _ in range(3):
-            g16 = max(g16, run16())
-            if g16 > 0:
-                break
+        run_batch(16, 0, eng)  # warm
+        g16 = min_of_3(16, 0, eng)
         eng.shutdown()
     except Exception as e:
         print(f"engine batched-16 skipped: {e!r}", file=sys.stderr)
+    out["engine_batched16_greedy_tps"] = round(g16, 1)
+    tick()
     del params, model, eng
     gc.collect()
-    return {"engine_batched16_greedy_tps": round(g16, 1),
-            "engine_batched8_greedy_tps": round(g, 1),
-            "engine_batched8_1stoch_tps": round(s, 1),
-            "stoch_vs_greedy": round(s / g, 3) if g else 0.0}
+    return out
 
 
 def bench_served(cfg, params_kind: str, max_seq: int,
@@ -538,16 +562,85 @@ def bench_served(cfg, params_kind: str, max_seq: int,
         return 0.0, 0.0
 
 
-def main():
-    from koboldcpp_tpu.models.synthetic import LLAMA2_7B, TINYLLAMA_1_1B
+def bench_70b_slice(latency: float, kind: str, n_decode: int = 128) -> dict:
+    """Config-5 kernels-at-width evidence (VERDICT r4 item 8): a TP=1 slice
+    of the REAL Llama-2-70B shape (hidden 8192, 64-head GQA-8, ffn 28672) at
+    8 layers with packed q4_k Pallas kernels, measured decode t/s vs its own
+    streamed-bytes roofline. Proves the kernels at 70B width on real
+    hardware; the 80-layer whole model is a multi-chip config by HBM size."""
+    from koboldcpp_tpu.kv.cache import init_cache
+    from koboldcpp_tpu.models import llama
+    from koboldcpp_tpu.models.synthetic import LLAMA2_70B_SLICE8, \
+        synthetic_params
 
-    mode = os.environ.get("KCPP_BENCH_MODEL", "")
-    kind = os.environ.get("KCPP_BENCH_KIND", "q4_k")
-    latency = measure_latency()
+    cfg = LLAMA2_70B_SLICE8
+    params = synthetic_params(cfg, kind=kind, seed=0)
+    max_seq = 256
+    use_flash = jax.default_backend() != "cpu"
 
-    if mode == "13b":
-        from koboldcpp_tpu.models.synthetic import LLAMA2_13B
-        r: dict = {}
+    @jax.jit
+    def decode_n(dparams, cache, tok0, start_pos):
+        def body(i, carry):
+            tok, cache, acc = carry
+            logits, cache = llama.forward(
+                dparams, cfg, tok, jnp.full((1, 1), start_pos + i, jnp.int32),
+                cache, last_only=True)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+            return nxt, cache, acc + logits[0, -1, 0]
+        tok, cache, acc = jax.lax.fori_loop(
+            0, n_decode, body, (tok0, cache, jnp.float32(0)))
+        return tok, cache, acc
+
+    cache = init_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads, cfg.head_dim)
+    tok0 = jnp.full((1, 1), 7, jnp.int32)
+    t0 = time.perf_counter()
+    tok, cache, acc = decode_n(params, cache, tok0, 64)
+    _ = float(acc)
+    compile_s = time.perf_counter() - t0
+    dt = 1e9
+    for _ in range(3):
+        cache2 = init_cache(cfg.n_layers, 1, max_seq, cfg.n_kv_heads,
+                            cfg.head_dim)
+        t0 = time.perf_counter()
+        tok, cache2, acc = decode_n(params, cache2, tok0, 64)
+        _ = float(acc)
+        dt = min(dt, max(time.perf_counter() - t0 - latency, 1e-6))
+        del cache2
+    tps = n_decode / dt
+    _, sroof, wb, sb = roofline(params, cfg, 64, n_decode)
+    del params, cache
+    gc.collect()
+    return {"70b_slice_decode_tps": round(tps, 2),
+            "70b_slice_layers": cfg.n_layers,
+            "70b_slice_streamed_gb": round(sb / 1e9, 3),
+            "70b_slice_streamed_roofline_tps": round(sroof, 1),
+            "70b_slice_pct_streamed_roofline": round(tps / sroof, 4),
+            "70b_slice_compile_s": round(compile_s, 2)}
+
+
+def _last_json(text: str):
+    """Last parseable JSON object line in `text` (partial-output rescue)."""
+    for line in reversed((text or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except Exception:
+                continue
+    return None
+
+
+def main_13b(latency: float, kind: str):
+    """13B subset (run in a subprocess for the scoped-VMEM env). Emits a
+    cumulative plain-dict JSON line after every section so the parent (or the
+    driver tail) can rescue partial results on timeout."""
+    from koboldcpp_tpu.models.synthetic import LLAMA2_13B
+    r: dict = {}
+
+    def emit():
+        print(json.dumps(r), flush=True)
+
+    if time_left() > 60:
         try:
             r13 = bench_model(LLAMA2_13B, latency, kind, scan=False,
                               batched=False)
@@ -556,19 +649,44 @@ def main():
             r["13b_first_call_s"] = r13["first_call_s"]
         except Exception as e:
             print(f"13b decode bench skipped: {e!r}", file=sys.stderr)
+            r["13b_decode_error"] = repr(e)[:200]
+        emit()
         gc.collect()
+    else:
+        r["13b_skipped"] = "budget"
+    if time_left() > 120:
         try:
             r.update(bench_longctx(LLAMA2_13B, latency, kind, S=8192,
                                    prefix="13b_8k"))
         except Exception as e:
             print(f"13b 8k bench skipped: {e!r}", file=sys.stderr)
+            r["13b_8k_error"] = repr(e)[:200]
+        emit()
         gc.collect()
+    else:
+        r["13b_8k_skipped"] = "budget"
+    if time_left() > 120:
         try:
             r.update(bench_longctx(LLAMA2_13B, latency, kind, S=16384,
-                                   prefix="13b_16k"))
+                                   prefix="13b_16k", quant="q4"))
         except Exception as e:
             print(f"13b 16k bench skipped: {e!r}", file=sys.stderr)
-        print(json.dumps(r))
+            r["13b_16k_error"] = repr(e)[:200]
+        emit()
+    else:
+        r["13b_16k_skipped"] = "budget"
+    emit()
+
+
+def main():
+    from koboldcpp_tpu.models.synthetic import LLAMA2_7B, TINYLLAMA_1_1B
+
+    mode = os.environ.get("KCPP_BENCH_MODEL", "")
+    kind = os.environ.get("KCPP_BENCH_KIND", "q4_k")
+    latency = measure_latency()
+
+    if mode == "13b":
+        main_13b(latency, kind)
         return
 
     if mode == "7b":
@@ -584,61 +702,137 @@ def main():
         print(json.dumps(result))
         return
 
-    r1 = bench_model(TINYLLAMA_1_1B, latency, kind)
-    served, served_raw = bench_served(TINYLLAMA_1_1B, kind, 1024,
-                                      latency=latency)
-    try:
-        lc = bench_longctx(TINYLLAMA_1_1B, latency, kind)
-    except Exception as e:
-        print(f"16k bench skipped: {e!r}", file=sys.stderr)
-        lc = {}
-    try:
-        be = bench_batched_engine(TINYLLAMA_1_1B, kind)
-    except Exception as e:
-        print(f"batched-engine bench skipped: {e!r}", file=sys.stderr)
-        be = {}
-    # BASELINE config 3 at its REAL size: Llama-2-13B-shaped paged q8-KV
-    # long-context decode as a STANDING metric (VERDICT r3 item 3).  Runs in
-    # a SUBPROCESS so the 13B-friendly scoped-VMEM env applies to it alone.
-    b13 = {}
-    if os.environ.get("KCPP_BENCH_13B", "1") == "1":
+    # ---- cumulative emitter: full merged line after every section ---------
+    result = {
+        "metric": "decode_tokens_per_sec_tinyllama1.1b_q4k_1chip",
+        "value": 0.0,
+        "unit": "tokens/s",
+        "vs_baseline": 0.0,
+        "extra": {
+            "tunnel_latency_ms": round(latency * 1e3, 1),
+            "device": str(jax.devices()[0]),
+            "budget_s": _BUDGET_S,
+            "sections_skipped": [],
+        },
+    }
+    extra = result["extra"]
+
+    def emit():
+        extra["bench_elapsed_s"] = round(time.perf_counter() - _T0, 1)
+        print(json.dumps(result), flush=True)
+
+    def skip(name, why="budget"):
+        extra["sections_skipped"].append(name)
+        print(f"section {name} skipped: {why}", file=sys.stderr)
+        emit()
+
+    # ---- section 1: 1.1B core --------------------------------------------
+    def core_tick(partial):
+        extra.update({k: v for k, v in partial.items() if k != "decode_tps"})
+        if "decode_tps" in partial:
+            result["value"] = partial["decode_tps"]
+            result["vs_baseline"] = round(
+                partial["decode_tps"] / partial["roofline_tps"], 4)
+        emit()
+
+    r1 = bench_model(TINYLLAMA_1_1B, latency, kind, emit=core_tick)
+    core_tick(r1)
+
+    # ---- section 2: served single-stream ----------------------------------
+    if time_left() > 60:
+        served, served_raw = bench_served(TINYLLAMA_1_1B, kind, 1024,
+                                          latency=latency)
+        # RAW wall clock is the headline (VERDICT r3 weak #3); the
+        # tunnel-adjusted figure (decode_tps's convention) rides beside
+        extra["served_greedy_tps"] = served_raw
+        extra["served_greedy_tps_tunnel_adjusted"] = served
+        emit()
+    else:
+        skip("served")
+
+    # ---- section 3: 1.1B 16K paged-q8 long context ------------------------
+    if time_left() > 120:
+        try:
+            extra.update(bench_longctx(TINYLLAMA_1_1B, latency, kind))
+        except Exception as e:
+            print(f"16k bench skipped: {e!r}", file=sys.stderr)
+        emit()
+    else:
+        skip("longctx_16k")
+
+    # ---- section 4: batched engine (min-of-3) -----------------------------
+    if time_left() > 240 and os.environ.get("KCPP_BENCH_ENGINE", "1") == "1":
+        def eng_tick(partial):
+            extra.update(partial)
+            b8 = extra.get("batched_decode_tps_8slots") or 0
+            b16 = extra.get("batched_decode_tps_16slots") or 0
+            if b8 and partial.get("engine_batched8_greedy_tps"):
+                extra["engine_vs_kernel_8"] = round(
+                    partial["engine_batched8_greedy_tps"] / b8, 3)
+            if b16 and partial.get("engine_batched16_greedy_tps"):
+                extra["engine_vs_kernel_16"] = round(
+                    partial["engine_batched16_greedy_tps"] / b16, 3)
+            emit()
+        try:
+            be = bench_batched_engine(TINYLLAMA_1_1B, kind, emit=eng_tick)
+            eng_tick(be)
+        except Exception as e:
+            print(f"batched-engine bench skipped: {e!r}", file=sys.stderr)
+            emit()
+    else:
+        skip("engine")
+
+    # ---- section 5: 13B (config 3) in a subprocess ------------------------
+    # the 13B-friendly scoped-VMEM env applies to it alone; the subprocess
+    # emits cumulative lines, so even a timeout yields its completed sections
+    if (mode != "1b" and time_left() > 300
+            and os.environ.get("KCPP_BENCH_13B", "1") == "1"):
         import subprocess
-        env = dict(os.environ, KCPP_BENCH_MODEL="13b")
+        sub_budget = max(240, int(time_left()) - 240)  # leave room for 70B/7B
+        env = dict(os.environ, KCPP_BENCH_MODEL="13b",
+                   KCPP_BENCH_BUDGET_S=str(sub_budget))
+        b13, out13 = {}, None
         try:
             out13 = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=1800)
-            b13 = json.loads(out13.stdout.strip().splitlines()[-1])
+                capture_output=True, text=True, timeout=sub_budget + 120)
+            b13 = _last_json(out13.stdout) or {}
+        except subprocess.TimeoutExpired as e:
+            b13 = _last_json(e.stdout if isinstance(e.stdout, str) else
+                             (e.stdout or b"").decode("utf-8", "replace")) \
+                or {"13b_error": "subprocess timeout"}
         except Exception as e:
             print(f"13b bench skipped: {e!r}", file=sys.stderr)
-    r7 = {}
-    if mode != "1b":
+            b13 = {"13b_error": repr(e)[:200]}
+        if out13 is not None and out13.returncode != 0:
+            print(f"13b subprocess rc={out13.returncode}: "
+                  f"{(out13.stderr or '')[-500:]}", file=sys.stderr)
+        extra.update(b13)
+        emit()
+    elif mode != "1b":
+        skip("13b")
+
+    # ---- section 6: 70B-width slice (config 5 kernel evidence) ------------
+    if mode != "1b" and time_left() > 180:
         try:
-            r7 = bench_model(LLAMA2_7B, latency, kind)
+            extra.update(bench_70b_slice(latency, kind))
+        except Exception as e:
+            print(f"70b slice bench skipped: {e!r}", file=sys.stderr)
+        emit()
+    elif mode != "1b":
+        skip("70b_slice")
+
+    # ---- section 7: 7B ----------------------------------------------------
+    if mode != "1b" and time_left() > 240:
+        try:
+            extra["7b"] = bench_model(LLAMA2_7B, latency, kind)
         except Exception as e:
             print(f"7b bench skipped: {e!r}", file=sys.stderr)
+        emit()
+    elif mode != "1b":
+        skip("7b")
 
-    result = {
-        "metric": "decode_tokens_per_sec_tinyllama1.1b_q4k_1chip",
-        "value": r1["decode_tps"],
-        "unit": "tokens/s",
-        "vs_baseline": round(r1["decode_tps"] / r1["roofline_tps"], 4),
-        "extra": {
-            **{k: v for k, v in r1.items() if k != "decode_tps"},
-            # RAW wall clock is the headline (VERDICT r3 weak #3); the
-            # tunnel-adjusted figure (decode_tps's convention) rides beside
-            "served_greedy_tps": served_raw,
-            "served_greedy_tps_tunnel_adjusted": served,
-            "scan_layers": False,
-            **lc,
-            **be,
-            **b13,
-            "7b": r7,
-            "tunnel_latency_ms": round(latency * 1e3, 1),
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(result))
+    emit()
 
 
 if __name__ == "__main__":

@@ -417,9 +417,7 @@ def main(argv=None):
             pp_mesh = Mesh(_np.array(devs[:args.pipeline]), ("pp",))
             print(f"Pipeline parallelism: {args.pipeline} stages")
     if args.paged and args.quantkv == 2:
-        print("Note: the paged pool quantizes KV at Q8; --quantkv 2 applies "
-              "to the slot cache — using Q8 paged")
-        args.quantkv = 1
+        print("Paged KV pool: Q4 (plane-split nibbles, half the Q8 HBM)")
     if args.multiuser > 1 and batch_capable:
         from .engine.batch_engine import BatchedEngine
 

@@ -1,11 +1,11 @@
-"""Paged KV cache with optional Q8 quantization.
+"""Paged KV cache with optional Q8/Q4 quantization.
 
 TPU-native counterpart of llama.cpp's cell-based unified KV cache +
 quantized K/V types (/root/reference/src/llama.cpp:2772 llama_kv_cache,
-type_k/type_v :2788, --quantkv gpttype_adapter.cpp:1958): a per-layer page
-pool and an int32 page table per slot. Pages are assigned by a host-side
-allocator; all device ops (write/gather) are static-shape gathers/scatters
-driven by the table, so the whole step stays jittable.
+type_k/type_v :2788, --quantkv gpttype_adapter.cpp:1958-1959 F16/Q8_0/Q4_0):
+a per-layer page pool and an int32 page table per slot. Pages are assigned
+by a host-side allocator; all device ops (write/gather) are static-shape
+gathers/scatters driven by the table, so the whole step stays jittable.
 
 Layout: per-layer TUPLE leaves (same reasoning as kv/cache.py — a stacked
 array forces slice copies per layer). ALL pools are FUSED 2-D buffers:
@@ -15,6 +15,14 @@ are (NP*P, H*D); Q8 pools are (NP*P, H*D) int8 + (NP*P, H) bf16 per-row
 per-head scales — the same sidecar layout decode_attention_batched_q8 reads,
 so the paged q8 kernel streams int8 in place (1.95x less attention HBM
 traffic than bf16, measured on the slot-batched variant).
+
+Q4 pools (--quantkv 2 equivalent, the 13B@16K enabler) halve that again:
+(NP*P, H*D//2) uint8 with PLANE-SPLIT nibble packing — byte i of a head's
+D//2-byte block holds elem i in the low nibble and elem i+D//2 in the high
+nibble. In-kernel unpack is then two VPU ops + a lane concat producing the
+D axis in [lo-plane, hi-plane] order per head; no cross-lane interleave is
+ever needed (scores/output fold-back absorb the permutation through iota
+masks — see ops/flash_decode.py _pq4kernel).
 """
 from __future__ import annotations
 
@@ -28,16 +36,17 @@ import numpy as np
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["k", "v", "k_scale", "v_scale"],
-         meta_fields=["page_size", "quantized", "heads"])
+         meta_fields=["page_size", "quantized", "heads", "bits"])
 @dataclass
 class PagedKVCache:
-    k: tuple              # L x (NP*P, H*D) bf16 | int8 (quantized)
+    k: tuple              # L x (NP*P, H*D) bf16 | int8 (q8) | (NP*P, H*D//2) u8 (q4)
     v: tuple
     k_scale: tuple        # L x (NP*P, H) bf16; dummy (1,) when not quantized
     v_scale: tuple
     page_size: int
     quantized: bool
     heads: int = 0        # n_kv_heads
+    bits: int = 8         # 8 (int8 rows) or 4 (plane-split packed nibbles)
 
     @property
     def n_layers(self) -> int:
@@ -47,20 +56,37 @@ class PagedKVCache:
     def n_pages(self) -> int:
         return self.k[0].shape[0] // self.page_size
 
+    def with_layer(self, layer: int, k, v, k_scale=None, v_scale=None):
+        """Functional single-layer replacement preserving metadata."""
+        return PagedKVCache(
+            k=_rep(self.k, layer, k), v=_rep(self.v, layer, v),
+            k_scale=(self.k_scale if k_scale is None
+                     else _rep(self.k_scale, layer, k_scale)),
+            v_scale=(self.v_scale if v_scale is None
+                     else _rep(self.v_scale, layer, v_scale)),
+            page_size=self.page_size, quantized=self.quantized,
+            heads=self.heads, bits=self.bits)
+
 
 def init_paged_cache(n_layers: int, n_pages: int, page_size: int,
                      n_kv_heads: int, head_dim: int,
-                     quantized: bool = False) -> PagedKVCache:
+                     quantized: bool | str = False) -> PagedKVCache:
+    """quantized: False = bf16; True/1/8/"q8" = int8 + per-(row, head)
+    scales; 4/"q4" = plane-split packed nibbles (Q4_0-equivalent, half the
+    q8 HBM). Accepts the same numeric levels as kv/cache.py init_cache."""
     if quantized:
-        shape = (n_pages * page_size, n_kv_heads * head_dim)
+        bits = 4 if quantized in ("q4", 4) else 8
+        kd = n_kv_heads * head_dim
+        shape = (n_pages * page_size, kd // 2 if bits == 4 else kd)
+        vdt = jnp.uint8 if bits == 4 else jnp.int8
         return PagedKVCache(
-            k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
-            v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layers)),
+            k=tuple(jnp.zeros(shape, vdt) for _ in range(n_layers)),
+            v=tuple(jnp.zeros(shape, vdt) for _ in range(n_layers)),
             k_scale=tuple(jnp.zeros((shape[0], n_kv_heads), jnp.bfloat16)
                           for _ in range(n_layers)),
             v_scale=tuple(jnp.zeros((shape[0], n_kv_heads), jnp.bfloat16)
                           for _ in range(n_layers)),
-            page_size=page_size, quantized=True, heads=n_kv_heads)
+            page_size=page_size, quantized=True, heads=n_kv_heads, bits=bits)
     shape = (n_pages * page_size, n_kv_heads * head_dim)
     return PagedKVCache(
         k=tuple(jnp.zeros(shape, jnp.bfloat16) for _ in range(n_layers)),
@@ -77,6 +103,32 @@ def _quantize_q8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
     q = jnp.round(x.astype(jnp.float32) * inv[..., None]).astype(jnp.int8)
     return q, scale.astype(jnp.bfloat16)
+
+
+def _quantize_q4(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., D) -> plane-split packed (..., D//2) uint8 + (...,) scale.
+
+    Values clip to [-8, 7] (+8 biased nibbles, reference Q4_0 semantics);
+    byte i packs (elem i) | (elem i+D//2 << 4)."""
+    D = x.shape[-1]
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = amax / 7.0
+    inv = jnp.where(scale > 0, 1.0 / scale, 0.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv[..., None]),
+                 -8, 7).astype(jnp.int32) + 8
+    lo = q[..., :D // 2]
+    hi = q[..., D // 2:]
+    return (lo | (hi << 4)).astype(jnp.uint8), scale.astype(jnp.bfloat16)
+
+
+def _dequantize_q4(packed: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _quantize_q4: (..., D//2) u8 + (...,) -> (..., D) bf16."""
+    p = packed.astype(jnp.int32)
+    lo = (p & 0xF) - 8
+    hi = (p >> 4) - 8
+    q = jnp.concatenate([lo, hi], axis=-1)
+    return (q.astype(jnp.float32)
+            * scale.astype(jnp.float32)[..., None]).astype(jnp.bfloat16)
 
 
 def _rep(tup, i, new):
@@ -100,48 +152,48 @@ def write(cache: PagedKVCache, layer: int, page_table: jnp.ndarray,
     rows = jnp.where(valid, gpage * P + offset, rows_total)  # OOB -> dropped
     B, T = k_new.shape[:2]
     if cache.quantized:
-        qk, sk = _quantize_q8(k_new)
-        qv, sv = _quantize_q8(v_new)
+        quant = _quantize_q4 if cache.bits == 4 else _quantize_q8
+        qk, sk = quant(k_new)
+        qv, sv = quant(v_new)
         k = cache.k[layer].at[rows].set(qk.reshape(B, T, -1), mode="drop")
         v = cache.v[layer].at[rows].set(qv.reshape(B, T, -1), mode="drop")
         ks = cache.k_scale[layer].at[rows].set(sk, mode="drop")
         vs = cache.v_scale[layer].at[rows].set(sv, mode="drop")
-        return PagedKVCache(k=_rep(cache.k, layer, k),
-                            v=_rep(cache.v, layer, v),
-                            k_scale=_rep(cache.k_scale, layer, ks),
-                            v_scale=_rep(cache.v_scale, layer, vs),
-                            page_size=P, quantized=True, heads=cache.heads)
+        return cache.with_layer(layer, k, v, ks, vs)
     k = cache.k[layer].at[rows].set(
         k_new.reshape(B, T, -1).astype(jnp.bfloat16), mode="drop")
     v = cache.v[layer].at[rows].set(
         v_new.reshape(B, T, -1).astype(jnp.bfloat16), mode="drop")
-    return PagedKVCache(k=_rep(cache.k, layer, k), v=_rep(cache.v, layer, v),
-                        k_scale=cache.k_scale, v_scale=cache.v_scale,
-                        page_size=P, quantized=False, heads=cache.heads)
+    return cache.with_layer(layer, k, v)
 
 
 def gather(cache: PagedKVCache, layer: int,
            page_table: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Materialize per-slot K/V: (B, MP*P, H, D) bf16 (dequantized if Q8).
+    """Materialize per-slot K/V: (B, MP*P, H, D) bf16 (dequantized if
+    quantized).
 
     The XLA-attention path consumes this directly; the paged flash-decode
-    Pallas kernel reads pages in place instead."""
+    Pallas kernels read pages in place instead."""
     P = cache.page_size
     B, MP = page_table.shape
     tab = jnp.clip(page_table, 0, cache.n_pages - 1)
     rows = (tab[:, :, None] * P
             + jnp.arange(P)[None, None, :]).reshape(B, MP * P)
-    k = cache.k[layer][rows]  # (B, MP*P, KD)
+    k = cache.k[layer][rows]  # (B, MP*P, KD[/2])
     v = cache.v[layer][rows]
     H = cache.heads
     KD = k.shape[-1]
     k = k.reshape(B, MP * P, H, KD // H)
     v = v.reshape(B, MP * P, H, KD // H)
     if cache.quantized:
-        ks = cache.k_scale[layer][rows].astype(jnp.float32)  # (B, MP*P, H)
-        vs = cache.v_scale[layer][rows].astype(jnp.float32)
-        k = (k.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
-        v = (v.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
+        ks = cache.k_scale[layer][rows]  # (B, MP*P, H)
+        vs = cache.v_scale[layer][rows]
+        if cache.bits == 4:
+            return _dequantize_q4(k, ks), _dequantize_q4(v, vs)
+        k = (k.astype(jnp.float32) * ks.astype(jnp.float32)[..., None]
+             ).astype(jnp.bfloat16)
+        v = (v.astype(jnp.float32) * vs.astype(jnp.float32)[..., None]
+             ).astype(jnp.bfloat16)
     return k, v
 
 

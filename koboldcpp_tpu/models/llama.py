@@ -518,28 +518,25 @@ def forward_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             k = apply_rope(k, positions, freqs, cfg.rope_type, cfg.rope_dim)
         use_flash_dec = (T == 1 and alibi is None and _flash_decode_ok(cfg))
         if use_flash_dec and pcache.quantized:
-            # paged Q8 flash-decode: page-table DMA maps + in-kernel int8
-            # dequant/quantized write (ops/flash_decode.py _pq8kernel) —
-            # replaces an XLA gather+dequant of the WHOLE context per layer
+            # paged Q8/Q4 flash-decode: page-table DMA maps + in-kernel
+            # dequant/quantized write (ops/flash_decode.py _pq8kernel /
+            # _pq4kernel) — replaces an XLA gather+dequant of the WHOLE
+            # context per layer
             from ..ops import flash_decode
 
-            out, k_upd, v_upd, ks_upd, vs_upd = \
-                flash_decode.decode_attention_paged_q8(
-                    q[:, 0], k[:, 0].astype(jnp.bfloat16),
-                    v[:, 0].astype(jnp.bfloat16),
-                    pcache.k[li], pcache.v[li],
-                    pcache.k_scale[li], pcache.v_scale[li],
-                    page_table, positions[:, 0],
-                    cfg.n_heads, cfg.n_kv_heads, pcache.page_size, scale,
-                    cfg.attn_logit_softcap,
-                    interpret=jax.default_backend() == "cpu")
-            pcache = paged.PagedKVCache(
-                k=paged._rep(pcache.k, li, k_upd),
-                v=paged._rep(pcache.v, li, v_upd),
-                k_scale=paged._rep(pcache.k_scale, li, ks_upd),
-                v_scale=paged._rep(pcache.v_scale, li, vs_upd),
-                page_size=pcache.page_size, quantized=True,
-                heads=pcache.heads)
+            kern = (flash_decode.decode_attention_paged_q4
+                    if getattr(pcache, "bits", 8) == 4
+                    else flash_decode.decode_attention_paged_q8)
+            out, k_upd, v_upd, ks_upd, vs_upd = kern(
+                q[:, 0], k[:, 0].astype(jnp.bfloat16),
+                v[:, 0].astype(jnp.bfloat16),
+                pcache.k[li], pcache.v[li],
+                pcache.k_scale[li], pcache.v_scale[li],
+                page_table, positions[:, 0],
+                cfg.n_heads, cfg.n_kv_heads, pcache.page_size, scale,
+                cfg.attn_logit_softcap,
+                interpret=jax.default_backend() == "cpu")
+            pcache = pcache.with_layer(li, k_upd, v_upd, ks_upd, vs_upd)
             attn_out = out[:, None].astype(x.dtype)
         elif use_flash_dec:
             # paged flash-decode: pages addressed through the table, cache
@@ -553,12 +550,7 @@ def forward_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                 cfg.n_heads, cfg.n_kv_heads, pcache.page_size, scale,
                 cfg.attn_logit_softcap,
                 interpret=jax.default_backend() == "cpu")
-            pcache = paged.PagedKVCache(
-                k=paged._rep(pcache.k, li, k_upd),
-                v=paged._rep(pcache.v, li, v_upd),
-                k_scale=pcache.k_scale, v_scale=pcache.v_scale,
-                page_size=pcache.page_size, quantized=False,
-                heads=pcache.heads)
+            pcache = pcache.with_layer(li, k_upd, v_upd)
             attn_out = out[:, None].astype(x.dtype)
         else:
             pcache = paged.write(pcache, li, page_table, positions, k, v)

@@ -36,6 +36,17 @@ LLAMA2_13B = ModelConfig(
     rope_dim=128,
 )
 
+# BASELINE config-5 kernels-at-width evidence: the REAL Llama-2-70B layer
+# shape (hidden 8192, 64-head GQA-8, ffn 28672) truncated to 8 layers so a
+# TP=1 slice fits one chip's HBM — proves the packed-q4_k Pallas kernels at
+# 70B width on real hardware (the 80-layer model is multi-chip by size).
+LLAMA2_70B_SLICE8 = ModelConfig(
+    arch="llama", name="llama2-70b-slice8-synthetic",
+    vocab_size=32000, hidden_size=8192, n_layers=8, n_heads=64, n_kv_heads=8,
+    head_dim=128, intermediate_size=28672, max_position_embeddings=4096,
+    rope_dim=128,
+)
+
 
 def _rand_dense(rng, shape, scale=0.02, dtype=jnp.bfloat16) -> QTensor:
     return dense((rng.standard_normal(shape) * scale).astype(np.float32), dtype=dtype)

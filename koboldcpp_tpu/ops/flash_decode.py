@@ -1008,3 +1008,247 @@ def decode_attention_paged_q8(q: jnp.ndarray, k_new: jnp.ndarray,
       q.astype(jnp.bfloat16), kdq, vdq, kq, vq, ksn, vsn,
       k_pool, v_pool, ks_pool, vs_pool)
     return out, k2, v2, ks2, vs2
+
+
+# ---------------------------------------------------------------------------
+# paged + Q4-quantized variant (--quantkv 2 + --paged; the 13B@16K enabler)
+# ---------------------------------------------------------------------------
+
+def _pq4kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref, vqn_ref,
+               ksn_ref, vsn_ref, k_ref, v_ref, ks_ref, vs_ref,
+               o_ref, ko_ref, vo_ref, kso_ref, vso_ref, m_ref, l_ref, acc_ref,
+               *, H: int, Hkv: int, D: int, P: int, scale: float,
+               softcap: float):
+    """Paged Q4 decode attention (plane-split nibbles, kv/paged.py
+    _quantize_q4): cache blocks are (P, KD//2) uint8 where byte i of a
+    head's block packs (elem i) | (elem i+D//2 << 4). Unpack = two VPU ops +
+    one lane concat yielding the D axis in PLANE ORDER per head
+    ([0..D/2) then [D/2..D)); no cross-lane interleave. The query expansion,
+    GQA head masks and the final (KD, D) fold-back are rebuilt for the
+    permuted column order with iota arithmetic, so the permutation costs
+    nothing. Scales stay per (row, head) and apply on the score side like
+    _pq8kernel. The new row arrives pre-permuted (knew/vnew dequantized in
+    plane order) for the analytic self term. Halves attention HBM traffic
+    vs q8 — the difference between 13B@16K fitting on one chip and OOM."""
+    s = pl.program_id(1)
+    n_blocks = pl.num_programs(1)
+    b = pl.program_id(0)
+    KD = Hkv * D
+    KD2 = KD // 2
+    D2 = D // 2
+    G = H // Hkv
+    pos = pos_ref[b]
+    wblk = jnp.minimum(pos // P, n_blocks - 1)
+
+    @pl.when(s == wblk)
+    def _write():
+        row = pos - wblk * P
+        in_range = pos < n_blocks * P
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (P, KD2), 0)
+        sel = (ridx == row) & in_range
+        ko_ref[:] = jnp.where(sel, jnp.broadcast_to(kqn_ref[0], (P, KD2)),
+                              k_ref[:])
+        vo_ref[:] = jnp.where(sel, jnp.broadcast_to(vqn_ref[0], (P, KD2)),
+                              v_ref[:])
+        rids = jax.lax.broadcasted_iota(jnp.int32, (P, Hkv), 0)
+        sels = (rids == row) & in_range
+        kso_ref[:] = jnp.where(sels, jnp.broadcast_to(ksn_ref[0], (P, Hkv)),
+                               ks_ref[:])
+        vso_ref[:] = jnp.where(sels, jnp.broadcast_to(vsn_ref[0], (P, Hkv)),
+                               vs_ref[:])
+
+    def plane_masks():
+        # column c of the unpacked (.., KD) plane-order axis belongs to
+        # kv-head (c % KD2) // D2; its within-head dim is
+        # (c // KD2) * D2 + (c % D2)
+        cm = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 1)
+        hh = (cm % KD2) // D2
+        hq = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 0) // G
+        return hq == hh
+
+    def qexp_perm():
+        # q (H, D) -> (H, KD) in plane order: tile q[:, :D2] across heads for
+        # the lo half, q[:, D2:] for the hi half, mask to own head's columns
+        q = q_ref[0].astype(jnp.float32)
+        qlo = pltpu.repeat(q[:, :D2], Hkv, axis=1)   # (H, KD2)
+        qhi = pltpu.repeat(q[:, D2:], Hkv, axis=1)
+        qcat = jnp.concatenate([qlo, qhi], axis=1)   # (H, KD) plane order
+        return jnp.where(plane_masks(), qcat, 0.0)
+
+    @pl.when(s == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s * P < pos)
+    def _compute():
+        # score-side per-(row, head) scales, exactly like _pq8kernel
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 0) // G
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 1)
+        Eh = (hidx == kidx).astype(jnp.bfloat16)   # (H, Hkv) 0/1
+        ksx = jax.lax.dot_general(
+            Eh, ks_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (H, P)
+        vsx = jax.lax.dot_general(
+            Eh, vs_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p8 = k_ref[:].astype(jnp.int32)            # (P, KD2) packed
+        kd = jnp.concatenate([(p8 & 0xF) - 8, (p8 >> 4) - 8],
+                             axis=1).astype(jnp.bfloat16)  # (P, KD) planes
+        pv8 = v_ref[:].astype(jnp.int32)
+        vd = jnp.concatenate([(pv8 & 0xF) - 8, (pv8 >> 4) - 8],
+                             axis=1).astype(jnp.bfloat16)
+        qexp = qexp_perm().astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            qexp, kd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * ksx * scale  # (H, P)
+        if softcap > 0:
+            scores = softcap * jnp.tanh(scores / softcap)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (H, P), 1) + s * P
+        scores = jnp.where(sidx < pos, scores, -1e30)
+        m_prev = m_ref[:]
+        m_blk = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_blk)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            (p * vsx).astype(jnp.bfloat16), vd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(s == n_blocks - 1)
+    def _final():
+        qexp = qexp_perm()
+        knew = knew_ref[0].astype(jnp.float32)   # (1, KD) plane order
+        vnew = vnew_ref[0].astype(jnp.float32)
+        s_self = jax.lax.dot_general(
+            qexp, knew, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if softcap > 0:
+            s_self = softcap * jnp.tanh(s_self / softcap)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, s_self)
+        alpha = jnp.exp(m_prev - m_new)
+        p_self = jnp.exp(s_self - m_new)
+        l = l_ref[:] * alpha + p_self
+        acc = acc_ref[:] * alpha + p_self * vnew
+        acc = acc / l
+        acc = jnp.where(plane_masks(), acc, 0.0)
+        # fold plane-order (H, KD) back to (H, D): column c contributes to
+        # output dim (c // KD2) * D2 + (c % D2)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 0)
+        di = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 1)
+        R = (((ci // KD2) * D2 + (ci % D2)) == di).astype(jnp.float32)
+        o_ref[0] = jax.lax.dot_general(
+            acc, R, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "n_kv_heads", "page_size",
+                                    "scale", "softcap", "interpret"))
+def decode_attention_paged_q4(q: jnp.ndarray, k_new: jnp.ndarray,
+                              v_new: jnp.ndarray, k_pool: jnp.ndarray,
+                              v_pool: jnp.ndarray, ks_pool: jnp.ndarray,
+                              vs_pool: jnp.ndarray, page_table: jnp.ndarray,
+                              positions: jnp.ndarray, n_heads: int,
+                              n_kv_heads: int, page_size: int, scale: float,
+                              softcap: float = 0.0,
+                              interpret: bool = False):
+    """q: (B, H, D); k_new/v_new: (B, Hkv, D) bf16 (unquantized);
+    k_pool/v_pool: (NP*P, Hkv*D//2) uint8 plane-split nibble page pools;
+    ks/vs_pool: (NP*P, Hkv) bf16 per-row per-head scales; page_table:
+    (B, MP) int32; positions: (B,). Quantizes the new row here
+    (kv/paged.py _quantize_q4 semantics) and uses the dequantized values for
+    the self term, so results match the write-then-gather XLA path. Returns
+    (out (B, H, D) f32, k', v', ks', vs' aliased updated pools)."""
+    B, H = q.shape[:2]
+    Hkv = n_kv_heads
+    P = page_size
+    KD2 = k_pool.shape[1]
+    KD = KD2 * 2
+    D = KD // Hkv
+    D2 = D // 2
+    MP = page_table.shape[1]
+    NP = k_pool.shape[0] // P
+
+    def q4(x):  # (B, Hkv, D) -> packed (B, 1, KD2), scale (B, 1, Hkv),
+        #         dequantized-in-plane-order (B, 1, KD)
+        # shares kv/paged.py _quantize_q4 so the in-kernel write block is
+        # bit-identical to paged.write's, and derives the self-term values
+        # from the PACKED bytes (matching what the cache will hold)
+        from ..kv.paged import _quantize_q4
+
+        packed, sc = _quantize_q4(x)           # (B, Hkv, D2) u8, (B, Hkv)
+        p = packed.astype(jnp.int32)
+        lo = (p & 0xF) - 8
+        hi = (p >> 4) - 8
+        scf = sc.astype(jnp.float32)[..., None]
+        deq_lo = (lo.astype(jnp.float32) * scf).reshape(B, KD2)
+        deq_hi = (hi.astype(jnp.float32) * scf).reshape(B, KD2)
+        deq = jnp.concatenate([deq_lo, deq_hi], axis=-1)  # plane order
+        return (packed.reshape(B, 1, KD2),
+                sc.reshape(B, 1, Hkv),
+                deq.astype(jnp.bfloat16).reshape(B, 1, KD))
+
+    kq, ksn, kdq = q4(k_new)
+    vq, vsn, vdq = q4(v_new)
+    # dead slots (position < 0) -> overshoot copy-through (see paged bf16)
+    positions = jnp.where(positions >= 0, positions, MP * P)
+
+    def kv_map(b, s, pos_ref, tab_ref):
+        last = jnp.minimum(pos_ref[b] // P, MP - 1)
+        page = tab_ref[b, jnp.minimum(s, last)]
+        return (jnp.clip(page, 0, NP - 1), 0)
+
+    def w_map(b, s, pos_ref, tab_ref):
+        wblk = jnp.minimum(pos_ref[b] // P, MP - 1)
+        return (jnp.clip(tab_ref[b, wblk], 0, NP - 1), 0)
+
+    bmap3 = lambda b, s, p, t: (b, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, MP),
+        in_specs=[pl.BlockSpec((1, H, D), bmap3),
+                  pl.BlockSpec((1, 1, KD), bmap3),
+                  pl.BlockSpec((1, 1, KD), bmap3),
+                  pl.BlockSpec((1, 1, KD2), bmap3),
+                  pl.BlockSpec((1, 1, KD2), bmap3),
+                  pl.BlockSpec((1, 1, Hkv), bmap3),
+                  pl.BlockSpec((1, 1, Hkv), bmap3),
+                  pl.BlockSpec((P, KD2), kv_map),
+                  pl.BlockSpec((P, KD2), kv_map),
+                  pl.BlockSpec((P, Hkv), kv_map),
+                  pl.BlockSpec((P, Hkv), kv_map)],
+        out_specs=[pl.BlockSpec((1, H, D), bmap3),
+                   pl.BlockSpec((P, KD2), w_map),
+                   pl.BlockSpec((P, KD2), w_map),
+                   pl.BlockSpec((P, Hkv), w_map),
+                   pl.BlockSpec((P, Hkv), w_map)],
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, KD), jnp.float32)],
+    )
+    out, k2, v2, ks2, vs2 = pl.pallas_call(
+        functools.partial(_pq4kernel, H=H, Hkv=Hkv, D=D, P=P, scale=scale,
+                          softcap=softcap),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, H, D), jnp.float32),
+                   jax.ShapeDtypeStruct(k_pool.shape, jnp.uint8),
+                   jax.ShapeDtypeStruct(v_pool.shape, jnp.uint8),
+                   jax.ShapeDtypeStruct(ks_pool.shape, jnp.bfloat16),
+                   jax.ShapeDtypeStruct(vs_pool.shape, jnp.bfloat16)],
+        # indices include the 2 scalar-prefetch args: 9..12 = pools
+        input_output_aliases={9: 1, 10: 2, 11: 3, 12: 4},
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * MP * P * D,
+            bytes_accessed=B * MP * P * KD,
+            transcendentals=B * H * MP * P),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), page_table.astype(jnp.int32),
+      q.astype(jnp.bfloat16), kdq, vdq, kq, vq, ksn, vsn,
+      k_pool, v_pool, ks_pool, vs_pool)
+    return out, k2, v2, ks2, vs2

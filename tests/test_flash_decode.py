@@ -272,3 +272,125 @@ def test_paged_q8_decode_attention_parity():
     np.testing.assert_array_equal(np.asarray(k2), np.asarray(ref_cache.k[0]))
     np.testing.assert_array_equal(np.asarray(ks2),
                                   np.asarray(ref_cache.k_scale[0]))
+
+
+def test_paged_q4_decode_attention_parity():
+    """Paged Q4 flash-decode kernel vs write-then-gather + XLA attention:
+    in-kernel plane-split nibble page writes must be BIT-exact with
+    paged.write's _quantize_q4, attention output within q4 noise. Covers
+    non-contiguous tables, pos=0 self-only, page boundaries, GQA, and a
+    dead slot (pos -1)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from koboldcpp_tpu.kv import paged
+    from koboldcpp_tpu.ops import flash_decode
+
+    rng = np.random.default_rng(11)
+    B, H, Hkv, D, P, NP, MP = 4, 8, 2, 64, 8, 40, 8
+    pcache = paged.init_paged_cache(1, NP, P, Hkv, D, quantized="q4")
+    table = jnp.asarray(
+        rng.permutation(NP)[:B * MP].reshape(B, MP).astype(np.int32))
+    positions = np.array([0, 5, 8, 33], np.int32)
+
+    for b in range(B):
+        p = int(positions[b])
+        if p == 0:
+            continue
+        ks = jnp.asarray(rng.standard_normal((1, p, Hkv, D)), jnp.bfloat16)
+        vs = jnp.asarray(rng.standard_normal((1, p, Hkv, D)), jnp.bfloat16)
+        pcache = paged.write(pcache, 0, table[b:b + 1],
+                             jnp.arange(p)[None, :], ks, vs)
+
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.bfloat16)
+    # integer-valued new rows with amax 7 -> q4 scale exactly 1.0: the
+    # write-back bit-exactness check is then free of float-tie ambiguity
+    # between the two separately-compiled quantizers (XLA may or may not
+    # FMA-fuse round(x * (1/s)), which flips exact .5 ties)
+    kni = rng.integers(-7, 8, (B, Hkv, D)).astype(np.float32)
+    vni = rng.integers(-7, 8, (B, Hkv, D)).astype(np.float32)
+    kni[:, :, 0] = 7
+    vni[:, :, 0] = 7
+    kn = jnp.asarray(kni, jnp.bfloat16)
+    vn = jnp.asarray(vni, jnp.bfloat16)
+    scale = D ** -0.5
+
+    out, k_upd, v_upd, ks_upd, vs_upd = flash_decode.decode_attention_paged_q4(
+        q, kn, vn, pcache.k[0], pcache.v[0],
+        pcache.k_scale[0], pcache.v_scale[0],
+        table, jnp.asarray(positions), H, Hkv, P, scale, interpret=True)
+
+    ref_cache = paged.write(pcache, 0, table, jnp.asarray(positions)[:, None],
+                            kn[:, None], vn[:, None])
+    gk, gv = paged.gather(ref_cache, 0, table)  # dequantized (B, MP*P, Hkv, D)
+    G = H // Hkv
+    for b in range(B):
+        p = int(positions[b])
+        for h in range(H):
+            kv = h // G
+            ka = np.asarray(gk[b, :, kv], np.float32)
+            va = np.asarray(gv[b, :, kv], np.float32)
+            sc = (np.asarray(q[b, h], np.float32) @ ka.T) * scale
+            sc[p + 1:] = -np.inf
+            pr = np.exp(sc - sc.max()); pr /= pr.sum()
+            want = pr @ va
+            got = np.asarray(out)[b, h]
+            err = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+            assert err < 0.08, (b, h, err)
+    np.testing.assert_array_equal(np.asarray(k_upd), np.asarray(ref_cache.k[0]))
+    np.testing.assert_array_equal(np.asarray(v_upd), np.asarray(ref_cache.v[0]))
+    np.testing.assert_array_equal(np.asarray(ks_upd),
+                                  np.asarray(ref_cache.k_scale[0]))
+    np.testing.assert_array_equal(np.asarray(vs_upd),
+                                  np.asarray(ref_cache.v_scale[0]))
+
+    # dead slot: positions -1 must leave the pools untouched (copy-through)
+    out2, k2, v2, ks2, vs2 = flash_decode.decode_attention_paged_q4(
+        q, kn, vn, ref_cache.k[0], ref_cache.v[0],
+        ref_cache.k_scale[0], ref_cache.v_scale[0],
+        table, jnp.asarray(np.full(B, -1, np.int32)), H, Hkv, P, scale,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(ref_cache.k[0]))
+    np.testing.assert_array_equal(np.asarray(ks2),
+                                  np.asarray(ref_cache.k_scale[0]))
+
+
+def test_forward_paged_q4_matches_q8_path_shapewise():
+    """forward_paged over a q4 pool decodes greedily without divergence from
+    the q8 pool beyond quantization noise (same model, same tokens)."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from koboldcpp_tpu.kv import paged
+    from koboldcpp_tpu.models import llama
+    from koboldcpp_tpu.models.config import ModelConfig
+    from koboldcpp_tpu.models.synthetic import synthetic_params
+
+    cfg = ModelConfig(arch="llama", name="t", vocab_size=256, hidden_size=64,
+                      n_layers=2, n_heads=4, n_kv_heads=2, head_dim=16,
+                      intermediate_size=128, max_position_embeddings=64,
+                      rope_dim=16)
+    params = synthetic_params(cfg, kind="dense", seed=0)
+    table = jnp.asarray(np.arange(8, dtype=np.int32)[None])
+
+    def run(quant):
+        cache = paged.init_paged_cache(cfg.n_layers, 9, 8, cfg.n_kv_heads,
+                                       cfg.head_dim, quantized=quant)
+        toks = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+        pos = jnp.arange(4, dtype=jnp.int32)[None]
+        logits, cache = llama.forward_paged(params, cfg, toks, pos, cache,
+                                            table, last_only=True)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+        for i in range(3):
+            l2, cache = llama.forward_paged(
+                params, cfg, tok, jnp.full((1, 1), 4 + i, jnp.int32),
+                cache, table, last_only=True)
+            tok = jnp.argmax(l2[:, -1], -1).astype(jnp.int32)[:, None]
+        return np.asarray(l2)
+
+    l8 = run("q8")
+    l4 = run("q4")
+    err = np.abs(l8 - l4).max() / (np.abs(l8).max() + 1e-6)
+    assert err < 0.25, err  # q4 noise bound on a tiny random model

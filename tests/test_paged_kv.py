@@ -107,3 +107,37 @@ def test_paged_attention_matches_contiguous():
                           mask, 0.35)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-2, atol=1e-2)
+
+
+def test_q4_mode_accuracy():
+    """Q4 plane-split packed mode (--quantkv 2 + --paged): round-trip within
+    4-bit noise, pools half the q8 width."""
+    rng = np.random.default_rng(3)
+    cache = init_paged_cache(1, 4, 8, 2, 16, quantized="q4")
+    table = jnp.asarray(np.array([[0, 1]], dtype=np.int32))
+    k = jnp.asarray(rng.standard_normal((1, 10, 2, 16)).astype(np.float32) * 3)
+    pos = jnp.arange(10)[None, :]
+    cache = write(cache, 0, table, pos, k, k)
+    gk, gv = gather(cache, 0, table)
+    got = np.asarray(gk[0, :10], dtype=np.float32)
+    want = np.asarray(k[0], dtype=np.float32)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.12  # 4-bit + per-head scale
+    assert cache.k[0].dtype == jnp.uint8
+    assert cache.k[0].shape[-1] == 16  # (H*D)//2
+    assert cache.bits == 4
+
+
+def test_q4_quantize_plane_split_layout():
+    """Byte i packs (elem i) | (elem i+D//2 << 4), per head."""
+    from koboldcpp_tpu.kv.paged import _quantize_q4
+
+    # amax = 7 -> scale exactly 1.0: no rounding ambiguity, pure layout test
+    x = jnp.asarray(np.array([[1.0, 2.0, 3.0, -4.0, 7.0, -7.0, 5.0, 6.0]],
+                             np.float32))  # (1, D=8)
+    packed, scale = _quantize_q4(x)
+    assert float(scale[0]) == 1.0
+    q = np.asarray(x)[0].astype(np.int64) + 8
+    want = q[:4] | (q[4:] << 4)
+    np.testing.assert_array_equal(np.asarray(packed)[0],
+                                  want.astype(np.uint8))
