@@ -761,7 +761,9 @@ def main():
         skip("longctx_16k")
 
     # ---- section 4: batched engine (min-of-3) -----------------------------
-    if time_left() > 240 and os.environ.get("KCPP_BENCH_ENGINE", "1") == "1":
+    if os.environ.get("KCPP_BENCH_ENGINE", "1") != "1":
+        skip("engine", "env-disabled")
+    elif time_left() > 240:
         def eng_tick(partial):
             extra.update(partial)
             b8 = extra.get("batched_decode_tps_8slots") or 0

@@ -376,7 +376,17 @@ class BatchedEngine:
         # one decode step for every decoding slot — live slots advance
         # between a newcomer's chunks instead of stalling for its prompt
         prefilling = [s for s in active if s.pending_prefill]
-        if prefilling:
+        wave = [s for s in prefilling if not s.emb_by_pos]
+        if len(wave) >= 2:
+            # admission wave: ALL prefilling slots' chunks advance in ONE
+            # full-batch dispatch (VERDICT r4 item 3) — a wave of N admits
+            # used to cost N round-robined single-row forwards
+            self._prefill_wave(wave)
+            rest = [s for s in prefilling if s.emb_by_pos]
+            if rest:
+                self._prefill_chunk(rest[self._pre_rr % len(rest)])
+                self._pre_rr += 1
+        elif prefilling:
             slot = prefilling[self._pre_rr % len(prefilling)]
             self._pre_rr += 1
             self._prefill_chunk(slot)
@@ -585,6 +595,62 @@ class BatchedEngine:
             # (non-final chunks never pull at all)
             slot.pending_first = lg[0, -1]
             slot.pend_tick = self._tick_no
+
+    def _prefill_wave(self, slots: list["_Slot"]):
+        """Advance EVERY prefilling slot one chunk in a single full-batch
+        forward (VERDICT r4 item 3: amortize the admission wave).
+
+        The decode-tick jit (self._forward) is reused at (B, bucket) shape:
+        admitting slots' chunks ride right-aligned in their rows, all other
+        rows carry position -1 (KV writes drop, attention output is garbage
+        and discarded) — so a wave of N admissions costs ONE dispatch per
+        chunk round instead of N round-robined single-row forwards. The
+        single-row dynamic-slice path (_prefill_chunk) remains for lone
+        mid-stream admissions, where touching only one cache row reads N x
+        less attention HBM."""
+        live = []
+        for s in slots:
+            req = s.request
+            if req.aborted or self.abort_event.is_set():
+                s.pending_prefill = []
+                self._finish(s, "abort")
+                continue
+            live.append(s)
+        if not live:
+            return
+        chunks = {s.idx: s.pending_prefill[:PREFILL_CHUNK] for s in live}
+        b = _bucket(max(len(c) for c in chunks.values()))
+        B = self.n_slots
+        tok = np.zeros((B, b), dtype=np.int32)
+        ppos = np.full((B, b), -1, dtype=np.int32)
+        for s in live:
+            chunk = chunks[s.idx]
+            pos0 = len(s.context)
+            pad = b - len(chunk)
+            tok[s.idx, pad:] = [t if t >= 0 else 0 for t in chunk]
+            ppos[s.idx, pad:] = np.arange(pos0, pos0 + len(chunk))
+        if self.paged:
+            for s in live:
+                self.allocator.ensure(s.idx, len(s.context)
+                                      + len(chunks[s.idx]))
+            table = jnp.asarray(np.stack(
+                [self.allocator.table(i) for i in range(B)]).astype(np.int32))
+            lg, self.cache = self._forward(
+                self.model.params, jnp.asarray(tok), jnp.asarray(ppos),
+                self.cache, table)
+        else:
+            lg, self.cache = self._forward(
+                self.model.params, jnp.asarray(tok), jnp.asarray(ppos),
+                self.cache)
+        for s in live:
+            chunk = chunks[s.idx]
+            s.context.extend(chunk)
+            s.pending_prefill = s.pending_prefill[len(chunk):]
+            self._recent_dirty.add(s.idx)
+            if not s.pending_prefill:
+                s.t_prefill_done = time.perf_counter()
+                s.pending_first = lg[s.idx, -1]
+                s.pend_tick = self._tick_no
 
     # -- decode ------------------------------------------------------------
     def _get_greedy_burst(self, K: int):

@@ -1188,12 +1188,27 @@ def _iq_grid_project(xval, waux, scale, Laux, fmt: str, mask=None):
         s = np.repeat(np.asarray(scale, np.float32), ng)[off]
         best = np.empty(len(xg), np.int64)
         q2 = (q * q).astype(np.float32)
-        for c0 in range(0, len(xg), 65536):
-            sl = slice(c0, c0 + 65536)
-            t1 = wg[sl] @ q2.T                          # (K, E) sum w q^2
-            t2 = (wg[sl] * xg[sl]) @ q.T                # (K, E) sum w q x
-            dist = (s[sl, None] ** 2) * t1 - 2 * s[sl, None] * t2
-            best[sl] = dist.argmin(axis=1)
+        qf = q.astype(np.float32)
+        if (s > 0).all():
+            # s > 0 (every call site masks to positive scales): argmin over
+            # s^2 t1 - 2 s t2 == argmin over s t1 - 2 t2, which fuses into
+            # ONE sgemm  [s*w | -2*w*x] @ [q^2 | q]^T  — the three (K, E)
+            # broadcast temporaries of the naive form were the whole cost
+            # (memory-bound numpy: ~2.8 s/65K groups naive vs ~0.4 s fused)
+            Qcat = np.concatenate([q2, qf], axis=1)     # (E, 2gs)
+            A = np.empty((len(xg), 2 * gs), np.float32)
+            A[:, :gs] = wg * s[:, None]
+            A[:, gs:] = -2.0 * (wg * xg)
+            for c0 in range(0, len(xg), 262144):
+                sl = slice(c0, c0 + 262144)
+                best[sl] = (A[sl] @ Qcat.T).argmin(axis=1)
+        else:
+            for c0 in range(0, len(xg), 65536):
+                sl = slice(c0, c0 + 65536)
+                t1 = wg[sl] @ q2.T                      # (K, E) sum w q^2
+                t2 = (wg[sl] * xg[sl]) @ qf.T           # (K, E) sum w q x
+                dist = (s[sl, None] ** 2) * t1 - 2 * s[sl, None] * t2
+                best[sl] = dist.argmin(axis=1)
         idx = idx.copy()
         idx[off] = best
     L = np.where(idx[:, None] >= 0, L_grid[np.maximum(idx, 0)], Lg)
@@ -1632,15 +1647,8 @@ def _iq1_m_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
         wg8 = w.reshape(M * 2, 8)[off]
         sc8 = np.repeat(scale, 2)[off]
         dl8 = dl_g.reshape(M * 2)[off]
-        best = np.empty(len(xg), np.int64)
-        for c0 in range(0, len(xg), 32768):
-            sl = slice(c0, c0 + 32768)
-            q = g[None, :, :] + dl8[sl, None, None]
-            diff = xg[sl, None, :] - sc8[sl, None, None] * q
-            dist = (wg8[sl, None, :] * diff * diff).sum(-1)
-            best[sl] = dist.argmin(axis=1)
         idx = idx.copy()
-        idx[off] = best
+        idx[off] = _iq1_grid_argmin(xg, wg8, sc8, dl8, g)
     idx = np.maximum(idx, 0).reshape(M, 2)
     had_off = off.reshape(M, 2).any(axis=-1)
     if had_off.any():
@@ -1704,6 +1712,26 @@ def _iq1s_tables():
     pmap[pat] = np.arange(len(g))
     _IQ_QTABLES["iq1_s"] = (g, L, pmap)
     return _IQ_QTABLES["iq1_s"]
+
+
+def _iq1_grid_argmin(xg, wg, s, dl, g):
+    """Weighted nearest IQ1 grid entry, fused into ONE sgemm.
+
+    argmin_e sum_j w_j (x_j - s*(g_ej + dl))^2: dropping the e-independent
+    Sum w (x - s*dl)^2 term, score_e = s^2 [w @ (g^2)^T]_e
+    - 2 s [(w*(x - s*dl)) @ g^T]_e — the naive rank-3 (K, E, 8) broadcast
+    built ~2 GB of temporaries per 32K-group chunk and made IQ1 quantization
+    hours-per-model (QUALITY.md r4 caveat)."""
+    E, gs = g.shape
+    Qcat = np.concatenate([g * g, g], axis=1).astype(np.float32).T  # (2gs, E)
+    best = np.empty(len(xg), np.int64)
+    A = np.empty((len(xg), 2 * gs), np.float32)
+    A[:, :gs] = wg * (s * s)[:, None]
+    A[:, gs:] = -2.0 * s[:, None] * (wg * (xg - (s * dl)[:, None]))
+    for c0 in range(0, len(xg), 262144):
+        sl = slice(c0, c0 + 262144)
+        best[sl] = (A[sl] @ Qcat).argmin(axis=1)
+    return best
 
 
 def _iq1_s_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
@@ -1791,15 +1819,8 @@ def _iq1_s_quantize(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
         sc = np.repeat(scale, ng)[off]
         dl = np.repeat(shift.astype(np.float32) * d, ng)[off]
         # q for entry e = grid + shift*delta; dist = sum w (xb - scale*q)^2
-        best = np.empty(len(xg), np.int64)
-        for c0 in range(0, len(xg), 32768):
-            sl = slice(c0, c0 + 32768)
-            q = g[None, :, :] + dl[sl, None, None]          # (K, E, 8)
-            diff = xg[sl, None, :] - sc[sl, None, None] * q
-            dist = (wg8[sl, None, :] * diff * diff).sum(-1)
-            best[sl] = dist.argmin(axis=1)
         idx = idx.copy()
-        idx[off] = best
+        idx[off] = _iq1_grid_argmin(xg, wg8, sc, dl, g)
     idx = np.maximum(idx, 0).reshape(M, ng)
     # refit scale for blocks with any off-grid group (reference semantics)
     had_off = off.reshape(M, ng).any(axis=-1)

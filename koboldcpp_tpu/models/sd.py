@@ -552,6 +552,20 @@ def sample_ipndm_v(kd, x, sigmas, cond, uncond, cfg_scale, rng):
     return x
 
 
+def sample_lcm(kd, x, sigmas, cond, uncond, cfg_scale, rng):
+    """Latent Consistency Model sampler: each step REPLACES x with the
+    consistency prediction (the denoised x0), then re-injects fresh noise at
+    the next sigma level — not an euler ODE step (independently implemented
+    from the algorithm; behavior matches stable-diffusion.cpp's LCM case,
+    /root/reference/otherarch/sdcpp/stable-diffusion.cpp:1172-1206)."""
+    for i in range(len(sigmas) - 1):
+        s, sn = float(sigmas[i]), float(sigmas[i + 1])
+        x = kd.denoise(x, s, cond, uncond, cfg_scale)
+        if sn > 0:
+            x = x + jnp.asarray(rng.standard_normal(x.shape), x.dtype) * sn
+    return x
+
+
 SAMPLERS = {
     "euler": partial(sample_euler, ancestral=False),
     "euler a": partial(sample_euler, ancestral=True),
@@ -566,7 +580,7 @@ SAMPLERS = {
     "dpm++2mv2": sample_dpmpp_2m_v2,
     "ipndm": sample_ipndm,
     "ipndm_v": sample_ipndm_v,
-    "lcm": partial(sample_euler, ancestral=False),
+    "lcm": sample_lcm,
 }
 
 

@@ -6,16 +6,42 @@ every entry point enables jax's persistent cache: server restarts and bench
 reruns then reuse compiled executables from disk and 'load -> first token'
 drops from minutes to seconds.
 
+The cache directory is keyed by a HOST CPU-FEATURE FINGERPRINT: XLA:CPU
+entries are AOT machine code compiled for the producing machine's ISA
+features, and jax's own cache key does not cover them — loading an entry
+written by a different machine class warns "could lead to execution errors
+such as SIGILL" and has produced a real segfault in serving (observed when a
+home-dir cache migrated across machines). Different hosts therefore get
+disjoint subdirectories automatically.
+
 Env: KCPP_COMPILE_CACHE=0 disables; KCPP_COMPILE_CACHE=<dir> overrides the
-default ~/.cache/koboldcpp_tpu/jax.
+default ~/.cache/koboldcpp_tpu/jax (the fingerprint subdir still applies).
 """
 from __future__ import annotations
 
+import hashlib
 import os
 
 _DEFAULT = os.path.join(os.path.expanduser("~"), ".cache", "koboldcpp_tpu",
                         "jax")
 _done = False
+
+
+def _host_fingerprint() -> str:
+    """Short stable hash of the CPU feature set (ISA compatibility class)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(
+        f"{platform.machine()}-{platform.processor()}".encode()
+    ).hexdigest()[:12]
 
 
 def enable_compile_cache() -> str | None:
@@ -26,7 +52,8 @@ def enable_compile_cache() -> str | None:
     val = os.environ.get("KCPP_COMPILE_CACHE", "")
     if val == "0":
         return None
-    path = val if val and val != "1" else _DEFAULT
+    base = val if val and val != "1" else _DEFAULT
+    path = os.path.join(base, _host_fingerprint())
     if _done:
         return path
     try:

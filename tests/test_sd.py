@@ -279,3 +279,49 @@ def test_sampler_name_matrix_covers_reference():
     for name in ("euler", "euler a", "heun", "dpm2", "dpm++ 2s a",
                  "dpm++ 2m", "dpm++2mv2", "ipndm", "ipndm_v", "lcm"):
         assert name in jsd.SAMPLERS, name
+
+
+def test_lcm_sampler_consistency_semantics():
+    """LCM takes the consistency prediction DIRECTLY each step (not an euler
+    ODE step) and re-injects fresh noise at the next sigma; with one step to
+    sigma 0 it returns exactly the denoised x0 — euler from sigma 10 does
+    not (reference LCM case, stable-diffusion.cpp:1172-1206)."""
+
+    class FakeKD:
+        def denoise(self, x, sigma, cond, uncond, cfg_scale):
+            return x / (sigma ** 2 + 1.0)
+
+    class ZeroRng:
+        def standard_normal(self, shape):
+            return np.zeros(shape, np.float32)
+
+    x0 = jnp.ones((1, 2, 2, 1)) * 5.0
+    sigmas = np.array([10.0, 0.0], np.float32)
+    out = jsd.sample_lcm(FakeKD(), x0, sigmas, None, None, 1.0, ZeroRng())
+    np.testing.assert_allclose(np.asarray(out), 5.0 / 101.0, rtol=1e-5)
+    # 2-step, zero noise: LCM chains consistency predictions
+    # den(den(x, 10), 2) = x/101/5; euler's intermediate step is an ODE move,
+    # so it must differ (the old alias silently ran euler — Missing #4 r4)
+    sig2 = np.array([10.0, 2.0, 0.0], np.float32)
+    out2 = jsd.sample_lcm(FakeKD(), x0, sig2, None, None, 1.0, ZeroRng())
+    np.testing.assert_allclose(np.asarray(out2), 5.0 / 101.0 / 5.0, rtol=1e-5)
+    eul = jsd.sample_euler(FakeKD(), x0, sig2, None, None, 1.0, ZeroRng())
+    assert abs(float(eul[0, 0, 0, 0]) - 5.0 / 101.0 / 5.0) > 1e-3
+    # multi-step: intermediate steps re-inject noise at sigma_next; the run
+    # is deterministic given the rng and ends at a finite image
+    sigmas3 = np.array([10.0, 2.0, 0.0], np.float32)
+    o1 = jsd.sample_lcm(FakeKD(), x0, sigmas3, None, None, 1.0,
+                        np.random.default_rng(3))
+    o2 = jsd.sample_lcm(FakeKD(), x0, sigmas3, None, None, 1.0,
+                        np.random.default_rng(3))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert np.isfinite(np.asarray(o1)).all()
+    # the registry maps the name to the real LCM sampler, not an alias
+    assert jsd.SAMPLERS["lcm"] is jsd.sample_lcm
+
+
+def test_lcm_txt2img_runs(tiny_sd):
+    img = tiny_sd.txt2img("x", width=16, height=16, steps=3, cfg_scale=2.0,
+                          sampler="lcm", seed=1)
+    assert img.shape == (4, 4, 3)
+    assert np.isfinite(img.astype(np.float64)).all()
