@@ -477,6 +477,22 @@ def main(argv=None):
     if chat_adapter and os.path.exists(chat_adapter):
         with open(chat_adapter) as f:
             chat_adapter = json.load(f)
+    elif chat_adapter and chat_adapter.lower() in ("auto", "autoguess"):
+        # per-model instruct autodetect (the reference's AutoGuess-style
+        # adapter selection): tokenizer control-token fingerprints, then
+        # model-name substrings
+        from .server.adapters import guess_adapter
+
+        vocab_tokens = None
+        try:
+            vocab_tokens = set(getattr(model.tokenizer.vocab, "tokens", []) or [])
+        except Exception:
+            pass
+        guessed = guess_adapter(
+            getattr(model.cfg, "name", "") or os.path.basename(args.model or ""),
+            vocab_tokens)
+        chat_adapter = guessed
+        print(f"Chat adapter autodetect: {guessed or 'no match (raw prompts)'}")
     story = None
     if args.preloadstory and os.path.exists(args.preloadstory):
         with open(args.preloadstory) as f:

@@ -163,8 +163,44 @@ def _rand_q3k(rng, out_f: int, in_f: int) -> QTensor:
     })
 
 
+def _rand_q6k_i8f(rng, out_f: int, in_f: int) -> QTensor:
+    scale = (rng.random((out_f, in_f // 16), dtype=np.float32) * 0.002)
+    return QTensor(kind="q6_k_i8f", shape=(out_f, in_f), data={
+        "q": jnp.asarray(rng.integers(-32, 32, (out_f, in_f), dtype=np.int8)),
+        "scale": jnp.asarray(scale, dtype=jnp.bfloat16),
+        "scale_t": jnp.asarray(scale.T, dtype=jnp.bfloat16),
+    })
+
+
+def _rand_q3k_n4(rng, out_f: int, in_f: int) -> QTensor:
+    scale = ((rng.random((out_f, in_f // 16), dtype=np.float32) - 0.5) * 0.04)
+    return QTensor(kind="q3_k_n4", shape=(out_f, in_f), data={
+        "q": jnp.asarray((rng.integers(0, 8, (out_f, in_f // 2))
+                          | (rng.integers(0, 8, (out_f, in_f // 2)) << 4)
+                          ).astype(np.uint8)),  # nibble values 0..7
+        "scale": jnp.asarray(scale, dtype=jnp.bfloat16),
+        "scale_t": jnp.asarray(scale.T, dtype=jnp.bfloat16),
+    })
+
+
+def _rand_q2k_n4(rng, out_f: int, in_f: int) -> QTensor:
+    scale = (rng.random((out_f, in_f // 16), dtype=np.float32) * 0.02)
+    mn = (rng.random((out_f, in_f // 16), dtype=np.float32) * 0.02)
+    q = (rng.integers(0, 4, (out_f, in_f // 2))
+         | (rng.integers(0, 4, (out_f, in_f // 2)) << 4)).astype(np.uint8)
+    return QTensor(kind="q2_k_n4", shape=(out_f, in_f), data={
+        "q": jnp.asarray(q),
+        "scale": jnp.asarray(scale, dtype=jnp.bfloat16),
+        "scale_t": jnp.asarray(scale.T, dtype=jnp.bfloat16),
+        "min": jnp.asarray(mn, dtype=jnp.bfloat16),
+        "min_t": jnp.asarray(mn.T, dtype=jnp.bfloat16),
+    })
+
+
 _MAKERS = {"q4_k": _rand_q4k, "q4_k_i8": _rand_q4k_i8, "q6_k": _rand_q6k,
-           "q8_0": _rand_q8_0, "q2_k": _rand_q2k, "q3_k": _rand_q3k}
+           "q8_0": _rand_q8_0, "q2_k": _rand_q2k, "q3_k": _rand_q3k,
+           "q6_k_i8f": _rand_q6k_i8f, "q3_k_n4": _rand_q3k_n4,
+           "q2_k_n4": _rand_q2k_n4}
 
 
 def synthetic_params(cfg: ModelConfig, kind: str = "q4_k", seed: int = 0) -> dict:

@@ -834,6 +834,92 @@ def _q3k_row_kernel_i8(x0_ref, x1_ref, x2_ref, x3_ref, xs_ref,
     o_ref[:] = t.astype(o_ref.dtype)
 
 
+def _q6k_i8f_row_kernel(x_ref, q_ref, st_ref, o_ref, m_s, sx_s):
+    """T=1 matvec over the EXPANDED q6_k layout (pack_q6_k_i8f: signed i8
+    values q-32, natural element order): ONE full-width i8 MXU dot per row
+    block — no plane extraction VPU work at all, which is what capped the
+    dense 6-bit layout at ~0.66x q4_k effective GB/s (VERDICT r4 item 7).
+    Activations quantize per-16-group to int8 (the same q8-class noise the
+    reference's vec_dot_q6_K applies, ggml-quants.c)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        C = x_ref.shape[1]
+        GS = C // 16
+        E = _expand_mat(GS, C, 16)
+        mb = (E * x_ref[:]).astype(jnp.float32)
+        a = jnp.maximum(jnp.max(jnp.abs(mb), axis=1, keepdims=True), 1e-20)
+        m_s[:] = jnp.round(mb * (127.0 / a)).astype(jnp.int32).astype(jnp.int8)
+        sx_s[:] = a / 127.0
+
+    P = jax.lax.dot_general(m_s[:], q_ref[:], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)  # (GS, R)
+    st = st_ref[:].astype(jnp.float32)                          # (in/16, R)
+    t = jnp.sum(P.astype(jnp.float32) * sx_s[:] * st, axis=0,
+                keepdims=True)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _n4_prep(x0_ref, x1_ref, m0_s, m1_s, sx_s):
+    """Quantize the two half activations per-16-group to int8."""
+    C2 = x0_ref.shape[1]
+    GS2 = C2 // 16
+    E = _expand_mat(GS2, C2, 16)
+    for col, (xp, mi) in enumerate(((x0_ref, m0_s), (x1_ref, m1_s))):
+        mb = (E * xp[:]).astype(jnp.float32)
+        a = jnp.maximum(jnp.max(jnp.abs(mb), axis=1, keepdims=True), 1e-20)
+        mi[:] = jnp.round(mb * (127.0 / a)).astype(jnp.int32).astype(jnp.int8)
+        sx_s[:, col:col + 1] = a / 127.0
+
+
+def _n4_product(q_ref, st, m0_s, m1_s, sx_s):
+    """Two half dots over plane-split nibbles: byte c = elem c | elem
+    c+C/2 << 4, so lo/hi nibbles are the contiguous halves — 2 extraction
+    ops for 2 values per byte (the dense 2-bit layout paid ~10 lane ops for
+    4 values per byte)."""
+    q = q_ref[:].astype(jnp.int32)               # (R, C2)
+    GS2 = st.shape[0] // 2
+    t = jnp.zeros((1, st.shape[1]), jnp.float32)
+    for j, (nib, mi) in enumerate((((q & 0xF), m0_s), ((q >> 4), m1_s))):
+        P = jax.lax.dot_general(mi[:], nib.astype(jnp.int8),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        t += jnp.sum(P.astype(jnp.float32) * sx_s[:, j:j + 1]
+                     * st[j * GS2:(j + 1) * GS2], axis=0, keepdims=True)
+    return t
+
+
+def _q3k_n4_row_kernel(x0_ref, x1_ref, xs_ref, q_ref, st_ref, o_ref,
+                       m0_s, m1_s, sx_s):
+    """T=1 matvec over the nibble-repacked q3_k layout (pack_q3_k_n4:
+    biased values 0..7); the -4 offset stays an EXACT f32 group-sum dot."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        _n4_prep(x0_ref, x1_ref, m0_s, m1_s, sx_s)
+
+    st = st_ref[:].astype(jnp.float32)
+    t = _n4_product(q_ref, st, m0_s, m1_s, sx_s)
+    t -= 4.0 * jax.lax.dot_general(
+        xs_ref[:].astype(jnp.float32), st, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
+def _q2k_n4_row_kernel(x0_ref, x1_ref, xs_ref, q_ref, st_ref, mt_ref, o_ref,
+                       m0_s, m1_s, sx_s):
+    """T=1 matvec over the nibble-repacked q2_k layout (values 0..3, per-16
+    min sidecar as an exact f32 dot)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        _n4_prep(x0_ref, x1_ref, m0_s, m1_s, sx_s)
+
+    st = st_ref[:].astype(jnp.float32)
+    t = _n4_product(q_ref, st, m0_s, m1_s, sx_s)
+    t -= jax.lax.dot_general(
+        xs_ref[:].astype(jnp.float32), mt_ref[:].astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[:] = t.astype(o_ref.dtype)
+
+
 def _iq_i8_prep(xrefs, mrefs, sx_s, G: int):
     """Quantize the 4 plane activations per-G-group to int8 (q8_1-equivalent,
     same as _i8_prep / _q6k_row_kernel_i8 but parameterized group size)."""
@@ -1467,6 +1553,26 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
         else:
             kernel = _q8_0_row_kernel
         st_rows = in_f // 32
+    elif kind == "q6_k_i8f":
+        x_args = (x,)
+        x_rows = (1,)
+        x_shapes = (in_f,)
+        kernel = _q6k_i8f_row_kernel
+        GS = in_f // 16
+        scratch = [pltpu.VMEM((GS, in_f), jnp.int8),
+                   pltpu.VMEM((GS, 1), jnp.float32)]
+        st_rows = in_f // 16
+    elif kind in ("q3_k_n4", "q2_k_n4"):
+        C2 = in_f // 2
+        x_args = (x[:, :C2], x[:, C2:], _group_sums(x, in_f, 16))
+        x_rows = (1, 1, 1)
+        x_shapes = (C2, C2, in_f // 16)
+        kernel = (_q3k_n4_row_kernel if kind == "q3_k_n4"
+                  else _q2k_n4_row_kernel)
+        GS2 = C2 // 16
+        scratch = [pltpu.VMEM((GS2, C2), jnp.int8) for _ in range(2)] \
+            + [pltpu.VMEM((GS2, 2), jnp.float32)]
+        st_rows = in_f // 16
     else:
         raise ValueError(kind)
     rt = (DECODE_ROW_TILE if T == 1 and out_f % DECODE_ROW_TILE == 0
@@ -1492,6 +1598,10 @@ def _packed_matvec(x, fields: tuple, kind: str, out_f: int, in_f: int,
     elif kind == "iq1p":
         w_in_specs = [row_spec(in_f // 4)]
         n_t = 2  # scale_pt + min_pt
+    elif kind in ("q3_k_n4", "q2_k_n4"):
+        w_in_specs = [row_spec(in_f // 2)]
+        if kind == "q2_k_n4":
+            n_t = 2  # scale_t + min_t
     else:
         w_in_specs = [row_spec(in_f)]
     return pl.pallas_call(
@@ -1638,6 +1748,9 @@ _FIELD_LISTS = {
     "q2_k": ("qs2", "scale_p", "min_p"),
     "q3_k": ("qs2", "hm2", "scale_p"),
     "q8_0": ("q", "scale"),
+    "q6_k_i8f": ("q", "scale"),
+    "q3_k_n4": ("q", "scale"),
+    "q2_k_n4": ("q", "scale", "min"),
     "iq2p": ("qs2", "sg", "scale_p"),
     "iq3px": ("qs2", "hs", "scale_p"),
     "iq3ps": ("qs2", "hs", "scale_p"),
@@ -1650,6 +1763,9 @@ _SBQ_FIELDS_Q5K = ("qs2", "hb", "scp_lo", "scp_hi", "d_sbt", "mlo_t", "mhi_t")
 _MATVEC_FIELDS = {"q6_k": ("ql2", "qh2", "scale_pt"),
                   "q2_k": ("qs2", "scale_pt", "min_pt"),
                   "q3_k": ("qs2", "hm2", "scale_pt"),
+                  "q6_k_i8f": ("q", "scale_t"),
+                  "q3_k_n4": ("q", "scale_t"),
+                  "q2_k_n4": ("q", "scale_t", "min_t"),
                   "q8_0": ("q", "scale_t"),
                   "iq2p": ("qs2", "sg", "scale_pt"),
                   "iq3px": ("qs2", "hs", "scale_pt"),
@@ -1938,6 +2054,24 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
     x2 = x.reshape(-1, in_f)
     if x2.dtype != jnp.bfloat16:
         x2 = x2.astype(jnp.bfloat16)
+    if qt.kind in ("q6_k_i8f", "q3_k_n4", "q2_k_n4"):
+        # expanded serving layouts (VERDICT r4 item 7): T=1 matvec kernels
+        # only — prefill/batched fall back to the XLA dequant matmul.
+        # Scratch bound: the full-width per-16 activation expansion is
+        # (in/16, in) i8 (q6_k_i8f) / 2 x (in/32, in/2) (nibble kinds).
+        if x2.shape[0] != 1 or in_f % 256:
+            return None
+        if qt.kind == "q6_k_i8f":
+            if (in_f // 16) * in_f > 6 * 1024 * 1024 or in_f // 16 < 8:
+                return None
+        elif (in_f // 32) * (in_f // 2) > 3 * 1024 * 1024 or in_f // 32 < 8:
+            return None
+        mv = _MATVEC_FIELDS[qt.kind]
+        if not all(n in qt.data for n in mv):
+            return None
+        y = _packed_matvec(x2, tuple(qt.data[n] for n in mv), kind=qt.kind,
+                           out_f=out_f, in_f=in_f, interpret=_use_interpret())
+        return y.reshape(*lead, out_f)
     # The q4_k row kernel generalizes to small T by stacking per-token masked
     # expansions (T*GS rows) — its P-dot MACs grow with T, but the 2-D
     # scale-expansion kernel's per-tile structural cost is ~2.2x the row

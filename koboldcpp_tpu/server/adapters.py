@@ -76,6 +76,55 @@ ADAPTERS: dict[str, dict[str, str]] = {
 }
 
 
+# name-substring rules checked in order (first match wins) — the reference's
+# AutoGuess-style adapter selection, from the model's general.name/filename
+_NAME_RULES: tuple[tuple[str, str], ...] = (
+    ("llama-3", "llama3"), ("llama3", "llama3"),
+    ("llama-2", "llama2"), ("llama2", "llama2"),
+    ("tekken", "mistral-v3-tekken"), ("nemo", "mistral-v3-tekken"),
+    ("mistral", "mistral-v3"), ("mixtral", "mistral-v1"),
+    ("gemma-2", "gemma2"), ("gemma2", "gemma2"), ("gemma", "gemma2"),
+    ("phi-3", "phi3"), ("phi3", "phi3"),
+    ("command-r", "command-r"), ("c4ai", "command-r"),
+    ("vicuna", "vicuna"), ("wizard", "vicuna"),
+    ("alpaca", "alpaca"),
+    ("metharme", "metharme"), ("pygmalion", "metharme"),
+    ("qwen", "chatml"), ("yi-", "chatml"), ("hermes", "chatml"),
+    ("chatml", "chatml"),
+)
+
+# special-token fingerprints: if the tokenizer VOCABULARY contains the
+# template's control tokens, the model was trained with that template —
+# stronger evidence than the name, so these are checked first
+_TOKEN_RULES: tuple[tuple[str, str], ...] = (
+    ("<|start_header_id|>", "llama3"),
+    ("<|im_start|>", "chatml"),
+    ("<start_of_turn>", "gemma2"),
+    ("<|SYSTEM_TOKEN|>", "command-r"),
+    ("<|model|>", "metharme"),   # before phi3: both vocabs carry <|system|>
+    ("<|end|>", "phi3"),
+)
+
+
+def guess_adapter(model_name: str = "",
+                  vocab_tokens=None) -> str | None:
+    """Pick an instruct adapter for a model: tokenizer control-token
+    fingerprints first, then name substrings (AutoGuess-style; the reference
+    ships this as adapter JSON name matching). Returns an ADAPTERS key or
+    None when nothing matches."""
+    if vocab_tokens is not None:
+        vocab = set(vocab_tokens) if not isinstance(vocab_tokens, set) \
+            else vocab_tokens
+        for tok, key in _TOKEN_RULES:
+            if tok in vocab:
+                return key
+    name = (model_name or "").lower()
+    for sub, key in _NAME_RULES:
+        if sub in name:
+            return key
+    return None
+
+
 def apply_chat_template(messages: list[dict], adapter: dict[str, str] | None = None,
                         add_generation_prompt: bool = True) -> str:
     """Render OpenAI-style messages into a prompt string."""

@@ -287,3 +287,57 @@ async def test_memory_world_info_roundtrip(client):
     t3 = (await r3.json())["results"][0]["text"]
     assert t1 == t3  # deterministic, memory-free baseline reproduces
     assert t2 != t1  # the injected World Info changed the context
+
+
+def test_guess_adapter_rules():
+    """Per-model instruct autodetect (the reference's AutoGuess-style
+    selection): tokenizer control-token fingerprints beat name substrings."""
+    from koboldcpp_tpu.server.adapters import ADAPTERS, guess_adapter
+
+    assert guess_adapter("Meta-Llama-3-8B-Instruct") == "llama3"
+    assert guess_adapter("llama-2-7b-chat.Q4_K_M.gguf") == "llama2"
+    assert guess_adapter("Mistral-7B-Instruct-v0.3") == "mistral-v3"
+    assert guess_adapter("Mistral-Nemo-Instruct") == "mistral-v3-tekken"
+    assert guess_adapter("gemma-2-9b-it") == "gemma2"
+    assert guess_adapter("Phi-3-mini-4k-instruct") == "phi3"
+    assert guess_adapter("Qwen2.5-7B-Instruct") == "chatml"
+    assert guess_adapter("c4ai-command-r-v01") == "command-r"
+    assert guess_adapter("pygmalion-2-13b") == "metharme"
+    assert guess_adapter("some-unknown-model") is None
+    # vocabulary fingerprint wins over a misleading name
+    assert guess_adapter("mistral-finetune",
+                         {"<|im_start|>", "<|im_end|>"}) == "chatml"
+    assert guess_adapter("x", {"<|start_header_id|>"}) == "llama3"
+    # metharme's vocab carries <|system|> too; <|model|> must decide first
+    assert guess_adapter("x", {"<|system|>", "<|model|>"}) == "metharme"
+    assert guess_adapter("x", {"<|system|>", "<|end|>"}) == "phi3"
+    # every rule target is a real adapter
+    from koboldcpp_tpu.server.adapters import _NAME_RULES, _TOKEN_RULES
+    for _, key in list(_NAME_RULES) + list(_TOKEN_RULES):
+        assert key in ADAPTERS, key
+
+
+async def test_autodetected_adapter_wraps_chat(engine, aiohttp_client):
+    """Server round-trip: with an autodetected adapter the chat-completions
+    prompt is wrapped in that template (observable through tokencount of the
+    templated prompt vs raw)."""
+    from koboldcpp_tpu.server.adapters import ADAPTERS, guess_adapter
+    from koboldcpp_tpu.server.dialects import transform_genparams
+
+    key = guess_adapter("ChatML-tuned-model")
+    assert key == "chatml"
+    gp = transform_genparams(
+        {"messages": [{"role": "user", "content": "hello"}],
+         "max_tokens": 4}, 4, key)
+    assert gp["prompt"].startswith("<|im_start|>user")
+    assert "<|im_start|>assistant" in gp["prompt"]
+
+    app = make_app(engine, ServerSettings(model_name="test/tiny",
+                                          chat_adapter=key))
+    client = await aiohttp_client(app)
+    r = await client.post("/v1/chat/completions", json={
+        "messages": [{"role": "user", "content": "tok5"}],
+        "max_tokens": 3, "temperature": 0})
+    assert r.status == 200
+    j = await r.json()
+    assert j["choices"][0]["message"]["role"] == "assistant"
