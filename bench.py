@@ -367,7 +367,10 @@ def bench_longctx(cfg, latency: float, kind: str, S: int = 16384,
     # VMEM bounds the block: ~8 double-buffered (P, KD) buffers must fit
     # scoped VMEM, so wide-KD (MHA 13B-class) models cap the page smaller.
     KD = cfg.n_kv_heads * cfg.head_dim
-    page_size = min(1024, max(256, (1_500_000 // KD) // 256 * 256))
+    # q4 tiles are half the bytes per token: the same VMEM budget affords
+    # 2x the page, halving the per-page fixed cost for wide-KD models
+    budget = 3_000_000 if quant == "q4" else 1_500_000
+    page_size = min(1024, max(256, (budget // KD) // 256 * 256))
     n_pages = S // page_size + 2
     params = synthetic_params(cfg, kind=kind, seed=0)
     pcache = init_paged_cache(cfg.n_layers, n_pages, page_size,

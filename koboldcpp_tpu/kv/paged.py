@@ -36,24 +36,38 @@ import numpy as np
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["k", "v", "k_scale", "v_scale"],
-         meta_fields=["page_size", "quantized", "heads", "bits"])
+         meta_fields=["page_size", "quantized", "heads", "bits", "kd"])
 @dataclass
 class PagedKVCache:
     k: tuple              # L x (NP*P, H*D) bf16 | int8 (q8) | (NP*P, H*D//2) u8 (q4)
+    #                       COLUMN layout (kd > 0): L x (NP*kd, P) — page p
+    #                       is a (kd, P) tile, token t is COLUMN t. Used for
+    #                       narrow-KD (GQA) models where (P, KD) rows would
+    #                       make the DMA minor dim < 512 B (~25% of HBM
+    #                       bandwidth lost — measured 558 vs 746 GB/s
+    #                       streaming 256 B-minor vs 1 KiB-minor int8).
     v: tuple
     k_scale: tuple        # L x (NP*P, H) bf16; dummy (1,) when not quantized
-    v_scale: tuple
+    v_scale: tuple        # (scale sidecars keep the row layout in BOTH
+    #                       k/v layouts — they are ~3% of the KV bytes)
     page_size: int
     quantized: bool
     heads: int = 0        # n_kv_heads
     bits: int = 8         # 8 (int8 rows) or 4 (plane-split packed nibbles)
+    kd: int = 0           # per-token stored K/V width; >0 selects COLUMN layout
 
     @property
     def n_layers(self) -> int:
         return len(self.k)
 
     @property
+    def col(self) -> bool:
+        return self.kd > 0
+
+    @property
     def n_pages(self) -> int:
+        if self.col:
+            return self.k[0].shape[0] // self.kd
         return self.k[0].shape[0] // self.page_size
 
     def with_layer(self, layer: int, k, v, k_scale=None, v_scale=None):
@@ -65,7 +79,7 @@ class PagedKVCache:
             v_scale=(self.v_scale if v_scale is None
                      else _rep(self.v_scale, layer, v_scale)),
             page_size=self.page_size, quantized=self.quantized,
-            heads=self.heads, bits=self.bits)
+            heads=self.heads, bits=self.bits, kd=self.kd)
 
 
 def init_paged_cache(n_layers: int, n_pages: int, page_size: int,
@@ -73,20 +87,28 @@ def init_paged_cache(n_layers: int, n_pages: int, page_size: int,
                      quantized: bool | str = False) -> PagedKVCache:
     """quantized: False = bf16; True/1/8/"q8" = int8 + per-(row, head)
     scales; 4/"q4" = plane-split packed nibbles (Q4_0-equivalent, half the
-    q8 HBM). Accepts the same numeric levels as kv/cache.py init_cache."""
+    q8 HBM). Accepts the same numeric levels as kv/cache.py init_cache.
+
+    Quantized pools whose per-token stored width is narrower than ~1 KiB
+    (GQA models) automatically use the COLUMN layout (see PagedKVCache.kd)
+    for full-rate DMA in the paged flash-decode kernels."""
     if quantized:
         bits = 4 if quantized in ("q4", 4) else 8
         kd = n_kv_heads * head_dim
-        shape = (n_pages * page_size, kd // 2 if bits == 4 else kd)
+        kdq = kd // 2 if bits == 4 else kd
+        nrows = n_pages * page_size
+        col = kdq < 1024 and kdq % 8 == 0 and page_size % 128 == 0
         vdt = jnp.uint8 if bits == 4 else jnp.int8
+        kv_shape = (n_pages * kdq, page_size) if col else (nrows, kdq)
         return PagedKVCache(
-            k=tuple(jnp.zeros(shape, vdt) for _ in range(n_layers)),
-            v=tuple(jnp.zeros(shape, vdt) for _ in range(n_layers)),
-            k_scale=tuple(jnp.zeros((shape[0], n_kv_heads), jnp.bfloat16)
+            k=tuple(jnp.zeros(kv_shape, vdt) for _ in range(n_layers)),
+            v=tuple(jnp.zeros(kv_shape, vdt) for _ in range(n_layers)),
+            k_scale=tuple(jnp.zeros((nrows, n_kv_heads), jnp.bfloat16)
                           for _ in range(n_layers)),
-            v_scale=tuple(jnp.zeros((shape[0], n_kv_heads), jnp.bfloat16)
+            v_scale=tuple(jnp.zeros((nrows, n_kv_heads), jnp.bfloat16)
                           for _ in range(n_layers)),
-            page_size=page_size, quantized=True, heads=n_kv_heads, bits=bits)
+            page_size=page_size, quantized=True, heads=n_kv_heads, bits=bits,
+            kd=kdq if col else 0)
     shape = (n_pages * page_size, n_kv_heads * head_dim)
     return PagedKVCache(
         k=tuple(jnp.zeros(shape, jnp.bfloat16) for _ in range(n_layers)),
@@ -148,15 +170,29 @@ def write(cache: PagedKVCache, layer: int, page_table: jnp.ndarray,
     offset = positions % P
     gpage = page_table[b_idx, jnp.clip(page_idx, 0, page_table.shape[1] - 1)]
     valid = (positions >= 0) & (gpage >= 0)
-    rows_total = cache.k[layer].shape[0]
+    rows_total = cache.page_size * cache.n_pages
     rows = jnp.where(valid, gpage * P + offset, rows_total)  # OOB -> dropped
     B, T = k_new.shape[:2]
     if cache.quantized:
         quant = _quantize_q4 if cache.bits == 4 else _quantize_q8
         qk, sk = quant(k_new)
         qv, sv = quant(v_new)
-        k = cache.k[layer].at[rows].set(qk.reshape(B, T, -1), mode="drop")
-        v = cache.v[layer].at[rows].set(qv.reshape(B, T, -1), mode="drop")
+        if cache.col:
+            # column layout: token t of page p is column t of the (kd, P)
+            # tile at rows [p*kd, (p+1)*kd)
+            kd = cache.kd
+            NP = cache.n_pages
+            pg = jnp.where(valid, gpage, NP).reshape(-1)      # OOB -> dropped
+            off = offset.reshape(-1)
+            qk2 = qk.reshape(B * T, kd)
+            qv2 = qv.reshape(B * T, kd)
+            k3 = cache.k[layer].reshape(NP, kd, P)
+            v3 = cache.v[layer].reshape(NP, kd, P)
+            k = k3.at[pg, :, off].set(qk2, mode="drop").reshape(NP * kd, P)
+            v = v3.at[pg, :, off].set(qv2, mode="drop").reshape(NP * kd, P)
+        else:
+            k = cache.k[layer].at[rows].set(qk.reshape(B, T, -1), mode="drop")
+            v = cache.v[layer].at[rows].set(qv.reshape(B, T, -1), mode="drop")
         ks = cache.k_scale[layer].at[rows].set(sk, mode="drop")
         vs = cache.v_scale[layer].at[rows].set(sv, mode="drop")
         return cache.with_layer(layer, k, v, ks, vs)
@@ -179,10 +215,18 @@ def gather(cache: PagedKVCache, layer: int,
     tab = jnp.clip(page_table, 0, cache.n_pages - 1)
     rows = (tab[:, :, None] * P
             + jnp.arange(P)[None, None, :]).reshape(B, MP * P)
-    k = cache.k[layer][rows]  # (B, MP*P, KD[/2])
-    v = cache.v[layer][rows]
     H = cache.heads
-    KD = k.shape[-1]
+    if cache.col:
+        kd = cache.kd
+        k3 = cache.k[layer].reshape(cache.n_pages, kd, P)
+        v3 = cache.v[layer].reshape(cache.n_pages, kd, P)
+        k = jnp.swapaxes(k3[tab], 2, 3).reshape(B, MP * P, kd)
+        v = jnp.swapaxes(v3[tab], 2, 3).reshape(B, MP * P, kd)
+        KD = kd
+    else:
+        k = cache.k[layer][rows]  # (B, MP*P, KD[/2])
+        v = cache.v[layer][rows]
+        KD = k.shape[-1]
     k = k.reshape(B, MP * P, H, KD // H)
     v = v.reshape(B, MP * P, H, KD // H)
     if cache.quantized:

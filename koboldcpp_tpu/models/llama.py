@@ -524,9 +524,14 @@ def forward_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             # context per layer
             from ..ops import flash_decode
 
-            kern = (flash_decode.decode_attention_paged_q4
-                    if getattr(pcache, "bits", 8) == 4
-                    else flash_decode.decode_attention_paged_q8)
+            if getattr(pcache, "kd", 0) > 0:  # column (transposed-page) pools
+                kern = (flash_decode.decode_attention_paged_q4c
+                        if getattr(pcache, "bits", 8) == 4
+                        else flash_decode.decode_attention_paged_q8c)
+            elif getattr(pcache, "bits", 8) == 4:
+                kern = flash_decode.decode_attention_paged_q4
+            else:
+                kern = flash_decode.decode_attention_paged_q8
             out, k_upd, v_upd, ks_upd, vs_upd = kern(
                 q[:, 0], k[:, 0].astype(jnp.bfloat16),
                 v[:, 0].astype(jnp.bfloat16),

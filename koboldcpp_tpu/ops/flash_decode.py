@@ -1011,6 +1011,431 @@ def decode_attention_paged_q8(q: jnp.ndarray, k_new: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# COLUMN-layout paged quantized variants: K/V pages stored as (KD', P) tiles
+# (kv/paged.py PagedKVCache.kd) so the HBM minor dim is the page length, not
+# the per-token width — narrow-KD (GQA) models lose ~25% of DMA bandwidth on
+# (P, 256 B) rows (measured 558 vs 746 GB/s on v5e).  Same math as the row
+# kernels; the new token inserts as a COLUMN, and the score/output dots
+# contract the KD axis directly from the (KD, P) tile (no in-kernel
+# transpose anywhere).  Scale sidecars keep the row layout (~3% of bytes).
+# ---------------------------------------------------------------------------
+
+def _pq8c_kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref,
+                 vqn_ref, ksn_ref, vsn_ref, k_ref, v_ref, ks_ref, vs_ref,
+                 o_ref, ko_ref, vo_ref, kso_ref, vso_ref, m_ref, l_ref,
+                 acc_ref, *, H: int, Hkv: int, D: int, P: int, scale: float,
+                 softcap: float):
+    """Column-layout paged Q8 decode attention (see _pq8kernel for the
+    scheme; k/v blocks are (KD, P) tiles, new rows arrive as (KD, 1)
+    columns)."""
+    s = pl.program_id(1)
+    n_blocks = pl.num_programs(1)
+    b = pl.program_id(0)
+    KD = Hkv * D
+    G = H // Hkv
+    pos = pos_ref[b]
+    wblk = jnp.minimum(pos // P, n_blocks - 1)
+
+    @pl.when(s == wblk)
+    def _write():
+        colpos = pos - wblk * P
+        in_range = pos < n_blocks * P
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (KD, P), 1)
+        sel = (cidx == colpos) & in_range
+        ko_ref[:] = jnp.where(sel, jnp.broadcast_to(kqn_ref[0], (KD, P)),
+                              k_ref[:])
+        vo_ref[:] = jnp.where(sel, jnp.broadcast_to(vqn_ref[0], (KD, P)),
+                              v_ref[:])
+        rids = jax.lax.broadcasted_iota(jnp.int32, (P, Hkv), 0)
+        sels = (rids == colpos) & in_range
+        kso_ref[:] = jnp.where(sels, jnp.broadcast_to(ksn_ref[0], (P, Hkv)),
+                               ks_ref[:])
+        vso_ref[:] = jnp.where(sels, jnp.broadcast_to(vsn_ref[0], (P, Hkv)),
+                               vs_ref[:])
+
+    def qexp_mask():
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 0) // G
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 1) // D
+        return hidx == bidx
+
+    @pl.when(s == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s * P < pos)
+    def _compute():
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 0) // G
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 1)
+        Eh = (hidx == kidx).astype(jnp.bfloat16)   # (H, Hkv) 0/1
+        ksx = jax.lax.dot_general(
+            Eh, ks_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (H, P)
+        vsx = jax.lax.dot_general(
+            Eh, vs_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        kd = k_ref[:].astype(jnp.bfloat16)         # (KD, P) pure cast
+        vd = v_ref[:].astype(jnp.bfloat16)
+        q = q_ref[0].astype(jnp.float32)           # (H, D)
+        qrep = pltpu.repeat(q, Hkv, axis=1)
+        sel = qexp_mask()
+        qexp = jnp.where(sel, qrep, 0.0).astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            qexp, kd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * ksx * scale  # (H, P)
+        if softcap > 0:
+            scores = softcap * jnp.tanh(scores / softcap)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (H, P), 1) + s * P
+        scores = jnp.where(sidx < pos, scores, -1e30)
+        m_prev = m_ref[:]
+        m_blk = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_blk)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            (p * vsx).astype(jnp.bfloat16), vd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (H, KD)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(s == n_blocks - 1)
+    def _final():
+        q = q_ref[0].astype(jnp.float32)
+        qrep = pltpu.repeat(q, Hkv, axis=1)
+        sel = qexp_mask()
+        qexp = jnp.where(sel, qrep, 0.0)
+        knew = knew_ref[0].astype(jnp.float32)   # (1, KD)
+        vnew = vnew_ref[0].astype(jnp.float32)
+        s_self = jax.lax.dot_general(
+            qexp, knew, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if softcap > 0:
+            s_self = softcap * jnp.tanh(s_self / softcap)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, s_self)
+        alpha = jnp.exp(m_prev - m_new)
+        p_self = jnp.exp(s_self - m_new)
+        l = l_ref[:] * alpha + p_self
+        acc = acc_ref[:] * alpha + p_self * vnew
+        acc = acc / l
+        acc = jnp.where(sel, acc, 0.0)
+        kdi = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 0) % D
+        di = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 1)
+        R = (kdi == di).astype(jnp.float32)
+        o_ref[0] = jax.lax.dot_general(
+            acc, R, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "n_kv_heads", "page_size",
+                                    "scale", "softcap", "interpret"))
+def decode_attention_paged_q8c(q: jnp.ndarray, k_new: jnp.ndarray,
+                               v_new: jnp.ndarray, k_pool: jnp.ndarray,
+                               v_pool: jnp.ndarray, ks_pool: jnp.ndarray,
+                               vs_pool: jnp.ndarray, page_table: jnp.ndarray,
+                               positions: jnp.ndarray, n_heads: int,
+                               n_kv_heads: int, page_size: int, scale: float,
+                               softcap: float = 0.0,
+                               interpret: bool = False):
+    """Column-layout Q8 paged decode: k_pool/v_pool are (NP*KD, P) int8
+    (page p = rows [p*KD, (p+1)*KD)); everything else as
+    decode_attention_paged_q8."""
+    B, H = q.shape[:2]
+    Hkv = n_kv_heads
+    P = page_size
+    KD = Hkv * (q.shape[2])
+    D = q.shape[2]
+    MP = page_table.shape[1]
+    NP = k_pool.shape[0] // KD
+
+    def q8(x):  # (B, Hkv, D) -> int8 col (B, KD, 1), scale (B, 1, Hkv), deq
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        sc = amax / 127.0
+        inv = jnp.where(sc > 0, 1.0 / sc, 0.0)
+        qv = jnp.round(x.astype(jnp.float32) * inv[..., None]).astype(jnp.int8)
+        deq = (qv.astype(jnp.float32)
+               * sc.astype(jnp.bfloat16).astype(jnp.float32)[..., None])
+        return (qv.reshape(B, KD, 1),
+                sc.astype(jnp.bfloat16).reshape(B, 1, Hkv),
+                deq.astype(jnp.bfloat16).reshape(B, 1, KD))
+
+    kq, ksn, kdq = q8(k_new)
+    vq, vsn, vdq = q8(v_new)
+    positions = jnp.where(positions >= 0, positions, MP * P)
+
+    def kv_map(b, s, pos_ref, tab_ref):
+        last = jnp.minimum(pos_ref[b] // P, MP - 1)
+        page = tab_ref[b, jnp.minimum(s, last)]
+        return (jnp.clip(page, 0, NP - 1), 0)
+
+    def w_map(b, s, pos_ref, tab_ref):
+        wblk = jnp.minimum(pos_ref[b] // P, MP - 1)
+        return (jnp.clip(tab_ref[b, wblk], 0, NP - 1), 0)
+
+    bmap3 = lambda b, s, p, t: (b, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, MP),
+        in_specs=[pl.BlockSpec((1, H, D), bmap3),
+                  pl.BlockSpec((1, 1, KD), bmap3),
+                  pl.BlockSpec((1, 1, KD), bmap3),
+                  pl.BlockSpec((1, KD, 1), bmap3),
+                  pl.BlockSpec((1, KD, 1), bmap3),
+                  pl.BlockSpec((1, 1, Hkv), bmap3),
+                  pl.BlockSpec((1, 1, Hkv), bmap3),
+                  pl.BlockSpec((KD, P), kv_map),
+                  pl.BlockSpec((KD, P), kv_map),
+                  pl.BlockSpec((P, Hkv), kv_map),
+                  pl.BlockSpec((P, Hkv), kv_map)],
+        out_specs=[pl.BlockSpec((1, H, D), bmap3),
+                   pl.BlockSpec((KD, P), w_map),
+                   pl.BlockSpec((KD, P), w_map),
+                   pl.BlockSpec((P, Hkv), w_map),
+                   pl.BlockSpec((P, Hkv), w_map)],
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, KD), jnp.float32)],
+    )
+    out, k2, v2, ks2, vs2 = pl.pallas_call(
+        functools.partial(_pq8c_kernel, H=H, Hkv=Hkv, D=D, P=P, scale=scale,
+                          softcap=softcap),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, H, D), jnp.float32),
+                   jax.ShapeDtypeStruct(k_pool.shape, jnp.int8),
+                   jax.ShapeDtypeStruct(v_pool.shape, jnp.int8),
+                   jax.ShapeDtypeStruct(ks_pool.shape, jnp.bfloat16),
+                   jax.ShapeDtypeStruct(vs_pool.shape, jnp.bfloat16)],
+        # indices include the 2 scalar-prefetch args: 9..12 = pools
+        input_output_aliases={9: 1, 10: 2, 11: 3, 12: 4},
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * MP * P * D,
+            bytes_accessed=2 * B * MP * P * KD,
+            transcendentals=B * H * MP * P),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), page_table.astype(jnp.int32),
+      q.astype(jnp.bfloat16), kdq, vdq,
+      kq.reshape(B, KD, 1), vq.reshape(B, KD, 1), ksn, vsn,
+      k_pool, v_pool, ks_pool, vs_pool)
+    return out, k2, v2, ks2, vs2
+
+
+def _pq4c_kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref,
+                 vqn_ref, ksn_ref, vsn_ref, k_ref, v_ref, ks_ref, vs_ref,
+                 o_ref, ko_ref, vo_ref, kso_ref, vso_ref, m_ref, l_ref,
+                 acc_ref, *, H: int, Hkv: int, D: int, P: int, scale: float,
+                 softcap: float):
+    """Column-layout paged Q4 decode attention: (KD2, P) packed-nibble
+    tiles; unpack = two VPU ops + a SUBLANE concat producing (KD, P) in
+    plane order (see _pq4kernel for the plane-order masks/fold-back)."""
+    s = pl.program_id(1)
+    n_blocks = pl.num_programs(1)
+    b = pl.program_id(0)
+    KD = Hkv * D
+    KD2 = KD // 2
+    D2 = D // 2
+    G = H // Hkv
+    pos = pos_ref[b]
+    wblk = jnp.minimum(pos // P, n_blocks - 1)
+
+    @pl.when(s == wblk)
+    def _write():
+        colpos = pos - wblk * P
+        in_range = pos < n_blocks * P
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (KD2, P), 1)
+        sel = (cidx == colpos) & in_range
+        ko_ref[:] = jnp.where(sel, jnp.broadcast_to(kqn_ref[0], (KD2, P)),
+                              k_ref[:])
+        vo_ref[:] = jnp.where(sel, jnp.broadcast_to(vqn_ref[0], (KD2, P)),
+                              v_ref[:])
+        rids = jax.lax.broadcasted_iota(jnp.int32, (P, Hkv), 0)
+        sels = (rids == colpos) & in_range
+        kso_ref[:] = jnp.where(sels, jnp.broadcast_to(ksn_ref[0], (P, Hkv)),
+                               ks_ref[:])
+        vso_ref[:] = jnp.where(sels, jnp.broadcast_to(vsn_ref[0], (P, Hkv)),
+                               vs_ref[:])
+
+    def plane_masks():
+        cm = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 1)
+        hh = (cm % KD2) // D2
+        hq = jax.lax.broadcasted_iota(jnp.int32, (H, KD), 0) // G
+        return hq == hh
+
+    def qexp_perm():
+        q = q_ref[0].astype(jnp.float32)
+        qlo = pltpu.repeat(q[:, :D2], Hkv, axis=1)   # (H, KD2)
+        qhi = pltpu.repeat(q[:, D2:], Hkv, axis=1)
+        qcat = jnp.concatenate([qlo, qhi], axis=1)   # (H, KD) plane order
+        return jnp.where(plane_masks(), qcat, 0.0)
+
+    @pl.when(s == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s * P < pos)
+    def _compute():
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 0) // G
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 1)
+        Eh = (hidx == kidx).astype(jnp.bfloat16)
+        ksx = jax.lax.dot_general(
+            Eh, ks_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (H, P)
+        vsx = jax.lax.dot_general(
+            Eh, vs_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p8 = k_ref[:].astype(jnp.int32)            # (KD2, P)
+        kd = jnp.concatenate([(p8 & 0xF) - 8, (p8 >> 4) - 8],
+                             axis=0).astype(jnp.bfloat16)  # (KD, P) planes
+        pv8 = v_ref[:].astype(jnp.int32)
+        vd = jnp.concatenate([(pv8 & 0xF) - 8, (pv8 >> 4) - 8],
+                             axis=0).astype(jnp.bfloat16)
+        qexp = qexp_perm().astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            qexp, kd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * ksx * scale  # (H, P)
+        if softcap > 0:
+            scores = softcap * jnp.tanh(scores / softcap)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (H, P), 1) + s * P
+        scores = jnp.where(sidx < pos, scores, -1e30)
+        m_prev = m_ref[:]
+        m_blk = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_blk)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            (p * vsx).astype(jnp.bfloat16), vd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (H, KD) plane order
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(s == n_blocks - 1)
+    def _final():
+        qexp = qexp_perm()
+        knew = knew_ref[0].astype(jnp.float32)   # (1, KD) plane order
+        vnew = vnew_ref[0].astype(jnp.float32)
+        s_self = jax.lax.dot_general(
+            qexp, knew, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if softcap > 0:
+            s_self = softcap * jnp.tanh(s_self / softcap)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, s_self)
+        alpha = jnp.exp(m_prev - m_new)
+        p_self = jnp.exp(s_self - m_new)
+        l = l_ref[:] * alpha + p_self
+        acc = acc_ref[:] * alpha + p_self * vnew
+        acc = acc / l
+        acc = jnp.where(plane_masks(), acc, 0.0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 0)
+        di = jax.lax.broadcasted_iota(jnp.int32, (KD, D), 1)
+        R = (((ci // KD2) * D2 + (ci % D2)) == di).astype(jnp.float32)
+        o_ref[0] = jax.lax.dot_general(
+            acc, R, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "n_kv_heads", "page_size",
+                                    "scale", "softcap", "interpret"))
+def decode_attention_paged_q4c(q: jnp.ndarray, k_new: jnp.ndarray,
+                               v_new: jnp.ndarray, k_pool: jnp.ndarray,
+                               v_pool: jnp.ndarray, ks_pool: jnp.ndarray,
+                               vs_pool: jnp.ndarray, page_table: jnp.ndarray,
+                               positions: jnp.ndarray, n_heads: int,
+                               n_kv_heads: int, page_size: int, scale: float,
+                               softcap: float = 0.0,
+                               interpret: bool = False):
+    """Column-layout Q4 paged decode: k_pool/v_pool are (NP*KD2, P) uint8
+    plane-split nibble tiles (page p = rows [p*KD2, (p+1)*KD2))."""
+    B, H = q.shape[:2]
+    Hkv = n_kv_heads
+    P = page_size
+    D = q.shape[2]
+    KD = Hkv * D
+    KD2 = KD // 2
+    D2 = D // 2
+    MP = page_table.shape[1]
+    NP = k_pool.shape[0] // KD2
+
+    def q4(x):  # (B, Hkv, D) -> packed col (B, KD2, 1), scale, deq-planes
+        from ..kv.paged import _quantize_q4
+
+        packed, sc = _quantize_q4(x)           # (B, Hkv, D2) u8, (B, Hkv)
+        p = packed.astype(jnp.int32)
+        lo = (p & 0xF) - 8
+        hi = (p >> 4) - 8
+        scf = sc.astype(jnp.float32)[..., None]
+        deq_lo = (lo.astype(jnp.float32) * scf).reshape(B, KD2)
+        deq_hi = (hi.astype(jnp.float32) * scf).reshape(B, KD2)
+        deq = jnp.concatenate([deq_lo, deq_hi], axis=-1)  # plane order
+        return (packed.reshape(B, KD2, 1),
+                sc.reshape(B, 1, Hkv),
+                deq.astype(jnp.bfloat16).reshape(B, 1, KD))
+
+    kq, ksn, kdq = q4(k_new)
+    vq, vsn, vdq = q4(v_new)
+    positions = jnp.where(positions >= 0, positions, MP * P)
+
+    def kv_map(b, s, pos_ref, tab_ref):
+        last = jnp.minimum(pos_ref[b] // P, MP - 1)
+        page = tab_ref[b, jnp.minimum(s, last)]
+        return (jnp.clip(page, 0, NP - 1), 0)
+
+    def w_map(b, s, pos_ref, tab_ref):
+        wblk = jnp.minimum(pos_ref[b] // P, MP - 1)
+        return (jnp.clip(tab_ref[b, wblk], 0, NP - 1), 0)
+
+    bmap3 = lambda b, s, p, t: (b, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, MP),
+        in_specs=[pl.BlockSpec((1, H, D), bmap3),
+                  pl.BlockSpec((1, 1, KD), bmap3),
+                  pl.BlockSpec((1, 1, KD), bmap3),
+                  pl.BlockSpec((1, KD2, 1), bmap3),
+                  pl.BlockSpec((1, KD2, 1), bmap3),
+                  pl.BlockSpec((1, 1, Hkv), bmap3),
+                  pl.BlockSpec((1, 1, Hkv), bmap3),
+                  pl.BlockSpec((KD2, P), kv_map),
+                  pl.BlockSpec((KD2, P), kv_map),
+                  pl.BlockSpec((P, Hkv), kv_map),
+                  pl.BlockSpec((P, Hkv), kv_map)],
+        out_specs=[pl.BlockSpec((1, H, D), bmap3),
+                   pl.BlockSpec((KD2, P), w_map),
+                   pl.BlockSpec((KD2, P), w_map),
+                   pl.BlockSpec((P, Hkv), w_map),
+                   pl.BlockSpec((P, Hkv), w_map)],
+        scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, 1), jnp.float32),
+                        pltpu.VMEM((H, KD), jnp.float32)],
+    )
+    out, k2, v2, ks2, vs2 = pl.pallas_call(
+        functools.partial(_pq4c_kernel, H=H, Hkv=Hkv, D=D, P=P, scale=scale,
+                          softcap=softcap),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, H, D), jnp.float32),
+                   jax.ShapeDtypeStruct(k_pool.shape, jnp.uint8),
+                   jax.ShapeDtypeStruct(v_pool.shape, jnp.uint8),
+                   jax.ShapeDtypeStruct(ks_pool.shape, jnp.bfloat16),
+                   jax.ShapeDtypeStruct(vs_pool.shape, jnp.bfloat16)],
+        input_output_aliases={9: 1, 10: 2, 11: 3, 12: 4},
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * MP * P * D,
+            bytes_accessed=B * MP * P * KD,
+            transcendentals=B * H * MP * P),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), page_table.astype(jnp.int32),
+      q.astype(jnp.bfloat16), kdq, vdq, kq, vq, ksn, vsn,
+      k_pool, v_pool, ks_pool, vs_pool)
+    return out, k2, v2, ks2, vs2
+
+
+# ---------------------------------------------------------------------------
 # paged + Q4-quantized variant (--quantkv 2 + --paged; the 13B@16K enabler)
 # ---------------------------------------------------------------------------
 

@@ -394,3 +394,80 @@ def test_forward_paged_q4_matches_q8_path_shapewise():
     l4 = run("q4")
     err = np.abs(l8 - l4).max() / (np.abs(l8).max() + 1e-6)
     assert err < 0.25, err  # q4 noise bound on a tiny random model
+
+
+@pytest.mark.parametrize("quant", ["q8", "q4"])
+def test_paged_col_layout_parity(quant):
+    """Column-layout quantized paged kernels (q8c/q4c) vs write-then-gather:
+    page tiles are (KD', P) with tokens as columns; results must match the
+    XLA path exactly on the pools and within quant noise on attention."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from koboldcpp_tpu.kv import paged
+    from koboldcpp_tpu.ops import flash_decode
+
+    rng = np.random.default_rng(13)
+    B, H, Hkv, D, P, NP, MP = 4, 8, 2, 64, 128, 12, 3
+    pcache = paged.init_paged_cache(1, NP, P, Hkv, D, quantized=quant)
+    assert pcache.col, "shape should select the column layout"
+    table = jnp.asarray(
+        rng.permutation(NP)[:B * MP].reshape(B, MP).astype(np.int32))
+    positions = np.array([0, 5, 128, 283], np.int32)
+
+    for b in range(B):
+        p = int(positions[b])
+        if p == 0:
+            continue
+        ks = jnp.asarray(rng.standard_normal((1, p, Hkv, D)), jnp.bfloat16)
+        vs = jnp.asarray(rng.standard_normal((1, p, Hkv, D)), jnp.bfloat16)
+        pcache = paged.write(pcache, 0, table[b:b + 1],
+                             jnp.arange(p)[None, :], ks, vs)
+
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.bfloat16)
+    kni = rng.integers(-7, 8, (B, Hkv, D)).astype(np.float32)
+    vni = rng.integers(-7, 8, (B, Hkv, D)).astype(np.float32)
+    kni[:, :, 0] = 7
+    vni[:, :, 0] = 7
+    kn = jnp.asarray(kni, jnp.bfloat16)
+    vn = jnp.asarray(vni, jnp.bfloat16)
+    scale = D ** -0.5
+
+    kern = (flash_decode.decode_attention_paged_q8c if quant == "q8"
+            else flash_decode.decode_attention_paged_q4c)
+    out, k_upd, v_upd, ks_upd, vs_upd = kern(
+        q, kn, vn, pcache.k[0], pcache.v[0],
+        pcache.k_scale[0], pcache.v_scale[0],
+        table, jnp.asarray(positions), H, Hkv, P, scale, interpret=True)
+
+    ref_cache = paged.write(pcache, 0, table, jnp.asarray(positions)[:, None],
+                            kn[:, None], vn[:, None])
+    gk, gv = paged.gather(ref_cache, 0, table)
+    G = H // Hkv
+    for b in range(B):
+        p = int(positions[b])
+        for h in range(H):
+            kv = h // G
+            ka = np.asarray(gk[b, :, kv], np.float32)
+            va = np.asarray(gv[b, :, kv], np.float32)
+            sc = (np.asarray(q[b, h], np.float32) @ ka.T) * scale
+            sc[p + 1:] = -np.inf
+            pr = np.exp(sc - sc.max()); pr /= pr.sum()
+            want = pr @ va
+            got = np.asarray(out)[b, h]
+            err = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+            assert err < 0.08, (b, h, err)
+    np.testing.assert_array_equal(np.asarray(k_upd), np.asarray(ref_cache.k[0]))
+    np.testing.assert_array_equal(np.asarray(v_upd), np.asarray(ref_cache.v[0]))
+    np.testing.assert_array_equal(np.asarray(ks_upd),
+                                  np.asarray(ref_cache.k_scale[0]))
+    np.testing.assert_array_equal(np.asarray(vs_upd),
+                                  np.asarray(ref_cache.v_scale[0]))
+
+    # dead slot copy-through
+    out2, k2, v2, ks2, vs2 = kern(
+        q, kn, vn, ref_cache.k[0], ref_cache.v[0],
+        ref_cache.k_scale[0], ref_cache.v_scale[0],
+        table, jnp.asarray(np.full(B, -1, np.int32)), H, Hkv, P, scale,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(ref_cache.k[0]))
