@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 
 import numpy as np
@@ -34,24 +35,142 @@ TYPE_MAP = {
 }
 
 
-def pick_type(name: str, shape, target: GGMLType) -> GGMLType:
-    """Per-tensor type selection (llama_tensor_get_type heuristics, simplified:
-    1-D stays f32; output/embeddings bump to Q6_K for K-quant targets)."""
-    if len(shape) < 2:
-        return GGMLType.F32
-    if shape[-1] % 256:
-        # can't K-quant this row length; fall back
-        return GGMLType.Q8_0 if shape[-1] % 32 == 0 else GGMLType.F16
-    if name in ("output.weight", "token_embd.weight") and target in (
-            GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
-            GGMLType.IQ4_XS, GGMLType.TQ1_0, GGMLType.TQ2_0,
-            GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
-            GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
-            GGMLType.IQ1_M):
-        # reference bumps output/embd for low-bit targets too
-        # (llama_tensor_get_type, src/llama.cpp:17979)
-        return GGMLType.Q6_K
-    return target
+# the low-bit IQ ftype class the reference treats specially
+# (llama_tensor_get_type, /root/reference/src/llama.cpp:17979+)
+_LOWBIT_IQ = (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+              GGMLType.IQ1_S, GGMLType.IQ1_M)
+_BUMPABLE = (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
+             GGMLType.IQ4_XS, GGMLType.TQ1_0, GGMLType.TQ2_0,
+             GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+             GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
+             GGMLType.IQ1_M)
+
+
+def _use_more_bits(i_layer: int, n_layers: int) -> bool:
+    return (i_layer < n_layers // 8 or i_layer >= 7 * n_layers // 8
+            or (i_layer - n_layers // 8) % 3 == 2)
+
+
+def _layer_of(name: str) -> int:
+    m = re.match(r"blk\.(\d+)\.", name)
+    return int(m.group(1)) if m else 0
+
+
+class TypePicker:
+    """Per-tensor type selection — the reference's llama_tensor_get_type
+    heuristics (/root/reference/src/llama.cpp:17979+) for the formats this
+    tool produces. The low-bit IQ class bumps attn_v/attn_output/early
+    ffn_down layers, which is what makes IQ1/IQ2 files usable at all: a
+    13-point ppl gap at IQ1_M traced entirely to missing these bumps
+    (QUALITY.md round 5)."""
+
+    def __init__(self, target: GGMLType, metadata: dict | None = None,
+                 has_imatrix: bool = False):
+        md = metadata or {}
+        arch = str(md.get("general.architecture", "llama"))
+        heads = int(md.get(f"{arch}.attention.head_count", 0) or 0)
+        kv = int(md.get(f"{arch}.attention.head_count_kv", heads) or heads)
+        self.n_gqa = heads // kv if kv else 1
+        self.n_expert = int(md.get(f"{arch}.expert_count", 0) or 0)
+        self.n_layers = int(md.get(f"{arch}.block_count", 0) or 0)
+        self.target = target
+        self.has_imatrix = has_imatrix
+        self.i_attn_v = 0
+
+    def pick(self, name: str, shape) -> GGMLType:
+        t = self.target
+        if len(shape) < 2:
+            return GGMLType.F32
+        if shape[-1] % 256:
+            # can't K-quant this row length; fall back
+            return GGMLType.Q8_0 if shape[-1] % 32 == 0 else GGMLType.F16
+        lowbit = t in _LOWBIT_IQ
+        iq2sm = t == GGMLType.IQ2_S  # covers the reference's IQ2_S/IQ2_M
+        if name == "output.weight":
+            if lowbit or t == GGMLType.IQ3_XXS:
+                return GGMLType.Q5_K
+            if t in _BUMPABLE:
+                return GGMLType.Q6_K
+            return t
+        if name == "token_embd.weight":
+            if t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ1_S,
+                     GGMLType.IQ1_M):
+                return GGMLType.Q2_K
+            if iq2sm or t in (GGMLType.IQ3_XXS, GGMLType.IQ3_S):
+                return GGMLType.IQ3_S
+            if t in _BUMPABLE:
+                return GGMLType.Q6_K
+            return t
+        if lowbit:
+            if "attn_v.weight" in name:
+                if self.n_gqa >= 4 or self.n_expert >= 4:
+                    return GGMLType.Q4_K
+                return GGMLType.IQ3_S if iq2sm else GGMLType.Q2_K
+            if self.n_expert == 8 and "attn_k.weight" in name:
+                return GGMLType.Q4_K
+            if "ffn_down" in name:
+                if _layer_of(name) < self.n_layers // 8:
+                    return GGMLType.IQ3_S if iq2sm else GGMLType.Q2_K
+                return t
+            if "attn_output.weight" in name:
+                if self.n_expert == 8:
+                    return GGMLType.Q5_K
+                if t in (GGMLType.IQ1_S, GGMLType.IQ1_M):
+                    return GGMLType.IQ2_XXS
+                if iq2sm:
+                    return GGMLType.IQ3_S
+                return t
+            return t
+        if "attn_v.weight" in name:
+            i_v = self.i_attn_v
+            self.i_attn_v += 1
+            if self.n_expert == 8:
+                return GGMLType.Q8_0
+            if t == GGMLType.Q2_K:
+                return GGMLType.Q4_K if self.n_gqa >= 4 else GGMLType.Q3_K
+            if t == GGMLType.IQ3_XXS:
+                if self.n_gqa >= 4:
+                    return GGMLType.Q4_K
+                return (GGMLType.IQ3_XXS if self.has_imatrix
+                        else GGMLType.IQ3_S)
+            if t == GGMLType.IQ3_S and self.n_gqa >= 4:
+                return GGMLType.Q4_K
+            if t in (GGMLType.IQ4_NL, GGMLType.IQ4_XS) and self.n_gqa >= 4:
+                return GGMLType.Q5_K
+            if t in (GGMLType.Q4_K, GGMLType.Q5_K) and _use_more_bits(
+                    i_v, self.n_layers or 1):
+                return GGMLType.Q6_K
+            return t
+        if "attn_k.weight" in name:
+            if self.n_expert == 8:
+                return GGMLType.Q8_0
+            if t == GGMLType.IQ3_XXS:
+                return GGMLType.IQ2_S
+            return t
+        if "attn_q.weight" in name and t == GGMLType.IQ3_XXS:
+            return GGMLType.IQ2_S
+        if "ffn_down" in name:
+            i_layer, n_layer = _layer_of(name), self.n_layers or 1
+            if t == GGMLType.Q2_K:
+                return GGMLType.Q3_K
+            if t == GGMLType.IQ3_XXS and not self.has_imatrix:
+                return (GGMLType.Q4_K if i_layer < n_layer // 8
+                        else GGMLType.Q3_K)
+            if (t in (GGMLType.IQ4_NL, GGMLType.IQ4_XS)
+                    and i_layer < n_layer // 8 and not self.has_imatrix):
+                return GGMLType.Q5_K
+            if t == GGMLType.Q4_K and _use_more_bits(i_layer, n_layer):
+                return GGMLType.Q6_K
+            if t == GGMLType.Q5_K and _use_more_bits(i_layer, n_layer):
+                return GGMLType.Q6_K
+            return t
+        return t
+
+
+def pick_type(name: str, shape, target: GGMLType,
+              metadata: dict | None = None) -> GGMLType:
+    """Back-compat single-shot wrapper over TypePicker."""
+    return TypePicker(target, metadata).pick(name, shape)
 
 
 def quantize_file(src: str, dst: str, target: GGMLType, verbose=True,
@@ -68,9 +187,10 @@ def quantize_file(src: str, dst: str, target: GGMLType, verbose=True,
             w.add(k, v)
         w.add("general.file_type", np.uint32(int(target)))
         total_in = total_out = 0
+        picker = TypePicker(target, r.metadata, has_imatrix=bool(imx))
         for name, info in r.tensors.items():
             data = r.tensor_data(name)
-            t = pick_type(name, info.shape, target)
+            t = picker.pick(name, info.shape)
             qw = imx.get(name)
             if qw is not None and qw.shape[-1] != info.shape[-1]:
                 qw = None  # stale imatrix for a different model
