@@ -46,6 +46,8 @@ if os.environ.get("KCPP_BENCH_MODEL", "") == "13b":
     os.environ.setdefault("LIBTPU_INIT_ARGS",
                           "--xla_tpu_scoped_vmem_limit_kib=65536")
     os.environ.setdefault("KCPP_VMEM_BUDGET_MB", "48")
+    # one 13B param build (~80 s host rng + upload) serves all sections
+    os.environ.setdefault("KCPP_SYNTH_CACHE", "1")
 
 import jax
 import jax.numpy as jnp
@@ -187,7 +189,7 @@ def bench_model(cfg, latency: float, kind: str, scan: bool = True,
     _ = float(logits.sum())
     out["first_call_s"] = round(time.perf_counter() - t0, 2)
 
-    n_pre = 16
+    n_pre = 10
     t0 = time.perf_counter()
     for _ in range(n_pre - 1):
         logits, cache = prefill(params, ptoks, ppos, cache)
@@ -657,17 +659,8 @@ def main_13b(latency: float, kind: str):
         gc.collect()
     else:
         r["13b_skipped"] = "budget"
-    if time_left() > 120:
-        try:
-            r.update(bench_longctx(LLAMA2_13B, latency, kind, S=8192,
-                                   prefix="13b_8k"))
-        except Exception as e:
-            print(f"13b 8k bench skipped: {e!r}", file=sys.stderr)
-            r["13b_8k_error"] = repr(e)[:200]
-        emit()
-        gc.collect()
-    else:
-        r["13b_8k_skipped"] = "budget"
+    # 16K first (the round-5 standing milestone), then 70B slice, then 8K —
+    # value order under the sub-budget
     if time_left() > 120:
         try:
             r.update(bench_longctx(LLAMA2_13B, latency, kind, S=16384,
@@ -676,6 +669,7 @@ def main_13b(latency: float, kind: str):
             print(f"13b 16k bench skipped: {e!r}", file=sys.stderr)
             r["13b_16k_error"] = repr(e)[:200]
         emit()
+        gc.collect()
     else:
         r["13b_16k_skipped"] = "budget"
     # 70B-width slice rides in this subprocess: the 28672-wide down-proj
@@ -688,8 +682,19 @@ def main_13b(latency: float, kind: str):
             print(f"70b slice bench skipped: {e!r}", file=sys.stderr)
             r["70b_slice_error"] = repr(e)[:200]
         emit()
+        gc.collect()
     else:
         r["70b_slice_skipped"] = "budget"
+    if time_left() > 120:
+        try:
+            r.update(bench_longctx(LLAMA2_13B, latency, kind, S=8192,
+                                   prefix="13b_8k"))
+        except Exception as e:
+            print(f"13b 8k bench skipped: {e!r}", file=sys.stderr)
+            r["13b_8k_error"] = repr(e)[:200]
+        emit()
+    else:
+        r["13b_8k_skipped"] = "budget"
     emit()
 
 
@@ -805,7 +810,9 @@ def main():
     if (mode != "1b" and time_left() > 300
             and os.environ.get("KCPP_BENCH_13B", "1") == "1"):
         import subprocess
-        sub_budget = max(240, int(time_left()) - 240)  # leave room for 70B/7B
+        # the subprocess now carries 13B decode/16K/70B/8K — give it nearly
+        # everything that's left (7B is the lowest-value trailing section)
+        sub_budget = max(240, int(time_left()) - 90)
         env = dict(os.environ, KCPP_BENCH_MODEL="13b",
                    KCPP_BENCH_BUDGET_S=str(sub_budget))
         b13, out13 = {}, None

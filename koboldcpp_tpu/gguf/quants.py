@@ -211,8 +211,14 @@ def _make_qkx2(b: np.ndarray, w: np.ndarray, nmax: int, rmin: float, rdelta: flo
 
     cur_min = mn.copy()
     for step in range(nstep + 1):
-        isc = (np.float32(rmin + rdelta * step + nmax)) / rng
-        Laux = np.clip(_nearest_int(isc[:, None] * (b - mn[:, None])), 0, nmax)
+        # the reference MUTATES `min` when a candidate wins (make_qkx3_quants
+        # `min = this_min`), so subsequent candidates' iscale AND rounding
+        # reference the updated min — cur_min, not the initial mn. Missing
+        # this cost ~1.5% weighted error on imatrix Q4_K (round-5 audit).
+        rng_c = np.where(degenerate, np.float32(1.0), mx - cur_min)
+        isc = (np.float32(rmin + rdelta * step + nmax)) / rng_c
+        Laux = np.clip(_nearest_int(isc[:, None] * (b - cur_min[:, None])),
+                       0, nmax)
         Lf = Laux.astype(np.float32)
         sum_l = (w * Lf).sum(axis=-1)
         sum_l2 = (w * Lf * Lf).sum(axis=-1)

@@ -203,11 +203,23 @@ _MAKERS = {"q4_k": _rand_q4k, "q4_k_i8": _rand_q4k_i8, "q6_k": _rand_q6k,
            "q2_k_n4": _rand_q2k_n4}
 
 
+_PARAM_CACHE: dict = {}  # single entry; KCPP_SYNTH_CACHE=1 (bench 13B path)
+
+
 def synthetic_params(cfg: ModelConfig, kind: str = "q4_k", seed: int = 0) -> dict:
     """Build a full llama params pytree with synthetic weights.
 
     kind: "dense" | "q4_k" | "q6_k" | "q8_0" for the big matmul weights
-    (embeddings and norms stay dense, mirroring the GGUF loader)."""
+    (embeddings and norms stay dense, mirroring the GGUF loader).
+
+    KCPP_SYNTH_CACHE=1 memoizes the LAST build (13B-class generation is
+    ~80 s of host rng + upload; the bench's 13B subprocess reuses one param
+    set across its decode/16K/8K sections)."""
+    import os
+
+    key = (cfg.name, kind, seed)
+    if os.environ.get("KCPP_SYNTH_CACHE") == "1" and key in _PARAM_CACHE:
+        return _PARAM_CACHE[key]
     rng = np.random.default_rng(seed)
     C, F = cfg.hidden_size, cfg.intermediate_size
     qdim = cfg.n_heads * cfg.head_dim
@@ -242,4 +254,8 @@ def synthetic_params(cfg: ModelConfig, kind: str = "q4_k", seed: int = 0) -> dic
             layer.update(wq=big(qdim, C), wk=big(kvdim, C), wv=big(kvdim, C),
                          w_gate=big(F, C), w_up=big(F, C))
         params["layers"].append(layer)
+    if os.environ.get("KCPP_SYNTH_CACHE") == "1":
+        _PARAM_CACHE.clear()  # single entry: evict so two model sizes
+        #                       never sit in HBM together
+        _PARAM_CACHE[key] = params
     return params

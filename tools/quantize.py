@@ -29,10 +29,15 @@ TYPE_MAP = {
     "iq4_xs": GGMLType.IQ4_XS, "tq1_0": GGMLType.TQ1_0, "tq2_0": GGMLType.TQ2_0,
     "iq2_xxs": GGMLType.IQ2_XXS, "iq3_xxs": GGMLType.IQ3_XXS,
     "iq1_s": GGMLType.IQ1_S, "iq2_xs": GGMLType.IQ2_XS,
-    "iq2_s": GGMLType.IQ2_S, "iq2_m": GGMLType.IQ2_S,
+    # reference ftype semantics (llama_model_quantize_internal,
+    # src/llama.cpp:18356-18357): the IQ2_S FTYPE quantizes tensors at
+    # IQ2_XS with the IQ2_S-class bumps; IQ2_M uses IQ2_S tensors
+    "iq2_s": GGMLType.IQ2_XS, "iq2_m": GGMLType.IQ2_S,
     "iq3_s": GGMLType.IQ3_S, "iq3_m": GGMLType.IQ3_S,
     "iq1_m": GGMLType.IQ1_M,
 }
+# CLI names whose FTYPE takes the reference's IQ2_S/IQ2_M bump class
+_IQ2SM_FTYPES = ("iq2_s", "iq2_m")
 
 
 # the low-bit IQ ftype class the reference treats specially
@@ -65,7 +70,7 @@ class TypePicker:
     (QUALITY.md round 5)."""
 
     def __init__(self, target: GGMLType, metadata: dict | None = None,
-                 has_imatrix: bool = False):
+                 has_imatrix: bool = False, ftype: str = ""):
         md = metadata or {}
         arch = str(md.get("general.architecture", "llama"))
         heads = int(md.get(f"{arch}.attention.head_count", 0) or 0)
@@ -75,6 +80,8 @@ class TypePicker:
         self.n_layers = int(md.get(f"{arch}.block_count", 0) or 0)
         self.target = target
         self.has_imatrix = has_imatrix
+        self.ftype = ftype  # CLI ftype name; distinguishes iq2_s (IQ2_XS
+        #                     base + IQ2_S-class bumps) from plain iq2_xs
         self.i_attn_v = 0
 
     def pick(self, name: str, shape) -> GGMLType:
@@ -84,8 +91,9 @@ class TypePicker:
         if shape[-1] % 256:
             # can't K-quant this row length; fall back
             return GGMLType.Q8_0 if shape[-1] % 32 == 0 else GGMLType.F16
-        lowbit = t in _LOWBIT_IQ
-        iq2sm = t == GGMLType.IQ2_S  # covers the reference's IQ2_S/IQ2_M
+        iq2sm = (self.ftype in _IQ2SM_FTYPES
+                 or (not self.ftype and t == GGMLType.IQ2_S))
+        lowbit = t in _LOWBIT_IQ or iq2sm
         if name == "output.weight":
             if lowbit or t == GGMLType.IQ3_XXS:
                 return GGMLType.Q5_K
@@ -93,11 +101,11 @@ class TypePicker:
                 return GGMLType.Q6_K
             return t
         if name == "token_embd.weight":
+            if iq2sm or t in (GGMLType.IQ3_XXS, GGMLType.IQ3_S):
+                return GGMLType.IQ3_S
             if t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ1_S,
                      GGMLType.IQ1_M):
                 return GGMLType.Q2_K
-            if iq2sm or t in (GGMLType.IQ3_XXS, GGMLType.IQ3_S):
-                return GGMLType.IQ3_S
             if t in _BUMPABLE:
                 return GGMLType.Q6_K
             return t
@@ -149,6 +157,18 @@ class TypePicker:
             return t
         if "attn_q.weight" in name and t == GGMLType.IQ3_XXS:
             return GGMLType.IQ2_S
+        if "attn_output.weight" in name:
+            if self.n_expert == 8:
+                if t in (GGMLType.Q2_K, GGMLType.IQ3_XXS, GGMLType.Q3_K,
+                         GGMLType.Q4_K, GGMLType.IQ4_NL, GGMLType.IQ4_XS,
+                         GGMLType.IQ3_S):
+                    return GGMLType.Q5_K
+                return t
+            if t == GGMLType.Q2_K:
+                return GGMLType.Q3_K
+            if t == GGMLType.IQ3_XXS:
+                return GGMLType.IQ3_S
+            return t
         if "ffn_down" in name:
             i_layer, n_layer = _layer_of(name), self.n_layers or 1
             if t == GGMLType.Q2_K:
@@ -174,7 +194,7 @@ def pick_type(name: str, shape, target: GGMLType,
 
 
 def quantize_file(src: str, dst: str, target: GGMLType, verbose=True,
-                  imatrix: str | None = None):
+                  imatrix: str | None = None, ftype: str = ""):
     """imatrix: optional .npz of per-tensor column importance weights
     (tools/imatrix.py output) — enables the reference's weighted K-quant
     search (quantize_row_*_impl quant_weights, ggml-quants.c)."""
@@ -187,7 +207,8 @@ def quantize_file(src: str, dst: str, target: GGMLType, verbose=True,
             w.add(k, v)
         w.add("general.file_type", np.uint32(int(target)))
         total_in = total_out = 0
-        picker = TypePicker(target, r.metadata, has_imatrix=bool(imx))
+        picker = TypePicker(target, r.metadata, has_imatrix=bool(imx),
+                            ftype=ftype)
         for name, info in r.tensors.items():
             data = r.tensor_data(name)
             t = picker.pick(name, info.shape)
@@ -217,6 +238,7 @@ def main():
                     help=".npz importance matrix from tools/imatrix.py")
     args = ap.parse_args()
     quantize_file(args.input, args.output, TYPE_MAP[args.type],
+                  ftype=args.type,
                   imatrix=args.imatrix)
 
 
