@@ -351,14 +351,21 @@ def _q6k_logical_values(raw: np.ndarray, shape) -> tuple[np.ndarray, np.ndarray]
 
 def pack_q6_k_i8f(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     """Q6_K as full signed int8 (EXACT same decoded values, w = v*scale with
-    v = q-32): zero in-kernel expansion, one i8 MXU dot per row block."""
+    v = q-32): zero in-kernel expansion, one i8 MXU dot per row block.
+
+    Carries the DENSE layout's kernel fields alongside: T=1 decode streams
+    the expanded i8 plane, T>1 (batched decode / prefill) streams the dense
+    6.56 bpw fields through the existing kernels — per-path bandwidth at
+    the cost of holding both layouts resident (the q4_k multi-layout
+    QTensor precedent)."""
     q, scales = _q6k_logical_values(raw, shape)
     v = (q - 32).astype(np.int8)
-    return QTensor(kind="q6_k_i8f", shape=shape, data={
+    data = dict(pack_q6_k(raw, shape).data)
+    data.update({
         "q": jnp.asarray(v),
-        "scale": jnp.asarray(scales, dtype=jnp.bfloat16),
         "scale_t": jnp.asarray(scales.T.copy(), dtype=jnp.bfloat16),
     })
+    return QTensor(kind="q6_k_i8f", shape=shape, data=data)
 
 
 def _nibble_plane_split(q: np.ndarray) -> np.ndarray:
@@ -393,11 +400,13 @@ def pack_q3_k_n4(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
     # order: h-major j-minor -> logical (s, h, j, l)
     q = np.stack(planes, axis=2).reshape(rows, nsb, 2, 4, 32) \
         .reshape(rows, cols)
-    return QTensor(kind="q3_k_n4", shape=shape, data={
+    data = dict(pack_q3_k(raw, shape).data)  # dense fields for T>1 paths
+    data.update({
         "q": jnp.asarray(_nibble_plane_split(q)),
         "scale": jnp.asarray(scales, dtype=jnp.bfloat16),
         "scale_t": jnp.asarray(scales.T.copy(), dtype=jnp.bfloat16),
     })
+    return QTensor(kind="q3_k_n4", shape=shape, data=data)
 
 
 def pack_q2_k_n4(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
@@ -418,13 +427,15 @@ def pack_q2_k_n4(raw: np.ndarray, shape: tuple[int, int]) -> QTensor:
               for h in range(2) for j in range(4)]
     q = np.stack(planes, axis=2).reshape(rows, nsb, 2, 4, 32) \
         .reshape(rows, cols)
-    return QTensor(kind="q2_k_n4", shape=shape, data={
+    data = dict(pack_q2_k(raw, shape).data)  # dense fields for T>1 paths
+    data.update({
         "q": jnp.asarray(_nibble_plane_split(q)),
         "scale": jnp.asarray(scales, dtype=jnp.bfloat16),
         "scale_t": jnp.asarray(scales.T.copy(), dtype=jnp.bfloat16),
         "min": jnp.asarray(mins, dtype=jnp.bfloat16),
         "min_t": jnp.asarray(mins.T.copy(), dtype=jnp.bfloat16),
     })
+    return QTensor(kind="q2_k_n4", shape=shape, data=data)
 
 
 def _kq_packer(dense_fn, expanded_fn):

@@ -2055,11 +2055,21 @@ def matmul_packed(x: jnp.ndarray, qt: QTensor):
     if x2.dtype != jnp.bfloat16:
         x2 = x2.astype(jnp.bfloat16)
     if qt.kind in ("q6_k_i8f", "q3_k_n4", "q2_k_n4"):
-        # expanded serving layouts (VERDICT r4 item 7): T=1 matvec kernels
-        # only — prefill/batched fall back to the XLA dequant matmul.
+        # expanded serving layouts (VERDICT r4 item 7): T=1 streams the
+        # expanded plane through its matvec kernel; T>1 (batched decode /
+        # prefill) re-dispatches through the DENSE layout's kernels when the
+        # pack carried those fields (pack_*_n4 / pack_q6_k_i8f do; synthetic
+        # bench tensors don't), else XLA dequant serves.
         # Scratch bound: the full-width per-16 activation expansion is
         # (in/16, in) i8 (q6_k_i8f) / 2 x (in/32, in/2) (nibble kinds).
-        if x2.shape[0] != 1 or in_f % 256:
+        if x2.shape[0] != 1:
+            dense_kind = {"q6_k_i8f": "q6_k", "q3_k_n4": "q3_k",
+                          "q2_k_n4": "q2_k"}[qt.kind]
+            if all(n in qt.data for n in _FIELD_LISTS[dense_kind]):
+                return matmul_packed(
+                    x, QTensor(kind=dense_kind, shape=qt.shape, data=qt.data))
+            return None
+        if in_f % 256:
             return None
         if qt.kind == "q6_k_i8f":
             if (in_f // 16) * in_f > 6 * 1024 * 1024 or in_f // 16 < 8:

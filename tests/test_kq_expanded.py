@@ -56,15 +56,22 @@ def test_expanded_matvec_kernel(t, exp_pack):
     scale = np.abs(ref).max() + 1e-6
     err = np.abs(np.asarray(y, np.float32) - ref).max() / scale
     assert err < 0.03, err
-    # T>1 must fall back (no 2-D kernel for the expanded layouts): the dense
-    # dequant path still serves, through linear.matmul
+    # T>1 re-dispatches through the DENSE layout's fields (the pack carries
+    # both) — same numerics class as the dense kernels
     x8 = jnp.asarray((rng.standard_normal((8, wref.shape[1])) * 0.7)
                      .astype(np.float32), jnp.bfloat16)
-    assert quant_matmul.matmul_packed(x8, qt) is None
     y8 = linear.matmul(x8, qt)
     ref8 = np.asarray(x8, np.float32) @ wref.T
     err8 = np.abs(np.asarray(y8, np.float32) - ref8).max() / (np.abs(ref8).max() + 1e-6)
     assert err8 < 0.03, err8
+    # a stripped tensor (expanded fields only) still serves T>1 via dequant
+    slim = linear.QTensor(kind=qt.kind, shape=qt.shape, data={
+        k: v for k, v in qt.data.items()
+        if k in ("q", "scale", "scale_t", "min", "min_t")})
+    assert quant_matmul.matmul_packed(x8, slim) is None
+    y8b = linear.matmul(x8, slim)
+    err8b = np.abs(np.asarray(y8b, np.float32) - ref8).max() / (np.abs(ref8).max() + 1e-6)
+    assert err8b < 0.03, err8b
 
 
 def test_env_selects_expanded_layout(monkeypatch):
