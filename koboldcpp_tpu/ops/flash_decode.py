@@ -1015,11 +1015,20 @@ def _paged_cp():
     """Compiler params for the quantized paged kernels: a raised per-kernel
     VMEM limit (default 32 MiB) lets Mosaic double-buffer the page blocks
     more aggressively in-situ — measured +4% on 1.1B 16K paged-q8 decode
-    (544-548 vs 524-525 t/s, 3 runs each). KCPP_PAGED_VMEM_MB overrides."""
+    (544-548 vs 524-525 t/s, 3 runs each). KCPP_PAGED_VMEM_MB overrides.
+    Never caps BELOW a larger process-wide scoped-VMEM limit (the 13B bench
+    subprocess runs with 64 MiB via LIBTPU_INIT_ARGS)."""
     import os
+    import re as _re
 
     mb = int(os.environ.get("KCPP_PAGED_VMEM_MB", "32") or 0)
-    return pltpu.CompilerParams(vmem_limit_bytes=mb << 20) if mb else None
+    if not mb:
+        return None
+    m = _re.search(r"scoped_vmem_limit_kib=(\d+)",
+                   os.environ.get("LIBTPU_INIT_ARGS", ""))
+    if m:
+        mb = max(mb, int(m.group(1)) >> 10)
+    return pltpu.CompilerParams(vmem_limit_bytes=mb << 20)
 
 
 # ---------------------------------------------------------------------------
