@@ -359,7 +359,7 @@ def bench_model(cfg, latency: float, kind: str, scan: bool = True,
 
 def bench_longctx(cfg, latency: float, kind: str, S: int = 16384,
                   n_decode: int = 128, prefix: str | None = None,
-                  quant: str = "q8") -> dict:
+                  quant: str = "q8", page_size: int = 0) -> dict:
     """BASELINE config-3 shape: long-context decode over the PAGED pool with
     quantized KV — measures the paged flash-decode kernel's DMA clamping
     at real context depth (VERDICT r2 weak #8). quant: "q8" | "q4"."""
@@ -373,10 +373,11 @@ def bench_longctx(cfg, latency: float, kind: str, S: int = 16384,
     # VMEM bounds the block: ~8 double-buffered (P, KD) buffers must fit
     # scoped VMEM, so wide-KD (MHA 13B-class) models cap the page smaller.
     KD = cfg.n_kv_heads * cfg.head_dim
-    # q4 tiles are half the bytes per token: the same VMEM budget affords
-    # 2x the page, halving the per-page fixed cost for wide-KD models
-    budget = 3_000_000 if quant == "q4" else 1_500_000
-    page_size = min(1024, max(256, (budget // KD) // 256 * 256))
+    if not page_size:
+        # q4 tiles are half the bytes per token: the same VMEM budget
+        # affords bigger pages (13B 16K q4: P=512 -> 58.5%, P=1024 -> 59.7%)
+        budget = 6_000_000 if quant == "q4" else 1_500_000
+        page_size = min(1024, max(256, (budget // KD) // 256 * 256))
     n_pages = S // page_size + 2
     params = synthetic_params(cfg, kind=kind, seed=0)
     pcache = init_paged_cache(cfg.n_layers, n_pages, page_size,
