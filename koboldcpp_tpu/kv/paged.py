@@ -47,9 +47,15 @@ class PagedKVCache:
     #                       bandwidth lost — measured 558 vs 746 GB/s
     #                       streaming 256 B-minor vs 1 KiB-minor int8).
     v: tuple
-    k_scale: tuple        # L x (NP*P, H) bf16; dummy (1,) when not quantized
-    v_scale: tuple        # (scale sidecars keep the row layout in BOTH
-    #                       k/v layouts — they are ~3% of the KV bytes)
+    k_scale: tuple        # L x (NP*HS, P) bf16; dummy (1,) when not quantized.
+    v_scale: tuple        # TRANSPOSED page tiles: page p owns rows
+    #                       [p*HS, (p+1)*HS), token t is COLUMN t, row h is
+    #                       kv-head h's scale; HS = Hkv rounded up to 16
+    #                       (bf16 sublane tile). A (rows, Hkv) row layout
+    #                       lane-pads Hkv -> 128 in every DMA: at Hkv=4
+    #                       that 32x bloat DOUBLED the attention kernel's
+    #                       HBM traffic (measured 321 vs 582 GB/s in-situ,
+    #                       PERF_NOTES round-5 16K dissection).
     page_size: int
     quantized: bool
     heads: int = 0        # n_kv_heads
@@ -70,6 +76,11 @@ class PagedKVCache:
             return self.k[0].shape[0] // self.kd
         return self.k[0].shape[0] // self.page_size
 
+    @property
+    def scale_rows(self) -> int:
+        """Per-page sublane rows of the transposed scale tiles."""
+        return _scale_rows(self.heads)
+
     def with_layer(self, layer: int, k, v, k_scale=None, v_scale=None):
         """Functional single-layer replacement preserving metadata."""
         return PagedKVCache(
@@ -80,6 +91,12 @@ class PagedKVCache:
                      else _rep(self.v_scale, layer, v_scale)),
             page_size=self.page_size, quantized=self.quantized,
             heads=self.heads, bits=self.bits, kd=self.kd)
+
+
+def _scale_rows(n_kv_heads: int) -> int:
+    """Hkv rounded up to the bf16 sublane tile (16 rows): transposed scale
+    pages must start on a tile boundary for clean Mosaic block DMA."""
+    return -(-n_kv_heads // 16) * 16
 
 
 def init_paged_cache(n_layers: int, n_pages: int, page_size: int,
@@ -96,16 +113,17 @@ def init_paged_cache(n_layers: int, n_pages: int, page_size: int,
         bits = 4 if quantized in ("q4", 4) else 8
         kd = n_kv_heads * head_dim
         kdq = kd // 2 if bits == 4 else kd
-        nrows = n_pages * page_size
         col = kdq < 1024 and kdq % 8 == 0 and page_size % 128 == 0
         vdt = jnp.uint8 if bits == 4 else jnp.int8
-        kv_shape = (n_pages * kdq, page_size) if col else (nrows, kdq)
+        kv_shape = (n_pages * kdq, page_size) if col else \
+            (n_pages * page_size, kdq)
+        hs = _scale_rows(n_kv_heads)
         return PagedKVCache(
             k=tuple(jnp.zeros(kv_shape, vdt) for _ in range(n_layers)),
             v=tuple(jnp.zeros(kv_shape, vdt) for _ in range(n_layers)),
-            k_scale=tuple(jnp.zeros((nrows, n_kv_heads), jnp.bfloat16)
+            k_scale=tuple(jnp.zeros((n_pages * hs, page_size), jnp.bfloat16)
                           for _ in range(n_layers)),
-            v_scale=tuple(jnp.zeros((nrows, n_kv_heads), jnp.bfloat16)
+            v_scale=tuple(jnp.zeros((n_pages * hs, page_size), jnp.bfloat16)
                           for _ in range(n_layers)),
             page_size=page_size, quantized=True, heads=n_kv_heads, bits=bits,
             kd=kdq if col else 0)
@@ -177,13 +195,13 @@ def write(cache: PagedKVCache, layer: int, page_table: jnp.ndarray,
         quant = _quantize_q4 if cache.bits == 4 else _quantize_q8
         qk, sk = quant(k_new)
         qv, sv = quant(v_new)
+        NP = cache.n_pages
+        pg = jnp.where(valid, gpage, NP).reshape(-1)          # OOB -> dropped
+        off = offset.reshape(-1)
         if cache.col:
             # column layout: token t of page p is column t of the (kd, P)
             # tile at rows [p*kd, (p+1)*kd)
             kd = cache.kd
-            NP = cache.n_pages
-            pg = jnp.where(valid, gpage, NP).reshape(-1)      # OOB -> dropped
-            off = offset.reshape(-1)
             qk2 = qk.reshape(B * T, kd)
             qv2 = qv.reshape(B * T, kd)
             k3 = cache.k[layer].reshape(NP, kd, P)
@@ -193,8 +211,17 @@ def write(cache: PagedKVCache, layer: int, page_table: jnp.ndarray,
         else:
             k = cache.k[layer].at[rows].set(qk.reshape(B, T, -1), mode="drop")
             v = cache.v[layer].at[rows].set(qv.reshape(B, T, -1), mode="drop")
-        ks = cache.k_scale[layer].at[rows].set(sk, mode="drop")
-        vs = cache.v_scale[layer].at[rows].set(sv, mode="drop")
+        # transposed scale tiles: token t is column t of page pg's (HS, P)
+        # tile (rows [pg*HS, (pg+1)*HS)); heads pad to HS with zeros
+        HS = cache.scale_rows
+        H = cache.heads
+        pad = [(0, 0), (0, HS - H)]
+        sk2 = jnp.pad(sk.reshape(B * T, H), pad)
+        sv2 = jnp.pad(sv.reshape(B * T, H), pad)
+        ks3 = cache.k_scale[layer].reshape(NP, HS, P)
+        vs3 = cache.v_scale[layer].reshape(NP, HS, P)
+        ks = ks3.at[pg, :, off].set(sk2, mode="drop").reshape(NP * HS, P)
+        vs = vs3.at[pg, :, off].set(sv2, mode="drop").reshape(NP * HS, P)
         return cache.with_layer(layer, k, v, ks, vs)
     k = cache.k[layer].at[rows].set(
         k_new.reshape(B, T, -1).astype(jnp.bfloat16), mode="drop")
@@ -230,8 +257,12 @@ def gather(cache: PagedKVCache, layer: int,
     k = k.reshape(B, MP * P, H, KD // H)
     v = v.reshape(B, MP * P, H, KD // H)
     if cache.quantized:
-        ks = cache.k_scale[layer][rows]  # (B, MP*P, H)
-        vs = cache.v_scale[layer][rows]
+        # transposed scale tiles -> (B, MP*P, H)
+        HS = cache.scale_rows
+        ks3 = cache.k_scale[layer].reshape(cache.n_pages, HS, P)
+        vs3 = cache.v_scale[layer].reshape(cache.n_pages, HS, P)
+        ks = jnp.swapaxes(ks3[tab], 2, 3)[..., :H].reshape(B, MP * P, H)
+        vs = jnp.swapaxes(vs3[tab], 2, 3)[..., :H].reshape(B, MP * P, H)
         if cache.bits == 4:
             return _dequantize_q4(k, ks), _dequantize_q4(v, vs)
         k = (k.astype(jnp.float32) * ks.astype(jnp.float32)[..., None]

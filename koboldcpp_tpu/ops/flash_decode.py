@@ -793,13 +793,18 @@ def decode_attention_paged(q: jnp.ndarray, k_new: jnp.ndarray,
 def _pq8kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref, vqn_ref,
                ksn_ref, vsn_ref, k_ref, v_ref, ks_ref, vs_ref,
                o_ref, ko_ref, vo_ref, kso_ref, vso_ref, m_ref, l_ref, acc_ref,
-               *, H: int, Hkv: int, D: int, P: int, scale: float,
+               *, H: int, Hkv: int, HS: int, D: int, P: int, scale: float,
                softcap: float):
     """Paged Q8 decode attention: _pkernel's page addressing with _bqkernel's
     int8 block dequant (cast + per-row scale expansion through an (Hkv, KD)
     0/1 dot) and quantized write-block insert. The XLA fallback this replaces
     gathered + dequantized the WHOLE context per layer per step (profiled at
-    ~2.2 ms/step of fusion+copy at 16K on 1.1B)."""
+    ~2.2 ms/step of fusion+copy at 16K on 1.1B).
+
+    Scale sidecars are TRANSPOSED (HS, P) page tiles (kv/paged.py): token t
+    is column t, row h is kv-head h's scale, HS = Hkv rounded up to the bf16
+    sublane tile. A (P, Hkv) block lane-pads Hkv -> 128 in the DMA — at
+    Hkv=4 that doubled the kernel's HBM traffic (round-5 16K dissection)."""
     s = pl.program_id(1)
     n_blocks = pl.num_programs(1)
     b = pl.program_id(0)
@@ -807,11 +812,6 @@ def _pq8kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref, vqn_ref,
     G = H // Hkv
     pos = pos_ref[b]
     wblk = jnp.minimum(pos // P, n_blocks - 1)
-
-    def head_expand():
-        hidx = jax.lax.broadcasted_iota(jnp.int32, (Hkv, KD), 0)
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (Hkv, KD), 1) // D
-        return (hidx == cidx).astype(jnp.bfloat16)
 
     @pl.when(s == wblk)
     def _write():
@@ -823,11 +823,11 @@ def _pq8kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref, vqn_ref,
                               k_ref[:])
         vo_ref[:] = jnp.where(sel, jnp.broadcast_to(vqn_ref[0], (P, KD)),
                               v_ref[:])
-        rids = jax.lax.broadcasted_iota(jnp.int32, (P, Hkv), 0)
-        sels = (rids == row) & in_range
-        kso_ref[:] = jnp.where(sels, jnp.broadcast_to(ksn_ref[0], (P, Hkv)),
+        cids = jax.lax.broadcasted_iota(jnp.int32, (HS, P), 1)
+        sels = (cids == row) & in_range
+        kso_ref[:] = jnp.where(sels, jnp.broadcast_to(ksn_ref[0], (HS, P)),
                                ks_ref[:])
-        vso_ref[:] = jnp.where(sels, jnp.broadcast_to(vsn_ref[0], (P, Hkv)),
+        vso_ref[:] = jnp.where(sels, jnp.broadcast_to(vsn_ref[0], (HS, P)),
                                vs_ref[:])
 
     def qexp_mask():
@@ -846,18 +846,19 @@ def _pq8kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref, vqn_ref,
         # per-row q8 scales apply to the SMALL (H, P) score/weight matrices,
         # not the (P, KD) value planes: for head h only kv-head h//G's
         # columns survive the group masking, so scores[h, p] scales by
-        # ks[p, h//G] and the softmax weights by vs[p, h//G] EXACTLY —
+        # ks[h//G, p] and the softmax weights by vs[h//G, p] EXACTLY —
         # dequant reduces to a plain i8->bf16 cast (the old (P, Hkv)@(Hkv,
         # KD) expansion dots cost ~105 M MAC/step at 13B: ~3 ms of the 23 ms
-        # 8K step).
-        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 0) // G
-        kidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 1)
-        Eh = (hidx == kidx).astype(jnp.bfloat16)   # (H, Hkv) 0/1
+        # 8K step). Transposed (HS, P) tiles expand through one (H, HS) 0/1
+        # dot; padded rows >= Hkv never match hidx and contribute zero.
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, HS), 0) // G
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (H, HS), 1)
+        Eh = (hidx == kidx).astype(jnp.bfloat16)   # (H, HS) 0/1
         ksx = jax.lax.dot_general(
-            Eh, ks_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            Eh, ks_ref[:].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)    # (H, P)
         vsx = jax.lax.dot_general(
-            Eh, vs_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            Eh, vs_ref[:].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         kd = k_ref[:].astype(jnp.bfloat16)         # (P, KD) pure cast
         vd = v_ref[:].astype(jnp.bfloat16)
@@ -926,7 +927,8 @@ def decode_attention_paged_q8(q: jnp.ndarray, k_new: jnp.ndarray,
                               interpret: bool = False):
     """q: (B, H, D); k_new/v_new: (B, Hkv, D) bf16 (unquantized);
     k_pool/v_pool: (NP*P, Hkv*D) int8 fused page pools; ks/vs_pool:
-    (NP*P, Hkv) bf16 per-row per-head scales; page_table: (B, MP) int32;
+    (NP*HS, P) bf16 TRANSPOSED per-head scale tiles (kv/paged.py);
+    page_table: (B, MP) int32;
     positions: (B,). Quantizes the new row here (kv/paged.py _quantize_q8
     semantics — per-(row, head) amax/127) and uses the dequantized values
     for the self term, so results match the write-then-gather XLA path.
@@ -938,16 +940,18 @@ def decode_attention_paged_q8(q: jnp.ndarray, k_new: jnp.ndarray,
     D = KD // Hkv
     MP = page_table.shape[1]
     NP = k_pool.shape[0] // P
+    HS = ks_pool.shape[0] // NP   # transposed scale tile rows (kv/paged.py)
 
-    def q8(x):  # (B, Hkv, D) -> int8 (B, 1, KD), scale (B, 1, Hkv), deq
+    def q8(x):  # (B, Hkv, D) -> int8 (B, 1, KD), scale col (B, HS, 1), deq
         amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
         sc = amax / 127.0
         inv = jnp.where(sc > 0, 1.0 / sc, 0.0)
         qv = jnp.round(x.astype(jnp.float32) * inv[..., None]).astype(jnp.int8)
         deq = (qv.astype(jnp.float32)
                * sc.astype(jnp.bfloat16).astype(jnp.float32)[..., None])
+        scp = jnp.pad(sc.astype(jnp.bfloat16), ((0, 0), (0, HS - Hkv)))
         return (qv.reshape(B, 1, KD),
-                sc.astype(jnp.bfloat16).reshape(B, 1, Hkv),
+                scp.reshape(B, HS, 1),
                 deq.astype(jnp.bfloat16).reshape(B, 1, KD))
 
     kq, ksn, kdq = q8(k_new)
@@ -973,24 +977,24 @@ def decode_attention_paged_q8(q: jnp.ndarray, k_new: jnp.ndarray,
                   pl.BlockSpec((1, 1, KD), bmap3),
                   pl.BlockSpec((1, 1, KD), bmap3),
                   pl.BlockSpec((1, 1, KD), bmap3),
-                  pl.BlockSpec((1, 1, Hkv), bmap3),
-                  pl.BlockSpec((1, 1, Hkv), bmap3),
+                  pl.BlockSpec((1, HS, 1), bmap3),
+                  pl.BlockSpec((1, HS, 1), bmap3),
                   pl.BlockSpec((P, KD), kv_map),
                   pl.BlockSpec((P, KD), kv_map),
-                  pl.BlockSpec((P, Hkv), kv_map),
-                  pl.BlockSpec((P, Hkv), kv_map)],
+                  pl.BlockSpec((HS, P), kv_map),
+                  pl.BlockSpec((HS, P), kv_map)],
         out_specs=[pl.BlockSpec((1, H, D), bmap3),
                    pl.BlockSpec((P, KD), w_map),
                    pl.BlockSpec((P, KD), w_map),
-                   pl.BlockSpec((P, Hkv), w_map),
-                   pl.BlockSpec((P, Hkv), w_map)],
+                   pl.BlockSpec((HS, P), w_map),
+                   pl.BlockSpec((HS, P), w_map)],
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, KD), jnp.float32)],
     )
     out, k2, v2, ks2, vs2 = pl.pallas_call(
-        functools.partial(_pq8kernel, H=H, Hkv=Hkv, D=D, P=P, scale=scale,
-                          softcap=softcap),
+        functools.partial(_pq8kernel, H=H, Hkv=Hkv, HS=HS, D=D, P=P,
+                          scale=scale, softcap=softcap),
         compiler_params=_paged_cp(),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, H, D), jnp.float32),
@@ -1038,17 +1042,19 @@ def _paged_cp():
 # (P, 256 B) rows (measured 558 vs 746 GB/s on v5e).  Same math as the row
 # kernels; the new token inserts as a COLUMN, and the score/output dots
 # contract the KD axis directly from the (KD, P) tile (no in-kernel
-# transpose anywhere).  Scale sidecars keep the row layout (~3% of bytes).
+# transpose anywhere).  Scale sidecars are transposed (HS, P) page tiles in
+# BOTH value layouts (kv/paged.py) — a (rows, Hkv) layout lane-pads Hkv to
+# 128 in every DMA, which at Hkv=4 DOUBLED the kernel's HBM traffic.
 # ---------------------------------------------------------------------------
 
 def _pq8c_kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref,
                  vqn_ref, ksn_ref, vsn_ref, k_ref, v_ref, ks_ref, vs_ref,
                  o_ref, ko_ref, vo_ref, kso_ref, vso_ref, m_ref, l_ref,
-                 acc_ref, *, H: int, Hkv: int, D: int, P: int, scale: float,
-                 softcap: float):
+                 acc_ref, *, H: int, Hkv: int, HS: int, D: int, P: int,
+                 scale: float, softcap: float):
     """Column-layout paged Q8 decode attention (see _pq8kernel for the
     scheme; k/v blocks are (KD, P) tiles, new rows arrive as (KD, 1)
-    columns)."""
+    columns, scale sidecars are transposed (HS, P) tiles)."""
     s = pl.program_id(1)
     n_blocks = pl.num_programs(1)
     b = pl.program_id(0)
@@ -1067,11 +1073,11 @@ def _pq8c_kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref,
                               k_ref[:])
         vo_ref[:] = jnp.where(sel, jnp.broadcast_to(vqn_ref[0], (KD, P)),
                               v_ref[:])
-        rids = jax.lax.broadcasted_iota(jnp.int32, (P, Hkv), 0)
-        sels = (rids == colpos) & in_range
-        kso_ref[:] = jnp.where(sels, jnp.broadcast_to(ksn_ref[0], (P, Hkv)),
+        cids = jax.lax.broadcasted_iota(jnp.int32, (HS, P), 1)
+        sels = (cids == colpos) & in_range
+        kso_ref[:] = jnp.where(sels, jnp.broadcast_to(ksn_ref[0], (HS, P)),
                                ks_ref[:])
-        vso_ref[:] = jnp.where(sels, jnp.broadcast_to(vsn_ref[0], (P, Hkv)),
+        vso_ref[:] = jnp.where(sels, jnp.broadcast_to(vsn_ref[0], (HS, P)),
                                vs_ref[:])
 
     def qexp_mask():
@@ -1087,14 +1093,14 @@ def _pq8c_kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref,
 
     @pl.when(s * P < pos)
     def _compute():
-        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 0) // G
-        kidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 1)
-        Eh = (hidx == kidx).astype(jnp.bfloat16)   # (H, Hkv) 0/1
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, HS), 0) // G
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (H, HS), 1)
+        Eh = (hidx == kidx).astype(jnp.bfloat16)   # (H, HS) 0/1
         ksx = jax.lax.dot_general(
-            Eh, ks_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            Eh, ks_ref[:].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)    # (H, P)
         vsx = jax.lax.dot_general(
-            Eh, vs_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            Eh, vs_ref[:].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         kd = k_ref[:].astype(jnp.bfloat16)         # (KD, P) pure cast
         vd = v_ref[:].astype(jnp.bfloat16)
@@ -1171,16 +1177,18 @@ def decode_attention_paged_q8c(q: jnp.ndarray, k_new: jnp.ndarray,
     D = q.shape[2]
     MP = page_table.shape[1]
     NP = k_pool.shape[0] // KD
+    HS = ks_pool.shape[0] // NP   # transposed scale tile rows (kv/paged.py)
 
-    def q8(x):  # (B, Hkv, D) -> int8 col (B, KD, 1), scale (B, 1, Hkv), deq
+    def q8(x):  # (B, Hkv, D) -> int8 col (B, KD, 1), scale col (B, HS, 1)
         amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
         sc = amax / 127.0
         inv = jnp.where(sc > 0, 1.0 / sc, 0.0)
         qv = jnp.round(x.astype(jnp.float32) * inv[..., None]).astype(jnp.int8)
         deq = (qv.astype(jnp.float32)
                * sc.astype(jnp.bfloat16).astype(jnp.float32)[..., None])
+        scp = jnp.pad(sc.astype(jnp.bfloat16), ((0, 0), (0, HS - Hkv)))
         return (qv.reshape(B, KD, 1),
-                sc.astype(jnp.bfloat16).reshape(B, 1, Hkv),
+                scp.reshape(B, HS, 1),
                 deq.astype(jnp.bfloat16).reshape(B, 1, KD))
 
     kq, ksn, kdq = q8(k_new)
@@ -1205,24 +1213,24 @@ def decode_attention_paged_q8c(q: jnp.ndarray, k_new: jnp.ndarray,
                   pl.BlockSpec((1, 1, KD), bmap3),
                   pl.BlockSpec((1, KD, 1), bmap3),
                   pl.BlockSpec((1, KD, 1), bmap3),
-                  pl.BlockSpec((1, 1, Hkv), bmap3),
-                  pl.BlockSpec((1, 1, Hkv), bmap3),
+                  pl.BlockSpec((1, HS, 1), bmap3),
+                  pl.BlockSpec((1, HS, 1), bmap3),
                   pl.BlockSpec((KD, P), kv_map),
                   pl.BlockSpec((KD, P), kv_map),
-                  pl.BlockSpec((P, Hkv), kv_map),
-                  pl.BlockSpec((P, Hkv), kv_map)],
+                  pl.BlockSpec((HS, P), kv_map),
+                  pl.BlockSpec((HS, P), kv_map)],
         out_specs=[pl.BlockSpec((1, H, D), bmap3),
                    pl.BlockSpec((KD, P), w_map),
                    pl.BlockSpec((KD, P), w_map),
-                   pl.BlockSpec((P, Hkv), w_map),
-                   pl.BlockSpec((P, Hkv), w_map)],
+                   pl.BlockSpec((HS, P), w_map),
+                   pl.BlockSpec((HS, P), w_map)],
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, KD), jnp.float32)],
     )
     out, k2, v2, ks2, vs2 = pl.pallas_call(
-        functools.partial(_pq8c_kernel, H=H, Hkv=Hkv, D=D, P=P, scale=scale,
-                          softcap=softcap),
+        functools.partial(_pq8c_kernel, H=H, Hkv=Hkv, HS=HS, D=D, P=P,
+                          scale=scale, softcap=softcap),
         compiler_params=_paged_cp(),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, H, D), jnp.float32),
@@ -1247,8 +1255,8 @@ def decode_attention_paged_q8c(q: jnp.ndarray, k_new: jnp.ndarray,
 def _pq4c_kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref,
                  vqn_ref, ksn_ref, vsn_ref, k_ref, v_ref, ks_ref, vs_ref,
                  o_ref, ko_ref, vo_ref, kso_ref, vso_ref, m_ref, l_ref,
-                 acc_ref, *, H: int, Hkv: int, D: int, P: int, scale: float,
-                 softcap: float):
+                 acc_ref, *, H: int, Hkv: int, HS: int, D: int, P: int,
+                 scale: float, softcap: float):
     """Column-layout paged Q4 decode attention: (KD2, P) packed-nibble
     tiles; unpack = two VPU ops + a SUBLANE concat producing (KD, P) in
     plane order (see _pq4kernel for the plane-order masks/fold-back)."""
@@ -1272,11 +1280,11 @@ def _pq4c_kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref,
                               k_ref[:])
         vo_ref[:] = jnp.where(sel, jnp.broadcast_to(vqn_ref[0], (KD2, P)),
                               v_ref[:])
-        rids = jax.lax.broadcasted_iota(jnp.int32, (P, Hkv), 0)
-        sels = (rids == colpos) & in_range
-        kso_ref[:] = jnp.where(sels, jnp.broadcast_to(ksn_ref[0], (P, Hkv)),
+        cids = jax.lax.broadcasted_iota(jnp.int32, (HS, P), 1)
+        sels = (cids == colpos) & in_range
+        kso_ref[:] = jnp.where(sels, jnp.broadcast_to(ksn_ref[0], (HS, P)),
                                ks_ref[:])
-        vso_ref[:] = jnp.where(sels, jnp.broadcast_to(vsn_ref[0], (P, Hkv)),
+        vso_ref[:] = jnp.where(sels, jnp.broadcast_to(vsn_ref[0], (HS, P)),
                                vs_ref[:])
 
     def plane_masks():
@@ -1300,14 +1308,14 @@ def _pq4c_kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref,
 
     @pl.when(s * P < pos)
     def _compute():
-        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 0) // G
-        kidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 1)
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, HS), 0) // G
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (H, HS), 1)
         Eh = (hidx == kidx).astype(jnp.bfloat16)
         ksx = jax.lax.dot_general(
-            Eh, ks_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            Eh, ks_ref[:].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)    # (H, P)
         vsx = jax.lax.dot_general(
-            Eh, vs_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            Eh, vs_ref[:].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         p8 = k_ref[:].astype(jnp.int32)            # (KD2, P)
         kd = jnp.concatenate([(p8 & 0xF) - 8, (p8 >> 4) - 8],
@@ -1383,8 +1391,9 @@ def decode_attention_paged_q4c(q: jnp.ndarray, k_new: jnp.ndarray,
     D2 = D // 2
     MP = page_table.shape[1]
     NP = k_pool.shape[0] // KD2
+    HS = ks_pool.shape[0] // NP   # transposed scale tile rows (kv/paged.py)
 
-    def q4(x):  # (B, Hkv, D) -> packed col (B, KD2, 1), scale, deq-planes
+    def q4(x):  # (B, Hkv, D) -> packed col (B, KD2, 1), scale col, deq-planes
         from ..kv.paged import _quantize_q4
 
         packed, sc = _quantize_q4(x)           # (B, Hkv, D2) u8, (B, Hkv)
@@ -1395,8 +1404,9 @@ def decode_attention_paged_q4c(q: jnp.ndarray, k_new: jnp.ndarray,
         deq_lo = (lo.astype(jnp.float32) * scf).reshape(B, KD2)
         deq_hi = (hi.astype(jnp.float32) * scf).reshape(B, KD2)
         deq = jnp.concatenate([deq_lo, deq_hi], axis=-1)  # plane order
+        scp = jnp.pad(sc, ((0, 0), (0, HS - Hkv)))
         return (packed.reshape(B, KD2, 1),
-                sc.reshape(B, 1, Hkv),
+                scp.reshape(B, HS, 1),
                 deq.astype(jnp.bfloat16).reshape(B, 1, KD))
 
     kq, ksn, kdq = q4(k_new)
@@ -1421,24 +1431,24 @@ def decode_attention_paged_q4c(q: jnp.ndarray, k_new: jnp.ndarray,
                   pl.BlockSpec((1, 1, KD), bmap3),
                   pl.BlockSpec((1, KD2, 1), bmap3),
                   pl.BlockSpec((1, KD2, 1), bmap3),
-                  pl.BlockSpec((1, 1, Hkv), bmap3),
-                  pl.BlockSpec((1, 1, Hkv), bmap3),
+                  pl.BlockSpec((1, HS, 1), bmap3),
+                  pl.BlockSpec((1, HS, 1), bmap3),
                   pl.BlockSpec((KD2, P), kv_map),
                   pl.BlockSpec((KD2, P), kv_map),
-                  pl.BlockSpec((P, Hkv), kv_map),
-                  pl.BlockSpec((P, Hkv), kv_map)],
+                  pl.BlockSpec((HS, P), kv_map),
+                  pl.BlockSpec((HS, P), kv_map)],
         out_specs=[pl.BlockSpec((1, H, D), bmap3),
                    pl.BlockSpec((KD2, P), w_map),
                    pl.BlockSpec((KD2, P), w_map),
-                   pl.BlockSpec((P, Hkv), w_map),
-                   pl.BlockSpec((P, Hkv), w_map)],
+                   pl.BlockSpec((HS, P), w_map),
+                   pl.BlockSpec((HS, P), w_map)],
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, KD), jnp.float32)],
     )
     out, k2, v2, ks2, vs2 = pl.pallas_call(
-        functools.partial(_pq4c_kernel, H=H, Hkv=Hkv, D=D, P=P, scale=scale,
-                          softcap=softcap),
+        functools.partial(_pq4c_kernel, H=H, Hkv=Hkv, HS=HS, D=D, P=P,
+                          scale=scale, softcap=softcap),
         compiler_params=_paged_cp(),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, H, D), jnp.float32),
@@ -1465,7 +1475,7 @@ def decode_attention_paged_q4c(q: jnp.ndarray, k_new: jnp.ndarray,
 def _pq4kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref, vqn_ref,
                ksn_ref, vsn_ref, k_ref, v_ref, ks_ref, vs_ref,
                o_ref, ko_ref, vo_ref, kso_ref, vso_ref, m_ref, l_ref, acc_ref,
-               *, H: int, Hkv: int, D: int, P: int, scale: float,
+               *, H: int, Hkv: int, HS: int, D: int, P: int, scale: float,
                softcap: float):
     """Paged Q4 decode attention (plane-split nibbles, kv/paged.py
     _quantize_q4): cache blocks are (P, KD//2) uint8 where byte i of a
@@ -1498,11 +1508,11 @@ def _pq4kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref, vqn_ref,
                               k_ref[:])
         vo_ref[:] = jnp.where(sel, jnp.broadcast_to(vqn_ref[0], (P, KD2)),
                               v_ref[:])
-        rids = jax.lax.broadcasted_iota(jnp.int32, (P, Hkv), 0)
-        sels = (rids == row) & in_range
-        kso_ref[:] = jnp.where(sels, jnp.broadcast_to(ksn_ref[0], (P, Hkv)),
+        cids = jax.lax.broadcasted_iota(jnp.int32, (HS, P), 1)
+        sels = (cids == row) & in_range
+        kso_ref[:] = jnp.where(sels, jnp.broadcast_to(ksn_ref[0], (HS, P)),
                                ks_ref[:])
-        vso_ref[:] = jnp.where(sels, jnp.broadcast_to(vsn_ref[0], (P, Hkv)),
+        vso_ref[:] = jnp.where(sels, jnp.broadcast_to(vsn_ref[0], (HS, P)),
                                vs_ref[:])
 
     def plane_masks():
@@ -1532,14 +1542,14 @@ def _pq4kernel(pos_ref, tab_ref, q_ref, knew_ref, vnew_ref, kqn_ref, vqn_ref,
     @pl.when(s * P < pos)
     def _compute():
         # score-side per-(row, head) scales, exactly like _pq8kernel
-        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 0) // G
-        kidx = jax.lax.broadcasted_iota(jnp.int32, (H, Hkv), 1)
-        Eh = (hidx == kidx).astype(jnp.bfloat16)   # (H, Hkv) 0/1
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (H, HS), 0) // G
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (H, HS), 1)
+        Eh = (hidx == kidx).astype(jnp.bfloat16)   # (H, HS) 0/1
         ksx = jax.lax.dot_general(
-            Eh, ks_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            Eh, ks_ref[:].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)    # (H, P)
         vsx = jax.lax.dot_general(
-            Eh, vs_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            Eh, vs_ref[:].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         p8 = k_ref[:].astype(jnp.int32)            # (P, KD2) packed
         kd = jnp.concatenate([(p8 & 0xF) - 8, (p8 >> 4) - 8],
@@ -1608,8 +1618,9 @@ def decode_attention_paged_q4(q: jnp.ndarray, k_new: jnp.ndarray,
                               interpret: bool = False):
     """q: (B, H, D); k_new/v_new: (B, Hkv, D) bf16 (unquantized);
     k_pool/v_pool: (NP*P, Hkv*D//2) uint8 plane-split nibble page pools;
-    ks/vs_pool: (NP*P, Hkv) bf16 per-row per-head scales; page_table:
-    (B, MP) int32; positions: (B,). Quantizes the new row here
+    ks/vs_pool: (NP*HS, P) bf16 transposed per-head scale tiles
+    (kv/paged.py); page_table: (B, MP) int32; positions: (B,).
+    Quantizes the new row here
     (kv/paged.py _quantize_q4 semantics) and uses the dequantized values for
     the self term, so results match the write-then-gather XLA path. Returns
     (out (B, H, D) f32, k', v', ks', vs' aliased updated pools)."""
@@ -1622,8 +1633,9 @@ def decode_attention_paged_q4(q: jnp.ndarray, k_new: jnp.ndarray,
     D2 = D // 2
     MP = page_table.shape[1]
     NP = k_pool.shape[0] // P
+    HS = ks_pool.shape[0] // NP   # transposed scale tile rows (kv/paged.py)
 
-    def q4(x):  # (B, Hkv, D) -> packed (B, 1, KD2), scale (B, 1, Hkv),
+    def q4(x):  # (B, Hkv, D) -> packed (B, 1, KD2), scale col (B, HS, 1),
         #         dequantized-in-plane-order (B, 1, KD)
         # shares kv/paged.py _quantize_q4 so the in-kernel write block is
         # bit-identical to paged.write's, and derives the self-term values
@@ -1638,8 +1650,9 @@ def decode_attention_paged_q4(q: jnp.ndarray, k_new: jnp.ndarray,
         deq_lo = (lo.astype(jnp.float32) * scf).reshape(B, KD2)
         deq_hi = (hi.astype(jnp.float32) * scf).reshape(B, KD2)
         deq = jnp.concatenate([deq_lo, deq_hi], axis=-1)  # plane order
+        scp = jnp.pad(sc, ((0, 0), (0, HS - Hkv)))
         return (packed.reshape(B, 1, KD2),
-                sc.reshape(B, 1, Hkv),
+                scp.reshape(B, HS, 1),
                 deq.astype(jnp.bfloat16).reshape(B, 1, KD))
 
     kq, ksn, kdq = q4(k_new)
@@ -1665,24 +1678,24 @@ def decode_attention_paged_q4(q: jnp.ndarray, k_new: jnp.ndarray,
                   pl.BlockSpec((1, 1, KD), bmap3),
                   pl.BlockSpec((1, 1, KD2), bmap3),
                   pl.BlockSpec((1, 1, KD2), bmap3),
-                  pl.BlockSpec((1, 1, Hkv), bmap3),
-                  pl.BlockSpec((1, 1, Hkv), bmap3),
+                  pl.BlockSpec((1, HS, 1), bmap3),
+                  pl.BlockSpec((1, HS, 1), bmap3),
                   pl.BlockSpec((P, KD2), kv_map),
                   pl.BlockSpec((P, KD2), kv_map),
-                  pl.BlockSpec((P, Hkv), kv_map),
-                  pl.BlockSpec((P, Hkv), kv_map)],
+                  pl.BlockSpec((HS, P), kv_map),
+                  pl.BlockSpec((HS, P), kv_map)],
         out_specs=[pl.BlockSpec((1, H, D), bmap3),
                    pl.BlockSpec((P, KD2), w_map),
                    pl.BlockSpec((P, KD2), w_map),
-                   pl.BlockSpec((P, Hkv), w_map),
-                   pl.BlockSpec((P, Hkv), w_map)],
+                   pl.BlockSpec((HS, P), w_map),
+                   pl.BlockSpec((HS, P), w_map)],
         scratch_shapes=[pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, 1), jnp.float32),
                         pltpu.VMEM((H, KD), jnp.float32)],
     )
     out, k2, v2, ks2, vs2 = pl.pallas_call(
-        functools.partial(_pq4kernel, H=H, Hkv=Hkv, D=D, P=P, scale=scale,
-                          softcap=softcap),
+        functools.partial(_pq4kernel, H=H, Hkv=Hkv, HS=HS, D=D, P=P,
+                          scale=scale, softcap=softcap),
         compiler_params=_paged_cp(),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, H, D), jnp.float32),
