@@ -49,6 +49,18 @@ if os.environ.get("KCPP_BENCH_MODEL", "") == "13b":
     # one 13B param build (~80 s host rng + upload) serves all sections
     os.environ.setdefault("KCPP_SYNTH_CACHE", "1")
 
+# Long-context paged decode wants MORE outstanding MSA prefetches: XLA's
+# memory-space assignment stages the KV page pools into VMEM ahead of the
+# attention custom calls, and at the default outstanding-copy limit the core
+# blocks in copy-done ~230 us/step at 1.1B 16K (profiled). 12 outstanding:
+# 605 -> 650 t/s (66.5% of roofline). Short-context decode runs ~4% FASTER
+# at the default, so the knob is per-process and main() runs the 16K section
+# in a subprocess with this env (set before jax imports).
+_MSA_PREFETCH_ARGS = ("--xla_vf_vmem_max_outstanding_prefetches=12 "
+                      "--xla_vf_vmem_max_outstanding_evictions=12")
+if os.environ.get("KCPP_BENCH_MODEL", "") == "16k":
+    os.environ.setdefault("LIBTPU_INIT_ARGS", _MSA_PREFETCH_ARGS)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -715,6 +727,15 @@ def main():
         main_13b(latency, kind)
         return
 
+    if mode == "16k":
+        # 1.1B 16K paged-q8 under the MSA-prefetch env (see _MSA_PREFETCH_ARGS)
+        try:
+            r16 = bench_longctx(TINYLLAMA_1_1B, latency, kind)
+        except Exception as e:
+            r16 = {"longctx_16k_error": repr(e)[:200]}
+        print(json.dumps(r16))
+        return
+
     if mode == "7b":
         r7 = bench_model(LLAMA2_7B, latency, kind)
         result = {
@@ -777,11 +798,30 @@ def main():
         skip("served")
 
     # ---- section 3: 1.1B 16K paged-q8 long context ------------------------
+    # subprocess: the MSA-prefetch env lifts 16K ~7% but costs short-context
+    # decode ~4%, so neither setting can serve both sections in one process
     if time_left() > 120:
+        import subprocess
+        r16 = None
         try:
-            extra.update(bench_longctx(TINYLLAMA_1_1B, latency, kind))
+            env16 = dict(os.environ, KCPP_BENCH_MODEL="16k")
+            out16 = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env16,
+                capture_output=True, text=True,
+                timeout=max(180, min(600, int(time_left()))))
+            r16 = _last_json(out16.stdout)
+            if out16.returncode != 0:
+                print(f"16k subprocess rc={out16.returncode}: "
+                      f"{(out16.stderr or '')[-300:]}", file=sys.stderr)
         except Exception as e:
-            print(f"16k bench skipped: {e!r}", file=sys.stderr)
+            print(f"16k subprocess failed: {e!r}", file=sys.stderr)
+        if r16 and "decode_16k_paged_q8_tps" in r16:
+            extra.update(r16)
+        else:
+            try:  # in-process fallback (default env, ~7% below the knob)
+                extra.update(bench_longctx(TINYLLAMA_1_1B, latency, kind))
+            except Exception as e:
+                print(f"16k bench skipped: {e!r}", file=sys.stderr)
         emit()
     else:
         skip("longctx_16k")

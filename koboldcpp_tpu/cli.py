@@ -271,6 +271,19 @@ def main(argv=None):
         except ValueError:
             pass
 
+    if getattr(args, "paged", False) and args.contextsize >= 8192 \
+            and "LIBTPU_INIT_ARGS" not in os.environ:
+        # long-context paged serving: XLA's memory-space assignment stages KV
+        # page pools into VMEM ahead of the attention kernels; the default
+        # outstanding-async-copy limit blocks the core in copy-done waits
+        # (~230 us/step at 1.1B 16K). 12 outstanding: +7% decode at 16K,
+        # measured (bench.py _MSA_PREFETCH_ARGS — same knob). Short-context
+        # serving is ~4% faster WITHOUT it, hence the contextsize gate.
+        # Must be set before the first jax import initializes libtpu.
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            "--xla_vf_vmem_max_outstanding_prefetches=12 "
+            "--xla_vf_vmem_max_outstanding_evictions=12")
+
     if args.usecpu or os.environ.get("JAX_PLATFORMS") == "cpu":
         # reference --usecpu forces the CPU backend (koboldcpp.py:4419); here
         # it pins the jax CPU platform (the axon TPU plugin ignores
